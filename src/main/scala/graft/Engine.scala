@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.ImpalaFunctions
+
+/** Session factory + table registrar for the graft engine.
+  *
+  * Plays the role of the reference's service entry points (Impala's
+  * `be/src/service/impala-server.cc` Beeswax/HS2 `Execute` path,
+  * `fe/src/main/java/com/cloudera/impala/service/Frontend.java:901`
+  * `createExecRequest`): Catalyst is the parser/analyzer/planner and the
+  * Spark scheduler replaces the fragment coordinator, so this layer is a
+  * thin library over `SparkSession`.
+  *
+  * Scale notes (100 TB design intent):
+  *  - AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  *    broadcast demotion replace Impala's static `DistributedPlanner`
+  *    (`DistributedPlanner.java:303-394`) decisions.
+  *  - Broadcast threshold left at Spark's default so small dims (region,
+  *    nation, supplier at most SFs) broadcast instead of shuffling.
+  *  - Shuffle partitions default to the local core count; on a real cluster
+  *    this is `spark.sql.shuffle.partitions` tuned to 2-3x total cores and
+  *    AQE coalesces from there.
+  */
+object Engine {
+
+  /** The driver-generated tables (TESTDATA.md): TPC-H-ish star schema plus
+    * events/documents/embeddings extension tables.
+    */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Build a local session with the engine's defaults. Queries coming from
+    * the driver reuse whatever session it created; this is for tests/tools.
+    */
+  def session(cores: String = "32", appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+    spark
+  }
+
+  /** Session-level knobs we want regardless of who built the session
+    * (the driver's Verify/Bench mains call this too). Mirrors the
+    * reference's planner behaviors that are flag-gated in Spark
+    * (SURVEY.md section 4.1).
+    */
+  def configure(spark: SparkSession): Unit = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    // Impala's expression semantics are permissive (NULL on bad cast,
+    // NULL on integer div-by-zero — be/src/exprs/operators.cc), not
+    // ANSI-error; Spark 4 defaults to ANSI on, so switch it off for
+    // dialect parity.
+    c.set("spark.sql.ansi.enabled", "false")
+    // Impala generates runtime bloom filters from join builds
+    // (RuntimeFilterGenerator.java:56-80); Spark's equivalent:
+    c.set("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
+    // Predicate propagation via equivalence classes (Analyzer.java:1527+):
+    c.set("spark.sql.constraintPropagation.enabled", "true")
+    // NOT IN -> null-aware anti join as a single pass (StmtRewriter.java:524):
+    c.set("spark.sql.optimizer.nullAwareAntiJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    // rejects; read as epoch-nanos BIGINT (column `ts`). Engine queries
+    // treat event time as int64 nanos end-to-end (the reference's
+    // TimestampValue is nanosecond-resolution too, timestamp-value.h:40-65).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ImpalaFunctions.register(spark)
+  }
+
+  /** Read one table from an sf directory (HdfsTable analog,
+    * `fe/.../catalog/HdfsTable.java`): plain parquet with pushdown +
+    * pruning handled by the file source.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Mount every table as a temp view so `spark.sql` works like the
+    * reference's SQL front door. Cheap (lazy plans), idempotent.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
+    configure(spark)
+    tableNames.foreach { t =>
+      table(spark, dir, t).createOrReplaceTempView(t)
+    }
+  }
+
+  /** SQL entry point: `Engine.sql(spark, sfDir, "SELECT ...")`. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    register(spark, dir)
+    spark.sql(query)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{HyperLogLogPlusPlus, ListAgg}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Impala-dialect scalar/aggregate functions missing or renamed in Spark.
+  *
+  * The reference registers ~420 builtin signatures
+  * (`fe/.../catalog/BuiltinsDb.java:45-58` via
+  * `common/function-registry/impala_functions.py`); most map 1:1 onto
+  * `org.apache.spark.sql.functions`. This registry covers the names Spark
+  * lacks, built as Catalyst expression trees (codegen-friendly, null-safe)
+  * rather than Scala UDFs — SURVEY.md section 2.5.
+  *
+  * Everything is registered as a temp function, so both the SQL front door
+  * (`Engine.sql`) and the Column API (via `call_function`) see them.
+  */
+object ImpalaFunctions {
+
+  /** Column-API front door for a registered dialect function. */
+  def fn(name: String, cols: Column*): Column = call_function(name, cols: _*)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+
+    def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    // ---- string (string-functions.cc) -----------------------------------
+    // strleft/strright: leftmost/rightmost n chars (string-functions.h:32).
+    temp("strleft") { case Seq(s, n) => Substring(s, Literal(1), n) }
+    temp("strright") { case Seq(s, n) =>
+      // right(s, n): Spark's Right errors on negative n like Impala returns
+      // empty; clamp via greatest(n, 0).
+      new Right(s, Greatest(Seq(n, Literal(0))))
+    }
+
+    // ---- conditional (conditional-functions.h:31) -----------------------
+    // TypeCoercion aligns the literal with e's numeric type.
+    temp("zeroifnull") { case Seq(e) => Coalesce(Seq(e, Literal(0))) }
+    temp("nullifzero") { case Seq(e) => new NullIf(e, Literal(0)) }
+    temp("isfalse") { case Seq(e) => EqualNullSafe(e, Literal(false)) }
+    temp("istrue") { case Seq(e) => EqualNullSafe(e, Literal(true)) }
+    temp("isnotfalse") { case Seq(e) => Not(EqualNullSafe(e, Literal(false))) }
+    temp("isnottrue") { case Seq(e) => Not(EqualNullSafe(e, Literal(true))) }
+    temp("nonnullvalue") { case Seq(e) => IsNotNull(e) }
+    temp("nullvalue") { case Seq(e) => IsNull(e) }
+
+    // ---- math (math-functions.h:32) -------------------------------------
+    // quotient(a, b): integer division after casting both to BIGINT.
+    temp("quotient") { case Seq(a, b) =>
+      IntegralDivide(Cast(a, LongType), Cast(b, LongType), evalMode = EvalMode.LEGACY)
+    }
+    temp("is_inf") { case Seq(e) =>
+      val d = Cast(e, DoubleType)
+      EqualTo(Abs(d), Literal(Double.PositiveInfinity))
+    }
+    temp("is_nan") { case Seq(e) => IsNaN(Cast(e, DoubleType)) }
+
+    // ---- bit/byte (bit-byte-functions.h) --------------------------------
+    // Rotations defined on BIGINT (64-bit) like the reference's widest form.
+    temp("rotateleft") { case Seq(x, n) =>
+      val v = Cast(x, LongType)
+      val s = Pmod(Cast(n, IntegerType), Literal(64))
+      BitwiseOr(ShiftLeft(v, s), ShiftRightUnsigned(v, Subtract(Literal(64), s)))
+    }
+    temp("rotateright") { case Seq(x, n) =>
+      val v = Cast(x, LongType)
+      val s = Pmod(Cast(n, IntegerType), Literal(64))
+      BitwiseOr(ShiftRightUnsigned(v, s), ShiftLeft(v, Subtract(Literal(64), s)))
+    }
+    temp("getbit") { case Seq(x, pos) =>
+      Cast(BitwiseAnd(ShiftRightUnsigned(Cast(x, LongType), Cast(pos, IntegerType)),
+        Literal(1L)), ByteType)
+    }
+    temp("setbit") {
+      case Seq(x, pos) =>
+        BitwiseOr(Cast(x, LongType), ShiftLeft(Literal(1L), Cast(pos, IntegerType)))
+      case Seq(x, pos, v) =>
+        If(EqualTo(Cast(v, IntegerType), Literal(0)),
+          BitwiseAnd(Cast(x, LongType),
+            BitwiseNot(ShiftLeft(Literal(1L), Cast(pos, IntegerType)))),
+          BitwiseOr(Cast(x, LongType), ShiftLeft(Literal(1L), Cast(pos, IntegerType))))
+    }
+    temp("countset") {
+      case Seq(x) => Cast(BitwiseCount(Cast(x, LongType)), IntegerType)
+      case Seq(x, v) =>
+        If(EqualTo(Cast(v, IntegerType), Literal(0)),
+          Subtract(Literal(64), Cast(BitwiseCount(Cast(x, LongType)), IntegerType)),
+          Cast(BitwiseCount(Cast(x, LongType)), IntegerType))
+    }
+
+    // ---- timestamp (timestamp-functions.h:40) ---------------------------
+    temp("int_months_between") { case Seq(a, b) =>
+      Cast(MonthsBetween(a, b, Literal(false)), IntegerType)
+    }
+    temp("dayname") { case Seq(e) => DateFormatClass(e, Literal("EEEE")) }
+    temp("monthname") { case Seq(e) => DateFormatClass(e, Literal("MMMM")) }
+    temp("timeofday") { case Seq() =>
+      DateFormatClass(CurrentTimestamp(), Literal("EEE MMM dd HH:mm:ss yyyy z"))
+    }
+
+    // ---- utility (utility-functions.h:29) -------------------------------
+    temp("fnv_hash") { case Seq(e) =>
+      e.dataType match {
+        case StringType | BinaryType => FnvHash64(e)
+        case _ => FnvHash64(Cast(e, StringType))
+      }
+    }
+
+    // ---- aggregates (aggregate-functions.h) -----------------------------
+    // ndv: Impala's HyperLogLog with 1024 buckets (aggregate-functions.h:170-184)
+    // => relative sd ~= 1.04/sqrt(1024) = 0.0325 on Spark's HLL++.
+    temp("ndv") { case Seq(e) =>
+      HyperLogLogPlusPlus(e, relativeSD = 0.0325).toAggregateExpression()
+    }
+    // group_concat(expr[, sep]) — order is unspecified in the reference too
+    // (BuiltinsDb.java:781-806). Returning the bare AggregateFunction lets
+    // the analyzer apply DISTINCT / FILTER wrapping.
+    temp("group_concat") {
+      case Seq(e) => ListAgg(e, Literal(", "))
+      case Seq(e, sep) => ListAgg(e, sep)
+    }
+  }
+}
