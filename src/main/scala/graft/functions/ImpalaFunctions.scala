@@ -110,6 +110,10 @@ object ImpalaFunctions {
         case _ => FnvHash64(Cast(e, StringType))
       }
     }
+    // ---- engine extensions ----------------------------------------------
+    // simhash(array<bigint>) — dedup signature (see SimHash64).
+    temp("graft_simhash") { case Seq(e) => SimHash64(e) }
+    temp("simhash") { case Seq(e) => SimHash64(e) }
 
     // ---- aggregates (aggregate-functions.h) -----------------------------
     // ndv: Impala's HyperLogLog with 1024 buckets (aggregate-functions.h:170-184)

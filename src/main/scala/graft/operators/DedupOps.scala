@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{Engine, Q}
+import graft.functions.SimHash64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over `documents`.
+  *
+  * Scale design (100 TB): every pipeline is
+  *   per-row signature (map-side, codegen'd expressions)
+  *   -> shuffle keyed on a *bounded-width* bucket key (band hash / simhash
+  *      band / shingle with a document-frequency cap)
+  *   -> pair verification inside buckets only.
+  * No driver-side collection, no cross join of the full corpus. Hot-key
+  * blowup is bounded by the DF cap / band width; AQE skew-join splitting
+  * handles residual skew.
+  */
+object DedupOps {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = {
+    Engine.configure(s)
+    Engine.table(s, d, n)
+  }
+
+  // ---- shared signature plumbing -----------------------------------------
+
+  /** Word 3-gram shingles of the normalized text (distinct); empty array
+    * for docs shorter than 3 tokens.
+    */
+  private def shingles(text: Column): Column = {
+    val toks = TextOps.tokens(lower(text))
+    when(size(toks) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 64 MinHash permutations h -> a*h + b (odd a, wrap-around 2^64 ring),
+    * from a fixed seed so signatures are reproducible across runs.
+    */
+  private val minhashCoeffs: Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(64)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature (array of 64 longs) over hashed shingles. */
+  private def minhashSig(shingleHashes: Column): Column =
+    array(minhashCoeffs.map { case (a, b) =>
+      array_min(transform(shingleHashes, h => h * a + b))
+    }: _*)
+
+  // ---- operators ---------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content hash, keep the smallest doc_id
+    * (deterministic survivor). One shuffle on a 128-bit key.
+    */
+  val exact: Q = Q("dedup_exact",
+    (s, d) => t(s, d, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id")),
+    Some("""SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin))
+
+  /** MinHash + LSH near-dup candidates: 64-hash signature, 16 bands x 4
+    * rows (s-curve threshold ~0.5 Jaccard), candidates = pairs sharing a
+    * band bucket, verified by signature agreement >= 0.35.
+    */
+  val minhashLsh: Q = Q("dedup_minhash",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          minhashSig(transform(col("sh"), sh => xxhash64(sh))).as("sig"))
+      val bands = doc.select(col("doc_id"), col("sig"),
+          posexplode(transform(sequence(lit(0), lit(15)),
+            b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b)))
+            .as(Seq("band_idx", "band_hash")))
+      val a = bands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = bands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), p => p)) / lit(64.0)).as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= 0.35)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  /** SimHash near-dup candidates: 64-bit simhash (custom codegen'd
+    * expression), 4 x 16-bit bands, pairs sharing a band verified by
+    * Hamming distance <= 6.
+    */
+  val simhash: Q = Q("dedup_simhash",
+    (s, d) => {
+      Engine.configure(s)
+      val doc = t(s, d, "documents").select(col("doc_id"),
+        call_function("graft_simhash",
+          transform(TextOps.tokens(lower(col("text"))), tk => xxhash64(tk)))
+          .as("sh"))
+      val bands = doc.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftrightunsigned", col("sh"), b * 16)
+            .bitwiseAND(lit(0xffffL))))
+          .as(Seq("band_idx", "band_val")))
+      val a = bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  /** Exact n-gram Jaccard via an inverted shingle index: explode distinct
+    * shingles, cap document frequency (drops stop-shingles — bounds the
+    * self-join fan-out at scale), count shared shingles per pair, Jaccard
+    * >= 0.3. No approximation: this is the verifier MinHash approximates.
+    */
+  val ngramJaccard: Q = Q("dedup_ngram_jaccard",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sizes = doc.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val inv = doc.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // document-frequency cap: shingles appearing in >50 docs carry no
+      // dedup signal and would otherwise explode the join
+      val rare = inv.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+        .select(col("shingle"))
+      val capped = inv.join(rare, Seq("shingle"))
+      val pairs = capped.select(col("shingle"), col("doc_id").as("doc_a"))
+        .join(capped.select(col("shingle"), col("doc_id").as("doc_b")),
+          Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard)
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat media as opaque BINARY columns with
+  * typed metadata, decode/feature-extract partition-wise.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic FAKE standing in for a real decoder
+  * (libjpeg/ffmpeg/...). Everything around it — the binary column, the
+  * typed Dataset, the mapPartitions batch shape, the output schema — is
+  * the real 100 TB-shaped pipeline: decode cost stays on executors,
+  * one codec init per partition (not per row), no driver involvement.
+  */
+object MultimodalOps {
+
+  /** Input row: media key + opaque payload. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted metadata + feature vector (what a real image decode +
+    * embedding step would emit).
+    */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      format: String,
+      width: Int,
+      height: Int,
+      feature: Array[Float])
+
+  /** STUB decoder: deterministic fake metadata/features from the payload
+    * bytes. A real deployment swaps ONLY this function for e.g. a JPEG
+    * decode + CNN embedding; the pipeline shape is unchanged.
+    */
+  def decodeStub(payload: Array[Byte]): (String, Int, Int, Array[Float]) = {
+    val n = payload.length
+    val fmt = if (n % 3 == 0) "fake/png" else if (n % 3 == 1) "fake/jpeg" else "fake/webp"
+    val w = 64 + (if (n > 0) (payload(0) & 0x3f) else 0)
+    val h = 64 + (if (n > 1) (payload(1) & 0x3f) else 0)
+    // 8-dim "embedding": byte-histogram moments, deterministic.
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < n) {
+      feat(payload(i) & 0x07) += 1.0f
+      i += 1
+    }
+    var j = 0
+    while (j < 8) { feat(j) = if (n > 0) feat(j) / n else 0.0f; j += 1 }
+    (fmt, w, h, feat)
+  }
+
+  /** Partition-wise decode: one pass per partition, iterator-to-iterator
+    * (no materialization of the whole partition).
+    */
+  def extractFeatures(media: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codecs would be initialized once here, per partition
+      rows.map { r =>
+        val (fmt, w, h, feat) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length, fmt, w, h, feat)
+      }
+    }.toDF()
+  }
+
+  /** Pipeline entry: documents' text bytes stand in for media payloads
+    * (the testdata has no binary media); emits metadata + feature norms.
+    */
+  val features: Q = Q("multimodal_features",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val media = Engine.table(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaRow]
+      extractFeatures(media)
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          col("width"), col("height"),
+          round(aggregate(col("feature"),
+            lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
+            .as("feat_sq_norm"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(features)
+}

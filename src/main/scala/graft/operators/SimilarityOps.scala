@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  *
+  * Two paths:
+  *  - brute force: broadcast the (small) query set, codegen'd dot product
+  *    against every row, per-query top-k via window. Linear scan — the
+  *    exact baseline, shuffle-free except the final top-k.
+  *  - LSH-bucketed: random-hyperplane signs bucket the corpus; candidates
+  *    are scored only within the query's bucket. The scale path: the scan
+  *    is pruned to matching buckets (at 100 TB the bucket id becomes a
+  *    partition/cluster key so the scan prunes to ~1/2^bits of the data).
+  */
+object SimilarityOps {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = {
+    Engine.configure(s)
+    Engine.table(s, d, n)
+  }
+
+  /** Double dot product as a strict left fold. Cross-engine deterministic:
+    * float->double widening is exact, per-element double products are
+    * IEEE-identical, and the sequential fold fixes the association order —
+    * DuckDB's list_reduce folds in the same order, so the oracle matches
+    * bit-for-bit (no decimal casts needed in the hot loop).
+    */
+  private def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Fixed random hyperplanes (seeded) for sign-LSH bucketing. */
+  private def hyperplanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(7)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Brute-force top-5 neighbours by dot product for query vectors
+    * (vec_id < 10), excluding self. Oracle-checked: the decimal dot is
+    * bit-identical in DuckDB.
+    */
+  val bruteForce: Q = Q("sim_topk_dot",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .filter(col("qid") < 10)
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          dotDouble(col("qe"), col("embedding")).as("dot"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dot").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("dot"))
+        .orderBy(col("qid"), col("dot").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |           WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.qid, e.vec_id,
+      |    LIST_REDUCE(
+      |      LIST_PREPEND(CAST(0.0 AS DOUBLE),
+      |        LIST_TRANSFORM(LIST_ZIP(q.qe, e.embedding),
+      |          pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+      |      (acc, x) -> acc + x) AS dot
+      |  FROM q, embeddings e
+      |  WHERE q.qid <> e.vec_id),
+      |r AS (SELECT qid, vec_id, dot,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) rn
+      |      FROM p)
+      |SELECT qid, vec_id, dot FROM r WHERE rn <= 5
+      |ORDER BY qid, dot DESC, vec_id""".stripMargin))
+
+  /** Sign-LSH approximate neighbours: 8-bit hyperplane-sign bucket per
+    * vector; top-3 per query within its bucket. Rows-only check (bucket
+    * layout is engine-internal).
+    */
+  val bucketed: Q = Q("sim_lsh_bucket",
+    (s, d) => {
+      val planes = hyperplanes(8, 64)
+      def bucket(e: Column): Column =
+        planes.zipWithIndex.map { case (p, i) =>
+          when(dotDouble(e, array(p.map(lit): _*)) >= 0, lit(1 << i))
+            .otherwise(lit(0))
+        }.reduce(_ + _)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bkt").as("qbkt"))
+      val cand = emb.join(broadcast(q),
+          col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          dotDouble(col("qe"), col("embedding")).as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("score"))
+        .orderBy(col("qid"), col("score").desc, col("vec_id"))
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(bruteForce, bucketed)
+}

@@ -1,0 +1,391 @@
+package graft.queries
+
+import graft.{Det, Engine, Q}
+import graft.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operator-inventory coverage for SURVEY.md section 2.1/2.3/2.5: scans,
+  * filters, aggregation modes, distinct, sorts/top-n/offset, union,
+  * values, subqueries, explode (Subplan/Unnest parity), and the scalar
+  * function surface — each with a DuckDB oracle.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = {
+    Engine.configure(s)
+    Engine.table(s, d, n)
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Scan + conjunct filter + projection (HdfsScanNode + SelectNode:
+    // filters and the 3-column projection reach the parquet reader).
+    Q("scan_filter",
+      (s, d) => t(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz") &&
+          col("l_quantity") > 45 && col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_quantity > 45 AND l_returnflag = 'A'""".stripMargin)),
+
+    // LIMIT 0 — EmptySetNode / PropagateEmptyRelation.
+    Q("limit_zero",
+      (s, d) => t(s, d, "nation").select(col("n_nationkey"), col("n_name")).limit(0),
+      Some("SELECT n_nationkey, n_name FROM nation LIMIT 0")),
+
+    // SELECT DISTINCT — aggregation without aggregates.
+    Q("distinct_proj",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Non-grouping aggregation — single-tuple output path.
+    Q("agg_global",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        dsum2(col("l_extendedprice")).as("sum_price")),
+      Some(s"""SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  ${oSum2("l_extendedprice")} AS sum_price
+        |FROM lineitem""".stripMargin)),
+
+    // DISTINCT aggregates — the 2-phase distinct-agg rewrite
+    // (AggregateInfo.java:40-61 / RewriteDistinctAggregates).
+    Q("agg_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          sum_distinct(col("l_quantity").cast(D18_2)).cast("double").as("sum_uq"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_uq,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // GROUP BY + HAVING on an exact decimal sum.
+    Q("agg_having",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(dsum2(col("l_quantity")).as("total_qty"), count(lit(1)).as("n"))
+        .filter(col("total_qty") > 1000.0)
+        .orderBy(col("l_suppkey")),
+      Some(s"""SELECT l_suppkey, ${oSum2("l_quantity")} AS total_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING ${oSum2("l_quantity")} > 1000.0
+        |ORDER BY l_suppkey""".stripMargin)),
+
+    // Variance/stddev with a deterministic sum-of-squares formulation
+    // (Knuth online variance in the reference, aggregate-functions.h:186-203;
+    // here decimal-exact moments so the oracle hash-matches).
+    Q("agg_stats",
+      (s, d) => {
+        val qty = col("l_quantity")
+        t(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum2(qty).as("s1"),
+            dsum6(qty * qty).as("s2"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1)))
+              .as("var_samp_qty"),
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1)))
+              .as("stddev_samp_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, n,
+        |  (s2 - s1 * s1 / n) / (n - 1) AS var_samp_qty,
+        |  SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp_qty
+        |FROM (SELECT l_returnflag, COUNT(*) AS n,
+        |        ${oSum2("l_quantity")} AS s1,
+        |        ${oSum6("l_quantity * l_quantity")} AS s2
+        |      FROM lineitem GROUP BY l_returnflag) m
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // group_concat with deterministic ordering (sorted collect).
+    Q("agg_group_concat",
+      (s, d) => t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy(col("n_regionkey")),
+      Some("""SELECT n_regionkey,
+        |  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // Conditional aggregation (manual pivot).
+    Q("agg_case_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_done"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_part"),
+          dsum2(when(col("o_orderstatus") === "O", col("o_totalprice"))
+            .otherwise(lit(0.0))).as("open_value"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_part,
+        |  ${oSum2("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS open_value
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // UNION ALL — passthrough union (UnionNode).
+    Q("union_all",
+      (s, d) => {
+        val c = t(s, d, "customer").select(lit("customer").as("kind"),
+          col("c_custkey").as("key"), col("c_acctbal").as("acctbal"))
+        val su = t(s, d, "supplier").select(lit("supplier").as("kind"),
+          col("s_suppkey").as("key"), col("s_acctbal").as("acctbal"))
+        c.union(su).groupBy(col("kind"))
+          .agg(count(lit(1)).as("n"), dsum2(col("acctbal")).as("total_bal"))
+          .orderBy(col("kind"))
+      },
+      Some(s"""SELECT kind, COUNT(*) AS n, ${oSum2("acctbal")} AS total_bal
+        |FROM (SELECT 'customer' AS kind, c_custkey AS key, c_acctbal AS acctbal
+        |      FROM customer
+        |      UNION ALL
+        |      SELECT 'supplier' AS kind, s_suppkey AS key, s_acctbal AS acctbal
+        |      FROM supplier) u
+        |GROUP BY kind ORDER BY kind""".stripMargin)),
+
+    // UNION DISTINCT — union + dedup aggregation on top.
+    Q("union_distinct",
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        val su = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.union(su).distinct().orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)),
+
+    // VALUES / constant select (ValuesStmt.java; UnionNode const exprs).
+    Q("const_values",
+      (s, d) => {
+        Engine.register(s, d)
+        s.sql("""SELECT k, v, k * 10 AS v10
+          |FROM VALUES (1, 'one'), (2, 'two'), (3, 'three') AS t(k, v)
+          |ORDER BY k""".stripMargin)
+      },
+      Some("""SELECT k, v, k * 10 AS v10
+        |FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) t(k, v)
+        |ORDER BY k""".stripMargin)),
+
+    // ORDER BY + LIMIT — TopN (TakeOrderedAndProject).
+    Q("topn_orders",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    // ORDER BY + LIMIT + OFFSET (LimitElement.java offset support).
+    Q("sort_offset",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(10).limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10""".stripMargin)),
+
+    // NULLS LAST ordering — Impala's ASC default (SortInfo.java); Spark's
+    // ASC default is NULLS FIRST so the engine must inject asc_nulls_last.
+    Q("sort_nulls_last",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"))
+        .orderBy(col("status_or_null").asc_nulls_last, col("o_orderkey"))
+        .limit(50),
+      Some("""SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_or_null
+        |FROM orders
+        |ORDER BY status_or_null ASC NULLS LAST, o_orderkey LIMIT 50""".stripMargin)),
+
+    // Uncorrelated scalar subquery (StmtRewriter: scalar -> cross join).
+    Q("subq_scalar",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+        val avgPrice = ord.agg(davg2(col("o_totalprice")).as("a"))
+        ord.crossJoin(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("a"))
+          .agg(count(lit(1)).as("n_above"),
+            dsum2(col("o_totalprice")).as("sum_above"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_above, ${oSum2("o_totalprice")} AS sum_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT ${oAvg2("o_totalprice")} FROM orders)""".stripMargin)),
+
+    // Correlated scalar subquery (per-nation average).
+    Q("subq_correlated",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val natAvg = cust.groupBy(col("c_nationkey").as("nk"))
+          .agg(davg2(col("c_acctbal")).as("nation_avg"))
+        cust.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_above_avg"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS n_above_avg
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT ${oAvg2("c_acctbal")} FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // IN over an uncorrelated subquery list.
+    Q("subq_in",
+      (s, d) => {
+        Engine.register(s, d)
+        s.sql("""SELECT p_brand, COUNT(*) AS n_parts
+          |FROM part
+          |WHERE p_size IN (SELECT DISTINCT p_size FROM part WHERE p_type = 'PROMO')
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_parts
+        |FROM part
+        |WHERE p_size IN (SELECT DISTINCT p_size FROM part WHERE p_type = 'PROMO')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // String function surface (string-functions.cc parity, common subset).
+    Q("string_funcs",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        length(col("p_name")).as("len"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        reverse(col("p_name")).as("rev"),
+        trim(col("p_name")).as("trimmed"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        instr(col("p_name"), "e").cast("int").as("pos_e"),
+        split(col("p_name"), " ").getItem(0).as("first_word")),
+      Some("""SELECT p_partkey,
+        |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+        |  CAST(LENGTH(p_name) AS INT) AS len,
+        |  SUBSTR(p_name, 1, 5) AS sub5,
+        |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+        |  LPAD(p_brand, 12, '*') AS padded,
+        |  REVERSE(p_name) AS rev,
+        |  TRIM(p_name) AS trimmed,
+        |  REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(INSTR(p_name, 'e') AS INT) AS pos_e,
+        |  STRING_SPLIT(p_name, ' ')[1] AS first_word
+        |FROM part""".stripMargin)),
+
+    // Timestamp function surface (timestamp-functions.cc parity subset).
+    Q("date_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        (dayofweek(col("o_orderdate"))).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        datediff(lit("2000-01-01").cast("timestamp_ntz"), col("o_orderdate"))
+          .as("days_to_2000"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt")),
+      Some("""SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INT) AS y,
+        |  CAST(MONTH(o_orderdate) AS INT) AS m,
+        |  CAST(DAY(o_orderdate) AS INT) AS dom,
+        |  CAST(QUARTER(o_orderdate) AS INT) AS q,
+        |  CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow,
+        |  DATE_TRUNC('month', o_orderdate) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT)
+        |    AS days_to_2000,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS fmt
+        |FROM orders""".stripMargin)),
+
+    // Conditional functions (conditional-functions.h:31 parity subset).
+    Q("conditional_funcs",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("rich").as("bal_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)"))
+          .as("seg_or_default"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap1000")),
+      Some("""SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'rich' END AS bal_class,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(bldg)') AS seg_or_default,
+        |  GREATEST(c_acctbal, 0.0) AS bal_floor0,
+        |  LEAST(c_acctbal, 1000.0) AS bal_cap1000
+        |FROM customer""".stripMargin)),
+
+    // JSON extraction over the events props column.
+    Q("json_extract",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") > 90),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+        |FROM events WHERE CAST(props->>'$.k' AS INT) > 90""".stripMargin)),
+
+    // posexplode over the embedding array (UnnestNode parity) + exact
+    // decimal reduction back per vector.
+    Q("explode_norms",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        e.select(col("vec_id"), col("v").cast("double").as("v"))
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_dims"),
+            dsum10(col("v") * col("v")).as("sq_norm"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""SELECT vec_id, COUNT(*) AS n_dims,
+        |  ${oSum10("v * v")} AS sq_norm
+        |FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v
+        |      FROM embeddings) t
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // explode of split tokens + top-k by frequency.
+    Q("explode_tokens",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+      Some("""SELECT token, COUNT(*) AS n
+        |FROM (SELECT UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS token
+        |      FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dialect-function semantics (the analog of the reference's
+  * be/src/exprs/expr-test.cc value grids, trimmed to the registered
+  * surface).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one(sql: String): Row =
+    Engine.sql(spark, TestSpark.sf, s"SELECT $sql").head()
+
+  test("fnv_hash matches FNV-1a 64 reference value") {
+    assert(one("fnv_hash('hello')").getLong(0) === -6615550055289275125L)
+  }
+
+  test("fnv_hash null propagation") {
+    assert(one("fnv_hash(CAST(NULL AS STRING))").isNullAt(0))
+  }
+
+  test("strleft / strright") {
+    val r = one("strleft('abcdef', 3), strright('abcdef', 2), " +
+      "strleft('ab', 99), strright('ab', 0)")
+    assert(r.getString(0) === "abc")
+    assert(r.getString(1) === "ef")
+    assert(r.getString(2) === "ab")
+    assert(r.getString(3) === "")
+  }
+
+  test("zeroifnull / nullifzero") {
+    val r = one("zeroifnull(CAST(NULL AS INT)), zeroifnull(7), " +
+      "nullifzero(0), nullifzero(5)")
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) === 7)
+    assert(r.isNullAt(2))
+    assert(r.getInt(3) === 5)
+  }
+
+  test("boolean predicates") {
+    val r = one("isfalse(NULL), istrue(1=1), isnottrue(NULL), " +
+      "nonnullvalue(NULL), nullvalue(NULL)")
+    assert(r.getBoolean(0) === false)
+    assert(r.getBoolean(1) === true)
+    assert(r.getBoolean(2) === true)
+    assert(r.getBoolean(3) === false)
+    assert(r.getBoolean(4) === true)
+  }
+
+  test("quotient: bigint division, null on zero divisor") {
+    val r = one("quotient(11, 3), quotient(-11, 3), quotient(10.9, 3), " +
+      "quotient(1, 0)")
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === -3L)
+    assert(r.getLong(2) === 3L) // casts to bigint first, like the reference
+    assert(r.isNullAt(3))
+  }
+
+  test("bit functions") {
+    val r = one("rotateleft(1, 65), rotateright(2, 1), getbit(5, 0), " +
+      "getbit(5, 1), setbit(8, 0), setbit(9, 0, 0), countset(255), " +
+      "countset(255, 0)")
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 1L)
+    assert(r.getByte(2) === 1.toByte)
+    assert(r.getByte(3) === 0.toByte)
+    assert(r.getLong(4) === 9L)
+    assert(r.getLong(5) === 8L)
+    assert(r.getInt(6) === 8)
+    assert(r.getInt(7) === 56)
+  }
+
+  test("is_inf / is_nan (non-ANSI division semantics give NULL for 1/0)") {
+    val r = one("is_inf(cast('inf' as double)), is_nan(cast('nan' as double)), " +
+      "is_inf(1.5), is_nan(1.5)")
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === true)
+    assert(r.getBoolean(2) === false)
+    assert(r.getBoolean(3) === false)
+  }
+
+  test("date names") {
+    val r = one("dayname(TIMESTAMP '2026-08-12 00:00:00'), " +
+      "monthname(TIMESTAMP '2026-08-12 00:00:00')")
+    assert(r.getString(0) === "Wednesday")
+    assert(r.getString(1) === "August")
+  }
+
+  test("int_months_between truncates like the reference") {
+    val r = one("int_months_between(TIMESTAMP '1998-03-15 00:00:00', " +
+      "TIMESTAMP '1998-01-31 00:00:00')")
+    assert(r.getInt(0) === 1)
+  }
+
+  test("ndv approximates distinct count") {
+    val r = Engine.sql(spark, TestSpark.sf,
+      "SELECT ndv(l_suppkey) n, count(distinct l_suppkey) x FROM lineitem").head()
+    val (n, x) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(n - x).toDouble / x < 0.15, s"ndv=$n exact=$x")
+  }
+
+  test("group_concat with separator and distinct") {
+    val r = Engine.sql(spark, TestSpark.sf,
+      "SELECT group_concat(DISTINCT l_returnflag, '|') FROM lineitem").head()
+    assert(r.getString(0).split('|').sorted.mkString(",") === "A,N,R")
+  }
+
+  test("simhash: identical token sets agree, disjoint sets differ") {
+    val r = Engine.sql(spark, TestSpark.sf,
+      """SELECT simhash(array(xxhash64('a'), xxhash64('b'), xxhash64('c'))) s1,
+        |       simhash(array(xxhash64('a'), xxhash64('b'), xxhash64('c'))) s2,
+        |       simhash(array(xxhash64('x'), xxhash64('y'), xxhash64('zq'))) s3
+        |""".stripMargin).head()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) !== r.getLong(2))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must at least analyze (resolve + type-check)
+  * against the real testdata schemas; the flagship entry must execute.
+  * Value correctness is covered by the DuckDB oracle gate
+  * (tools/check_oracle.py / driver t2).
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registry is consistent") {
+    assert(SparkEntry.queries.nonEmpty)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.all.map(_.name).distinct.size === SparkEntry.all.size)
+  }
+
+  for (q <- SparkEntry.all) {
+    test(s"${q.name} analyzes") {
+      val df = q.run(spark, TestSpark.sf)
+      assert(df.schema.fields.nonEmpty)
+    }
+  }
+
+  test("entry executes with rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("dedup_exact finds no duplicates in distinct corpus but keeps all docs") {
+    val df = SparkEntry.queries("dedup_exact")(spark, TestSpark.sf)
+    val n = df.count()
+    assert(n === 500)
+  }
+
+  test("multimodal feature extraction is deterministic") {
+    val a = SparkEntry.queries("multimodal_features")(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    val b = SparkEntry.queries("multimodal_features")(spark, TestSpark.sf)
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("sim_lsh_bucket returns at most 3 neighbours per query") {
+    val rows = SparkEntry.queries("sim_lsh_bucket")(spark, TestSpark.sf)
+      .groupBy("qid").count().collect()
+    assert(rows.forall(_.getLong(1) <= 3))
+  }
+}
