@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{HyperLogLogPlusPlus, ListAgg}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, HyperLogLogPlusPlus, ListAgg}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -114,6 +114,12 @@ object ImpalaFunctions {
     // simhash(array<bigint>) — dedup signature (see SimHash64).
     temp("graft_simhash") { case Seq(e) => SimHash64(e) }
     temp("simhash") { case Seq(e) => SimHash64(e) }
+    // Codegen'd signature kernels for dedup (see TextSignatures).
+    temp("token_hashes") { case Seq(e) => TokenHashes(e) }
+    temp("shingle_hashes") {
+      case Seq(e, Literal(n: Int, IntegerType)) => ShingleHashes(e, n)
+    }
+    temp("minhash64") { case Seq(e) => MinHash64(e) }
 
     // ---- aggregates (aggregate-functions.h) -----------------------------
     // ndv: Impala's HyperLogLog with 1024 buckets (aggregate-functions.h:170-184)
@@ -128,5 +134,20 @@ object ImpalaFunctions {
       case Seq(e) => ListAgg(e, Literal(", "))
       case Seq(e, sep) => ListAgg(e, sep)
     }
+    // appx_median: reservoir-sampled median in the reference
+    // (aggregate-functions.h:126-167); Spark's approx percentile sketch.
+    temp("appx_median") { case Seq(e) =>
+      new ApproximatePercentile(e, Literal(0.5)).toAggregateExpression()
+    }
+    // distinctpc / distinctpcsa: legacy Flajolet-Martin PC estimators
+    // (BuiltinsDb.java:625-645); mapped to the HLL++ sketch like ndv.
+    temp("distinctpc") { case Seq(e) =>
+      HyperLogLogPlusPlus(e, relativeSD = 0.0325).toAggregateExpression()
+    }
+    temp("distinctpcsa") { case Seq(e) =>
+      HyperLogLogPlusPlus(e, relativeSD = 0.0325).toAggregateExpression()
+    }
+    // regexp_match_count(s, pattern) -> Spark's regexp_count.
+    temp("regexp_match_count") { case Seq(s0, p) => RegExpCount(s0, p) }
   }
 }

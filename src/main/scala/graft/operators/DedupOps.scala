@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{Engine, Q}
-import graft.functions.SimHash64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,32 +23,14 @@ object DedupOps {
   }
 
   // ---- shared signature plumbing -----------------------------------------
+  // Signatures use the native codegen'd kernels (TextSignatures): word
+  // 3-gram FNV hashes and the 64-permutation MinHash, one tight loop per
+  // row each — higher-order-function lambdas are interpreted in Spark and
+  // cost ~10x on the 100 TB hot path.
 
-  /** Word 3-gram shingles of the normalized text (distinct); empty array
-    * for docs shorter than 3 tokens.
-    */
-  private def shingles(text: Column): Column = {
-    val toks = TextOps.tokens(lower(text))
-    when(size(toks) >= 3,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** 64 MinHash permutations h -> a*h + b (odd a, wrap-around 2^64 ring),
-    * from a fixed seed so signatures are reproducible across runs.
-    */
-  private val minhashCoeffs: Seq[(Long, Long)] = {
-    val rnd = new java.util.Random(42)
-    Seq.fill(64)((rnd.nextLong() | 1L, rnd.nextLong()))
-  }
-
-  /** MinHash signature (array of 64 longs) over hashed shingles. */
-  private def minhashSig(shingleHashes: Column): Column =
-    array(minhashCoeffs.map { case (a, b) =>
-      array_min(transform(shingleHashes, h => h * a + b))
-    }: _*)
+  /** Distinct word-3-gram FNV-1a hashes of lower(text). */
+  private def shingleHashes(text: Column): Column =
+    call_function("shingle_hashes", text, lit(3))
 
   // ---- operators ---------------------------------------------------------
 
@@ -72,10 +53,9 @@ object DedupOps {
   val minhashLsh: Q = Q("dedup_minhash",
     (s, d) => {
       val doc = t(s, d, "documents")
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-        .select(col("doc_id"),
-          minhashSig(transform(col("sh"), sh => xxhash64(sh))).as("sig"))
+        .select(col("doc_id"), call_function("minhash64", col("sh")).as("sig"))
       val bands = doc.select(col("doc_id"), col("sig"),
           posexplode(transform(sequence(lit(0), lit(15)),
             b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b)))
@@ -104,8 +84,7 @@ object DedupOps {
       Engine.configure(s)
       val doc = t(s, d, "documents").select(col("doc_id"),
         call_function("graft_simhash",
-          transform(TextOps.tokens(lower(col("text"))), tk => xxhash64(tk)))
-          .as("sh"))
+          call_function("token_hashes", col("text"))).as("sh"))
       val bands = doc.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftrightunsigned", col("sh"), b * 16)
@@ -133,7 +112,7 @@ object DedupOps {
   val ngramJaccard: Q = Q("dedup_ngram_jaccard",
     (s, d) => {
       val doc = t(s, d, "documents")
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
       val sizes = doc.select(col("doc_id"), size(col("sh")).as("n_sh"))
       val inv = doc.select(col("doc_id"), explode(col("sh")).as("shingle"))
