@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{JoinQueries, RelationalQueries, TpchQueries, WindowQueries}
+import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, RelationalQueries, TpchQueries, WindowQueries}
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.functions.Udx
+import graft.sources.TableSink
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,8 +16,9 @@ object SparkEntry {
 
   val all: Seq[Q] =
     TpchQueries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++
-      WindowQueries.defs ++ TextOps.defs ++ DedupOps.defs ++
-      SimilarityOps.defs ++ MultimodalOps.defs
+      WindowQueries.defs ++ NestedQueries.defs ++ PredicateQueries.defs ++
+      TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
+      MultimodalOps.defs ++ Udx.defs ++ TableSink.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -149,5 +149,8 @@ object ImpalaFunctions {
     }
     // regexp_match_count(s, pattern) -> Spark's regexp_count.
     temp("regexp_match_count") { case Seq(s0, p) => RegExpCount(s0, p) }
+    // ndv_hll: the Impala-formula HLL-1024 sketch itself (FNV value hash,
+    // harmonic estimator) as a TypedImperativeAggregate — see NdvHll.
+    temp("ndv_hll") { case Seq(e) => NdvHll(e).toAggregateExpression() }
   }
 }

@@ -1,0 +1,32 @@
+package graft
+
+import graft.streaming.EventStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming extension must agree with the equivalent batch query
+  * when the finite directory is fully consumed.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("windowed stream counts match the batch equivalent") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream.runToMemorySink(spark, TestSpark.sf, "ev_win_test")
+    try {
+      val streamed = spark.table("ev_win_test")
+        .select(col("w_start"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = Engine.table(spark, TestSpark.sf, "events")
+        .withColumn("event_time",
+          timestamp_micros((col("ts") / 1000).cast("long")))
+        .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
