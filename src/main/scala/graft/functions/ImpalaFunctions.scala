@@ -103,6 +103,31 @@ object ImpalaFunctions {
       DateFormatClass(CurrentTimestamp(), Literal("EEE MMM dd HH:mm:ss yyyy z"))
     }
 
+    // Interval arithmetic family (timestamp-functions.h:40: years_add ...
+    // milliseconds_sub). Impala's nanoseconds_add/_sub have no Spark unit;
+    // microsecond is the finest (documented gap).
+    val units = Seq(
+      "years" -> "YEAR", "months" -> "MONTH", "weeks" -> "WEEK",
+      "days" -> "DAY", "hours" -> "HOUR", "minutes" -> "MINUTE",
+      "seconds" -> "SECOND", "milliseconds" -> "MILLISECOND",
+      "microseconds" -> "MICROSECOND")
+    for ((name, unit) <- units) {
+      temp(s"${name}_add") { case Seq(ts, n) =>
+        TimestampAdd(unit, Cast(n, LongType), ts)
+      }
+      temp(s"${name}_sub") { case Seq(ts, n) =>
+        TimestampAdd(unit, UnaryMinus(Cast(n, LongType)), ts)
+      }
+    }
+    // date_add/date_sub with integer days exist in Spark with DATE
+    // semantics; Impala's operate on TIMESTAMP — provide adddate/subdate.
+    temp("adddate") { case Seq(ts, n) =>
+      TimestampAdd("DAY", Cast(n, LongType), ts)
+    }
+    temp("subdate") { case Seq(ts, n) =>
+      TimestampAdd("DAY", UnaryMinus(Cast(n, LongType)), ts)
+    }
+
     // ---- utility (utility-functions.h:29) -------------------------------
     temp("fnv_hash") { case Seq(e) =>
       e.dataType match {
