@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, RelationalQueries, Tpch2Queries, TpchQueries, WindowQueries}
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.functions.Udx
-import graft.sources.TableSink
+import graft.sources.{Formats, TableSink}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
     TpchQueries.defs ++ Tpch2Queries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++
       WindowQueries.defs ++ NestedQueries.defs ++ PredicateQueries.defs ++
       TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
-      MultimodalOps.defs ++ Udx.defs ++ TableSink.defs
+      MultimodalOps.defs ++ Udx.defs ++ TableSink.defs ++ Formats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

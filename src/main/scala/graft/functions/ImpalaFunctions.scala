@@ -177,5 +177,13 @@ object ImpalaFunctions {
     // ndv_hll: the Impala-formula HLL-1024 sketch itself (FNV value hash,
     // harmonic estimator) as a TypedImperativeAggregate — see NdvHll.
     temp("ndv_hll") { case Seq(e) => NdvHll(e).toAggregateExpression() }
+    // histogram / appx_median_rs: the reference's 20k-reservoir aggregates
+    // (aggregate-functions.h:126-167) — see ReservoirAgg.
+    temp("histogram") { case Seq(e) =>
+      HistogramAgg(Cast(e, DoubleType)).toAggregateExpression()
+    }
+    temp("appx_median_rs") { case Seq(e) =>
+      AppxMedianAgg(Cast(e, DoubleType)).toAggregateExpression()
+    }
   }
 }

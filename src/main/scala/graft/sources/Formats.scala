@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Scanner-format parity (SURVEY.md section 2.1 #1: the reference ships
+  * per-format scanners — text/CSV `hdfs-text-scanner.cc`, Parquet, Avro,
+  * JSON-ish via serdes). Spark's DataSource covers parquet/CSV/JSON
+  * natively; these round trips prove the text paths end-to-end: write the
+  * canonical table out in the format, read it back with an explicit
+  * schema, and aggregate — the oracle computes the same result from the
+  * parquet source, so any encode/decode loss fails the hash check.
+  */
+object Formats {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$name"
+
+  val csvRoundtrip: Q = Q("scan_csv",
+    (s, d) => {
+      Engine.configure(s)
+      val src = Engine.table(s, d, "customer")
+      val path = tmp("customer_csv")
+      src.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      s.read.schema(src.schema).option("header", "true").csv(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), graft.Det.dsum2(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+      |  ${graft.Det.oSum2("c_acctbal")} AS bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  val jsonRoundtrip: Q = Q("scan_json",
+    (s, d) => {
+      Engine.configure(s)
+      val src = Engine.table(s, d, "supplier")
+      val path = tmp("supplier_json")
+      src.write.mode(SaveMode.Overwrite).json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), max(col("s_acctbal")).as("max_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS n, MAX(s_acctbal) AS max_bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
+  val defs: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip)
+}
