@@ -108,5 +108,76 @@ object SimilarityOps {
     },
     None)
 
-  val defs: Seq[Q] = Seq(bruteForce, bucketed)
+  /** DataFrame-native k-means (Lloyd's): deterministic init (first k by
+    * vec_id), decimal-exact centroid means (so centroids — and therefore
+    * cell assignments — are run-stable), few iterations. At 100 TB the
+    * fit runs on a sample; assignment stays a full scan with a broadcast
+    * of k*dim doubles.
+    */
+  private def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    var cents: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = assignCell(emb, cents)
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy(col("cell"), col("idx"))
+        .agg((sum(col("v").cast(DecimalType(38, 10))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }.toArray
+    }
+    cents
+  }
+
+  /** Squared distance to each centroid, argmin -> cell id. */
+  private def assignCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val dists = array(cents.map { c =>
+      aggregate(
+        zip_with(col("embedding"), array(c.map(lit): _*),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, p) => acc + p)
+    }: _*)
+    df.withColumn("__d", dists)
+      .withColumn("cell",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .drop("__d")
+  }
+
+  /** IVF approximate top-k: coarse k-means quantizer, probe the nprobe
+    * nearest cells only. The scale path: with cell as a partition/cluster
+    * key, the candidate scan prunes to ~nprobe/k of the corpus.
+    */
+  val ivf: Q = Q("sim_ivf",
+    (s, d) => {
+      Engine.configure(s)
+      val emb = t(s, d, "embeddings")
+      val cents = kmeansCentroids(emb, k = 16, iters = 3)
+      val cells = assignCell(emb, cents)
+      val q = cells.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("cell").as("qcell"))
+      // probe the query's own cell (nprobe=1 core; near-misses at cell
+      // borders are the accepted recall loss of IVF)
+      val cand = cells.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          dotDouble(col("qe"), col("embedding")).as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("score"))
+        .orderBy(col("qid"), col("score").desc, col("vec_id"))
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(bruteForce, bucketed, ivf)
 }
