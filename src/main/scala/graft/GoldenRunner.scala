@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import scala.io.Source
+
+/** Runner for the reference's QueryTest golden-file format
+  * (testdata/workloads/functional-query/queries/QueryTest, SURVEY.md
+  * section 5): blocks separated by `====` with sections
+  * `---- QUERY`, `---- RESULTS`, optional `---- TYPES`, `---- OPTIONS`
+  * (order_sensitive) and `---- CATCH` (expected error substring).
+  * Strings are single-quoted, NULL is the null literal, timestamps print
+  * in Impala's text form (`uuuu-MM-dd HH:mm:ss[.fffffffff]`, unquoted),
+  * doubles use Scala toString formatting. A RESULTS line of the form
+  * `row_regex: <pattern>` matches any row whose rendering matches the
+  * regex (the reference uses this for nondeterministic values).
+  */
+object GoldenRunner {
+
+  final case class GoldenCase(
+      name: String,
+      query: String,
+      expected: Seq[String],
+      types: Option[Seq[String]],
+      orderSensitive: Boolean,
+      catchError: Option[String])
+
+  def parse(path: String): Seq[GoldenCase] = {
+    val src = Source.fromFile(path)
+    val text = try src.mkString finally src.close()
+    text.split("====").map(_.trim).filter(_.nonEmpty).zipWithIndex.map {
+      case (block, i) =>
+        val sections = block.split("---- ").map(_.trim).filter(_.nonEmpty)
+        var query = ""
+        var results = Seq.empty[String]
+        var types: Option[Seq[String]] = None
+        var ordered = false
+        var catchErr: Option[String] = None
+        sections.foreach { s =>
+          val lines = s.linesIterator.toSeq
+          lines.head.trim match {
+            case "QUERY" => query = lines.tail.mkString("\n").trim
+            case "RESULTS" => results = lines.tail.map(_.trim).filter(_.nonEmpty)
+            case "TYPES" =>
+              types = Some(lines.tail.mkString(",").split(",").map(_.trim)
+                .filter(_.nonEmpty).toSeq)
+            case "OPTIONS" => ordered = lines.tail.exists(_.contains("order_sensitive"))
+            case "CATCH" => catchErr = Some(lines.tail.mkString("\n").trim)
+            case _ => ()
+          }
+        }
+        GoldenCase(s"${new java.io.File(path).getName}#${i + 1}", query,
+          results, types, ordered, catchErr)
+    }.toSeq
+  }
+
+  /** Impala prints timestamps as date + time, with exactly 9 fractional
+    * digits when the fraction is nonzero (timestamp-value.h nanosecond
+    * time-of-day; Spark supplies micros, padded).
+    */
+  private def fmtTs(t: java.time.LocalDateTime): String = {
+    val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
+      f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    if (t.getNano == 0) base else base + f".${t.getNano}%09d"
+  }
+
+  /** Render a row the way the golden files encode it. */
+  def render(row: Row): String =
+    row.toSeq.map {
+      case null => "NULL"
+      case s: String => "'" + s + "'"
+      case t: java.time.LocalDateTime => fmtTs(t)
+      case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
+      case d: java.sql.Date => d.toString
+      case v => v.toString
+    }.mkString(",")
+
+  private def matches(got: String, want: String): Boolean =
+    if (want.startsWith("row_regex:")) {
+      got.matches(want.stripPrefix("row_regex:").trim)
+    } else got == want
+
+  def run(spark: SparkSession, sfDir: String, c: GoldenCase): Option[String] = {
+    c.catchError match {
+      case Some(fragment) =>
+        try {
+          val df = Engine.sql(spark, sfDir, c.query)
+          df.collect()
+          Some(s"expected error containing '$fragment' but query succeeded")
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse("") +
+              Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+            if (msg.contains(fragment)) None
+            else Some(s"error did not contain '$fragment': ${msg.take(200)}")
+        }
+      case None => runResults(spark, sfDir, c)
+    }
+  }
+
+  private def runResults(spark: SparkSession, sfDir: String,
+      c: GoldenCase): Option[String] = {
+    val df = Engine.sql(spark, sfDir, c.query)
+    c.types.foreach { want =>
+      val got = df.schema.fields.map(_.dataType.sql).toSeq
+      if (got.map(_.toUpperCase) != want.map(_.toUpperCase))
+        return Some(s"types: got=${got.mkString(",")} want=${want.mkString(",")}")
+    }
+    val got = df.collect().map(render).toSeq
+    if (got.size != c.expected.size)
+      return Some(s"rows: ${got.size} vs ${c.expected.size}; " +
+        s"first got=${got.headOption.getOrElse("<none>")} " +
+        s"want=${c.expected.headOption.getOrElse("<none>")}")
+    val (g, w) =
+      if (c.orderSensitive) (got, c.expected)
+      else (got.sorted, c.expected.sorted)
+    // order-insensitive regex expectations: greedy bipartite-ish match
+    // (sorted alignment first, regexes consume leftovers)
+    if (w.exists(_.startsWith("row_regex:")) && !c.orderSensitive) {
+      val (regexes, literals) = w.partition(_.startsWith("row_regex:"))
+      val remaining = scala.collection.mutable.ArrayBuffer(g: _*)
+      for (l <- literals) {
+        val i = remaining.indexOf(l)
+        if (i < 0) return Some(s"missing literal row: $l")
+        remaining.remove(i)
+      }
+      for (r <- regexes) {
+        val i = remaining.indexWhere(x => matches(x, r))
+        if (i < 0) return Some(s"no row matched $r")
+        remaining.remove(i)
+      }
+      return None
+    }
+    val bad = g.zip(w).filter { case (a, b) => !matches(a, b) }.take(3)
+    if (bad.nonEmpty)
+      Some(s"rows: ${bad.map { case (a, b) => s"got=$a want=$b" }.mkString("; ")}" +
+        s" (${g.size} vs ${w.size} rows)")
+    else None
+  }
+}

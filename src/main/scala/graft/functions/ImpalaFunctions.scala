@@ -128,11 +128,43 @@ object ImpalaFunctions {
       TimestampAdd("DAY", UnaryMinus(Cast(n, LongType)), ts)
     }
 
+    // trunc(ts, unit) with Impala's Oracle-style unit codes
+    // (be/src/exprs/udf-builtins.cc:104-145 StrToTruncUnit). Shadows
+    // Spark's trunc(date, fmt) for the session — Impala has no DATE type,
+    // so the dialect form (TIMESTAMP in, TIMESTAMP out) is the one users
+    // of the reference expect. Unit must be a literal (the reference's
+    // TruncPrepare also only resolves constant units up front).
+    temp("trunc") { case Seq(ts, lit) =>
+      ImpalaDateTime.truncExpr(ts, litString(lit, "trunc unit"))
+    }
+    // extract(ts, 'field') / extract(field FROM ts) / date_part('field', ts)
+    // — Impala returns INT for every field (udf-builtins.cc:336-424),
+    // including MILLISECOND (millis within the second) and EPOCH (seconds
+    // since 1970-01-01). Both argument orders are accepted: Impala's
+    // extract takes (ts, unit), while the SQL-standard EXTRACT(f FROM ts)
+    // and date_part take the field first.
+    def extractBuilder(args: Seq[Expression]): Expression = args match {
+      case Seq(a, b) if isStringLit(b) =>
+        ImpalaDateTime.extractExpr(a, litString(b, "extract field"))
+      case Seq(a, b) if isStringLit(a) =>
+        ImpalaDateTime.extractExpr(b, litString(a, "extract field"))
+    }
+    temp("extract")(extractBuilder)
+    temp("date_part")(extractBuilder)
+
     // ---- utility (utility-functions.h:29) -------------------------------
+    // fnv_hash hashes native fixed-width bytes for numeric/boolean input
+    // (matching the reference's raw-slot-byte hashing) and raw bytes for
+    // string/binary; remaining types (decimal/timestamp) fall back to a
+    // string render — a documented divergence (the reference hashes their
+    // 16-byte slots, which have no Spark-side equivalent layout).
     temp("fnv_hash") { case Seq(e) =>
-      e.dataType match {
-        case StringType | BinaryType => FnvHash64(e)
-        case _ => FnvHash64(Cast(e, StringType))
+      val dt = try Some(e.dataType) catch { case _: Throwable => None }
+      dt match {
+        case Some(StringType | BinaryType | BooleanType | ByteType |
+                  ShortType | IntegerType | LongType | FloatType |
+                  DoubleType) | None => FnvHash64(e)
+        case Some(_) => FnvHash64(Cast(e, StringType))
       }
     }
     // ---- engine extensions ----------------------------------------------
@@ -185,5 +217,84 @@ object ImpalaFunctions {
     temp("appx_median_rs") { case Seq(e) =>
       AppxMedianAgg(Cast(e, DoubleType)).toAggregateExpression()
     }
+    // sample: the reference's reservoir string aggregate
+    // (aggregate-functions.cc ReservoirSampleUpdate/Finalize) — comma-
+    // joined kept samples; nondeterministic output by design.
+    temp("sample") { case Seq(e) =>
+      SampleAgg(Cast(e, DoubleType)).toAggregateExpression()
+    }
+  }
+
+  private def isStringLit(e: Expression): Boolean = e match {
+    case Literal(_, StringType) => true
+    case _ => false
+  }
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+}
+
+/** Impala TRUNC/EXTRACT timestamp semantics as Catalyst expression trees
+  * (`be/src/exprs/udf-builtins.cc:104-424`).
+  */
+object ImpalaDateTime {
+
+  /** Oracle-style trunc unit codes -> timestamp truncation. Results are
+    * TIMESTAMP_NTZ: Impala's TIMESTAMP is timezone-less
+    * (`be/src/runtime/timestamp-value.h:40-64`), and NTZ is its exact
+    * Spark twin.
+    */
+  def truncExpr(ts: Expression, unit: String): Expression = {
+    def dt(fmt: String) =
+      Cast(TruncTimestamp(Literal(fmt), ts), TimestampNTZType)
+    // Same day of the week as the anchor (first day of year for WW, first
+    // day of month for W): go back (dow(ts) - dow(anchor)) mod 7 days
+    // (udf-builtins.cc GoBackToWeekday), time zeroed.
+    def backToWeekday(anchorFmt: String): Expression = {
+      val d = Cast(ts, DateType)
+      val anchor = Cast(TruncTimestamp(Literal(anchorFmt), ts), DateType)
+      val back = Pmod(Subtract(DayOfWeek(d), DayOfWeek(anchor)), Literal(7))
+      Cast(DateSub(d, back), TimestampNTZType)
+    }
+    unit.toLowerCase match {
+      case "syyyy" | "yyyy" | "year" | "syear" | "yyy" | "yy" | "y" => dt("year")
+      case "q" => dt("quarter")
+      case "month" | "mon" | "mm" | "rm" => dt("month")
+      case "ww" => backToWeekday("year")
+      case "w" => backToWeekday("month")
+      case "ddd" | "dd" | "j" => dt("day")
+      // Spark's week trunc = previous Monday = the reference's
+      // TruncDayOfWeek (GoBackToWeekday(date, 1))
+      case "day" | "dy" | "d" => dt("week")
+      case "hh" | "hh12" | "hh24" => dt("hour")
+      case "mi" => dt("minute")
+      case other =>
+        throw new IllegalArgumentException(s"Invalid Truncate Unit: $other")
+    }
+  }
+
+  /** Extract fields — all INT like the reference's IntVal returns. */
+  def extractExpr(ts: Expression, field: String): Expression = {
+    val e = field.toLowerCase match {
+      case "year" => Year(Cast(ts, DateType))
+      case "month" => Month(Cast(ts, DateType))
+      case "day" => DayOfMonth(Cast(ts, DateType))
+      case "hour" => Hour(ts)
+      case "minute" => Minute(ts)
+      case "second" => Second(ts)
+      // millis within the current second (total_milliseconds - seconds*1000)
+      case "millisecond" => DateFormatClass(ts, Literal("SSS"))
+      // whole seconds since the epoch (IntVal in the reference too);
+      // NTZ inputs route via TIMESTAMP (session tz is UTC) since
+      // NTZ->numeric casts are disallowed
+      case "epoch" => Cast(Cast(ts, TimestampType), LongType)
+      case other =>
+        throw new IllegalArgumentException(s"invalid extract field: $other")
+    }
+    Cast(e, IntegerType)
   }
 }

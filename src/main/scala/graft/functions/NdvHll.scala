@@ -38,28 +38,18 @@ case class NdvHll(
   private def hashValue(v: Any): Long = v match {
     case s: UTF8String => FnvHash64.hash64(s.getBytes)
     case b: Array[Byte] => FnvHash64.hash64(b)
-    case l: java.lang.Long => fnvFixed(l.longValue(), 8)
-    case i: java.lang.Integer => fnvFixed(i.longValue(), 4)
-    case s: java.lang.Short => fnvFixed(s.longValue(), 2)
-    case b: java.lang.Byte => fnvFixed(b.longValue(), 1)
+    case l: java.lang.Long => FnvHash64.hashFixed(l.longValue(), 8)
+    case i: java.lang.Integer => FnvHash64.hashFixed(i.longValue(), 4)
+    case s: java.lang.Short => FnvHash64.hashFixed(s.longValue(), 2)
+    case b: java.lang.Byte => FnvHash64.hashFixed(b.longValue(), 1)
     case d: java.lang.Double =>
-      fnvFixed(java.lang.Double.doubleToLongBits(d.doubleValue()), 8)
+      FnvHash64.hashFixed(java.lang.Double.doubleToLongBits(d.doubleValue()), 8)
     case f: java.lang.Float =>
-      fnvFixed(java.lang.Float.floatToIntBits(f.floatValue()).toLong, 4)
-    case b: java.lang.Boolean => fnvFixed(if (b.booleanValue()) 1L else 0L, 1)
+      FnvHash64.hashFixed(java.lang.Float.floatToIntBits(f.floatValue()).toLong, 4)
+    case b: java.lang.Boolean =>
+      FnvHash64.hashFixed(if (b.booleanValue()) 1L else 0L, 1)
     case other => FnvHash64.hash64(
       UTF8String.fromString(other.toString).getBytes)
-  }
-
-  /** FNV-1a over the low `width` little-endian bytes of v. */
-  private def fnvFixed(v: Long, width: Int): Long = {
-    var h = FnvHash64.Seed
-    var i = 0
-    while (i < width) {
-      h = (h ^ ((v >>> (8 * i)) & 0xffL)) * FnvHash64.Prime
-      i += 1
-    }
-    h
   }
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {

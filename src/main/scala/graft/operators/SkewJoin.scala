@@ -15,8 +15,20 @@ import org.apache.spark.sql.functions._
   * (smaller) rows are replicated once per salt value. The join key becomes
   * (key, salt), spreading each hot key over `salts` tasks. Row multiplicity
   * is unchanged, so any downstream aggregate is unaffected.
+  *
+  * Only left-preserving join types are allowed: the right side is
+  * replicated `salts` times, so any join that emits UNMATCHED right rows
+  * (right_outer, full_outer, right_semi/anti) would emit each of them once
+  * per salt. Matched rows are fine in every mode (each left row holds one
+  * salt, so each (left, right) pair joins exactly once).
   */
 object SkewJoin {
+
+  private val allowedJoinTypes = Set(
+    "inner", "cross",
+    "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti")
 
   def saltedEquiJoin(
       left: DataFrame,
@@ -26,6 +38,10 @@ object SkewJoin {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(allowedJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedEquiJoin supports only left-preserving join types " +
+        s"(got '$joinType'): the replicated right side would duplicate " +
+        s"unmatched right rows $salts times in right/full outer joins")
     val saltedLeft = left
       .withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
     val saltedRight = right

@@ -386,6 +386,81 @@ object RelationalQueries {
         |FROM (SELECT UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS token
         |      FROM documents) t
         |WHERE token <> ''
-        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    // ndv parity (aggregate-functions.h:170-184): DuckDB can't run the
+    // Impala HLL-1024 formula, so the oracle checks the exact distinct
+    // counts plus booleans asserting both estimators (the exact-formula
+    // ndv_hll and Spark's HLL++-backed ndv) land within the sketch's
+    // error envelope. Both sketches are deterministic functions of the
+    // value SET (bucket-wise max merges), so the booleans are hash-stable;
+    // a drifting estimate flips a boolean and fails the gate.
+    Q("agg_ndv",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def ok(est: org.apache.spark.sql.Column,
+            exact: org.apache.spark.sql.Column) =
+          abs(est.cast("double") / exact.cast("double") - 1.0) <= lit(0.15)
+        li.agg(
+            countDistinct(col("l_partkey")).as("exact_part"),
+            countDistinct(col("l_suppkey")).as("exact_supp"),
+            expr("ndv_hll(l_partkey)").as("hll_part"),
+            expr("ndv_hll(l_suppkey)").as("hll_supp"),
+            expr("ndv(l_partkey)").as("ndvpp_part"))
+          .select(
+            col("exact_part"), col("exact_supp"),
+            ok(col("hll_part"), col("exact_part")).as("hll_part_ok"),
+            ok(col("hll_supp"), col("exact_supp")).as("hll_supp_ok"),
+            ok(col("ndvpp_part"), col("exact_part")).as("ndvpp_part_ok"))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_part,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supp,
+        |  TRUE AS hll_part_ok, TRUE AS hll_supp_ok, TRUE AS ndvpp_part_ok
+        |FROM lineitem""".stripMargin)),
+
+    // Impala trunc()/extract() unit codes (udf-builtins.cc:104-145,
+    // 336-424): quarter, year-anchored and month-anchored weeks, day of
+    // week, hour, minute against DuckDB date arithmetic.
+    Q("date_trunc_units",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .selectExpr(
+          "o_orderkey",
+          "trunc(o_orderdate, 'Q') AS q_start",
+          "trunc(o_orderdate, 'YYYY') AS y_start",
+          "trunc(o_orderdate, 'MM') AS m_start",
+          "trunc(o_orderdate, 'WW') AS ww_start",
+          "trunc(o_orderdate, 'W') AS w_start",
+          "trunc(o_orderdate, 'DAY') AS wk_monday",
+          "trunc(o_orderdate, 'HH24') AS hr_start",
+          "trunc(o_orderdate, 'MI') AS mi_start",
+          "extract(o_orderdate, 'year') AS y",
+          "extract(o_orderdate, 'month') AS mth",
+          "extract(o_orderdate, 'day') AS dom",
+          "extract(o_orderdate, 'hour') AS hr",
+          "extract(o_orderdate, 'epoch') AS epoch_s")
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        |  DATE_TRUNC('quarter', o_orderdate) AS q_start,
+        |  DATE_TRUNC('year', o_orderdate) AS y_start,
+        |  DATE_TRUNC('month', o_orderdate) AS m_start,
+        |  DATE_TRUNC('day', o_orderdate)
+        |    - ((7 + DAYOFWEEK(o_orderdate)
+        |         - DAYOFWEEK(DATE_TRUNC('year', o_orderdate))) % 7)
+        |      * INTERVAL 1 DAY AS ww_start,
+        |  DATE_TRUNC('day', o_orderdate)
+        |    - ((7 + DAYOFWEEK(o_orderdate)
+        |         - DAYOFWEEK(DATE_TRUNC('month', o_orderdate))) % 7)
+        |      * INTERVAL 1 DAY AS w_start,
+        |  DATE_TRUNC('week', o_orderdate) AS wk_monday,
+        |  DATE_TRUNC('hour', o_orderdate) AS hr_start,
+        |  DATE_TRUNC('minute', o_orderdate) AS mi_start,
+        |  CAST(YEAR(o_orderdate) AS INT) AS y,
+        |  CAST(MONTH(o_orderdate) AS INT) AS mth,
+        |  CAST(DAY(o_orderdate) AS INT) AS dom,
+        |  CAST(HOUR(o_orderdate) AS INT) AS hr,
+        |  CAST(EPOCH(o_orderdate) AS INT) AS epoch_s
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -46,5 +46,33 @@ object Formats {
     Some("""SELECT s_nationkey, COUNT(*) AS n, MAX(s_acctbal) AS max_bal
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
-  val defs: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip)
+  /** Avro round trip — the reference's Avro scanner/writer
+    * (`be/src/exec/hdfs-avro-scanner.h`, `hdfs-avro-table-writer.cc`).
+    * Spark 4 bundles the Avro source inside spark-sql but does not
+    * service-register the "avro" shortname in this distribution, so the
+    * provider class is named explicitly. Timestamps go through Avro's
+    * timestamp-micros logical type, exactly the reference's microsecond
+    * write resolution, so the round trip is lossless for this schema.
+    */
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  val avroRoundtrip: Q = Q("scan_avro",
+    (s, d) => {
+      Engine.configure(s)
+      val src = Engine.table(s, d, "orders")
+      val path = tmp("orders_avro")
+      src.write.mode(SaveMode.Overwrite).format(AvroProvider).save(path)
+      s.read.format(AvroProvider).schema(src.schema).load(path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum2(col("o_totalprice")).as("total"),
+          max(col("o_orderdate")).as("max_date"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+      |  ${graft.Det.oSum2("o_totalprice")} AS total,
+      |  MAX(o_orderdate) AS max_date
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  val defs: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, avroRoundtrip)
 }

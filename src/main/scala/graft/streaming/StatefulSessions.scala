@@ -24,6 +24,16 @@ object StatefulSessions {
 
   val GapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
 
+  /** Memory design: a micro-batch group arrives in arbitrary ts order
+    * (Spark's UnsupportedOperationChecker forbids even sortWithinPartitions
+    * upstream of a stateful operator, so pre-sorted input is not
+    * expressible), and sessionization needs ts order — but it only needs
+    * the TIMESTAMPS. So the group is consumed into a primitive long array
+    * (8 B/event: a 100k-event skewed user costs ~800 KB, vs a boxed
+    * `toSeq` of case classes at ~50x that), sorted in place, and the
+    * session outputs are emitted lazily from it. State writes happen in a
+    * lazy tail so they run after the last event is consumed.
+    */
   def sessionize(user: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
@@ -32,39 +42,71 @@ object StatefulSessions {
       state.remove()
       return Iterator.single(SessionOut(user, s.start, s.last, s.n))
     }
+    val b = new scala.collection.mutable.ArrayBuilder.ofLong
+    events.foreach(e => b += e.ts_us)
+    val ts = b.result()
+    java.util.Arrays.sort(ts)
     var open = state.getOption
-    val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-    for (e <- events.toSeq.sortBy(_.ts_us)) {
+    val closed = ts.iterator.flatMap { t =>
       open match {
-        case Some(s) if e.ts_us - s.last > GapUs =>
-          out += SessionOut(user, s.start, s.last, s.n)
-          open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+        case Some(s) if t - s.last > GapUs =>
+          open = Some(OpenSession(t, t, 1))
+          Iterator.single(SessionOut(user, s.start, s.last, s.n))
         case Some(s) =>
-          open = Some(s.copy(last = math.max(s.last, e.ts_us), n = s.n + 1))
+          open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          Iterator.empty
         case None =>
-          open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+          open = Some(OpenSession(t, t, 1))
+          Iterator.empty
       }
     }
-    open.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.last / 1000 + GapUs / 1000)
+    // `++`'s by-name argument evaluates only after `closed` is exhausted:
+    // the state update sees the final open session.
+    closed ++ {
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last / 1000 + GapUs / 1000)
+      }
+      Iterator.empty
     }
-    out.iterator
   }
 
-  /** Streaming pipeline: events dir -> per-user sessions (append mode). */
+  /** Streaming pipeline: events dir -> per-user sessions (append mode).
+    *
+    * The repartition/sortWithinPartitions pair feeds each group its events
+    * in ts order without any per-group buffering: the shuffle is on
+    * user_id (matching FlatMapGroupsWithState's required distribution, so
+    * no second exchange), and the local sort's (user_id, ts_us) order
+    * satisfies the operator's key-ordering requirement, so Spark inserts
+    * no key-only re-sort that would scramble ts. `groupBy(col).as[K, V]`
+    * (not `groupByKey`) keeps the grouping key the real user_id column —
+    * a lambda key would be a fresh expression Spark couldn't match to the
+    * existing partitioning.
+    */
   def sessions(spark: SparkSession, dir: String): Dataset[SessionOut] = {
     Engine.configure(spark)
-    import spark.implicits._
     val schema = Engine.table(spark, dir, "events").schema
-    spark.readStream.schema(schema)
+    val evs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .selectExpr("user_id", "ts div 1000 AS ts_us", "value")
       .withColumn("event_time", timestamp_micros(col("ts_us")))
+    pipeline(evs)
+  }
+
+  /** The sessionization transform over any (user_id, ts_us, value,
+    * event_time) stream — shared by the parquet path and tests.
+    * `groupBy(col).as[K, V]` (not `groupByKey`) keeps the grouping key
+    * the real user_id column, so the stateful operator's shuffle is the
+    * only exchange in the plan.
+    */
+  def pipeline(evs: DataFrame): Dataset[SessionOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs
       .withWatermark("event_time", "1 hour")
       .select(col("user_id"), col("ts_us"), col("value"), col("event_time"))
       .as[Ev]
-      .groupByKey(_.user_id)
+      .groupBy(col("user_id")).as[Long, Ev]
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(sessionize)
   }

@@ -17,6 +17,60 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one("fnv_hash('hello')").getLong(0) === -6615550055289275125L)
   }
 
+  test("fnv_hash hashes native fixed-width bytes for numerics") {
+    // reference hashes raw slot bytes: fnv(int 1) != fnv('1')
+    val r = one("fnv_hash(CAST(1 AS INT)), fnv_hash('1'), " +
+      "fnv_hash(CAST(1 AS BIGINT)), fnv_hash(CAST(1.0 AS DOUBLE)), " +
+      "fnv_hash(true)")
+    assert(r.getLong(0) === graft.functions.FnvHash64.hashFixed(1L, 4))
+    assert(r.getLong(0) !== r.getLong(1))
+    assert(r.getLong(2) === graft.functions.FnvHash64.hashFixed(1L, 8))
+    assert(r.getLong(3) === graft.functions.FnvHash64.hashFixed(
+      java.lang.Double.doubleToLongBits(1.0), 8))
+    assert(r.getLong(4) === graft.functions.FnvHash64.hashFixed(1L, 1))
+  }
+
+  test("trunc: Impala unit-code grid (udf-builtins.cc:104-145)") {
+    // 2016-05-08 (a Sunday) 10:30:25; Jan 1 2016 = Friday, May 1 = Sunday
+    val ts = "TIMESTAMP_NTZ '2016-05-08 10:30:25'"
+    val grid = Seq(
+      "SYYYY" -> "2016-01-01 00:00:00", "YYYY" -> "2016-01-01 00:00:00",
+      "YEAR" -> "2016-01-01 00:00:00", "Y" -> "2016-01-01 00:00:00",
+      "Q" -> "2016-04-01 00:00:00",
+      "MONTH" -> "2016-05-01 00:00:00", "MM" -> "2016-05-01 00:00:00",
+      "RM" -> "2016-05-01 00:00:00",
+      "WW" -> "2016-05-06 00:00:00", // most recent Friday (Jan 1 anchor)
+      "W" -> "2016-05-08 00:00:00",  // most recent Sunday (May 1 anchor)
+      "DDD" -> "2016-05-08 00:00:00", "DD" -> "2016-05-08 00:00:00",
+      "J" -> "2016-05-08 00:00:00",
+      "DAY" -> "2016-05-02 00:00:00", // previous Monday
+      "DY" -> "2016-05-02 00:00:00", "D" -> "2016-05-02 00:00:00",
+      "HH" -> "2016-05-08 10:00:00", "HH12" -> "2016-05-08 10:00:00",
+      "HH24" -> "2016-05-08 10:00:00",
+      "MI" -> "2016-05-08 10:30:00")
+    for ((unit, want) <- grid) {
+      val got = one(s"CAST(trunc($ts, '$unit') AS STRING)").getString(0)
+      assert(got === want, s"unit $unit")
+    }
+  }
+
+  test("extract: Impala field grid incl. millisecond and epoch") {
+    val ts = "TIMESTAMP_NTZ '2016-05-08 10:30:25.123'"
+    val r = one(s"extract($ts, 'year'), extract($ts, 'month'), " +
+      s"extract($ts, 'day'), extract($ts, 'hour'), extract($ts, 'minute'), " +
+      s"extract($ts, 'second'), extract($ts, 'millisecond'), " +
+      s"extract($ts, 'epoch'), date_part('minute', $ts)")
+    assert(r.getInt(0) === 2016)
+    assert(r.getInt(1) === 5)
+    assert(r.getInt(2) === 8)
+    assert(r.getInt(3) === 10)
+    assert(r.getInt(4) === 30)
+    assert(r.getInt(5) === 25)
+    assert(r.getInt(6) === 123)
+    assert(r.getInt(7) === 1462703425)
+    assert(r.getInt(8) === 30) // date_part takes the field first
+  }
+
   test("fnv_hash null propagation") {
     assert(one("fnv_hash(CAST(NULL AS STRING))").isNullAt(0))
   }

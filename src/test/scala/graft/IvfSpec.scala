@@ -27,4 +27,18 @@ class IvfSpec extends AnyFunSuite {
       .collect()
     assert(joined.forall(_.getDouble(0) < 1e-9))
   }
+
+  test("ivf recall@3 vs the exact top-3 clears the nprobe=2 floor") {
+    val ivf = SparkEntry.queries("sim_ivf")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactTop3 = SparkEntry.queries("sim_topk_dot")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (-x._3, x._2)).take(3).map(_._2).toSet)
+      .toMap
+    val hits = ivf.count { case (q, v) => exactTop3(q).contains(v) }
+    val total = exactTop3.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    assert(recall >= 0.5, s"recall@3 was $recall")
+  }
 }

@@ -35,4 +35,34 @@ class ReservoirSpec extends AnyFunSuite {
       .head().getString(0)
     assert(h.split(", ").length === 34)
   }
+
+  test("sample() returns every value below capacity, a subset above") {
+    // below capacity: all values kept, reservoir order = input order
+    val small = Engine.sql(spark, TestSpark.sf,
+      "SELECT sample(n_nationkey) FROM nation").head().getString(0)
+    assert(small.split(", ").map(_.toInt).sorted.toSeq === (0 until 25))
+    // grouped: per-group samples stay within the group's value range
+    val rows = Engine.sql(spark, TestSpark.sf,
+      """SELECT l_linenumber, sample(l_quantity) s FROM lineitem
+        |GROUP BY l_linenumber""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val vals = r.getString(1).split(", ").map(_.toDouble)
+      assert(vals.forall(v => v >= 1 && v <= 50))
+    }
+  }
+
+  test("weighted reservoir merge keeps side proportions roughly fair") {
+    // one side saw 10x the rows; its share of the merged sample must
+    // dominate accordingly (exact proportion is random, bound loosely)
+    val a = new graft.functions.Reservoir(1000, seed = 1)
+    val b = new graft.functions.Reservoir(1000, seed = 2)
+    (1 to 100000).foreach(_ => a.add(1.0))
+    (1 to 10000).foreach(_ => b.add(2.0))
+    a.mergeFrom(b)
+    assert(a.seen === 110000L)
+    assert(a.n === 1000)
+    val fromA = a.values.take(a.n).count(_ == 1.0)
+    assert(fromA > 800 && fromA < 980, s"fromA=$fromA")
+  }
 }

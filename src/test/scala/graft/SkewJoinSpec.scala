@@ -23,4 +23,30 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted === plain)
     assert(plain.exists(_._3 == 9000L)) // the hot key really was hot
   }
+
+  test("salted left_outer preserves unmatched left rows exactly once") {
+    import spark.implicits._
+    val left = spark.range(100).select(
+      when(col("id") < 50, lit(7L)).otherwise(col("id") + 1000).as("k"),
+      col("id").as("v"))
+    val right = Seq((7L, "hot"), (1050L, "tail")).toDF("rk", "name")
+    val salted = SkewJoin.saltedEquiJoin(
+        left, right, col("k"), col("rk"), 8, "left_outer")
+      .select(col("k"), col("v"), col("name"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = left.join(right, col("k") === col("rk"), "left_outer")
+      .select(col("k"), col("v"), col("name"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted === plain)
+  }
+
+  test("right/full outer joins are rejected (replication would duplicate)") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    for (jt <- Seq("right_outer", "full_outer", "outer", "full")) {
+      intercept[IllegalArgumentException] {
+        SkewJoin.saltedEquiJoin(df, df, col("k"), col("k"), 4, jt)
+      }
+    }
+  }
 }
