@@ -38,7 +38,10 @@ object GoldenRunner {
         sections.foreach { s =>
           val lines = s.linesIterator.toSeq
           lines.head.trim match {
-            case "QUERY" => query = lines.tail.mkString("\n").trim
+            case "QUERY" =>
+              // '#' lines are comments in the QueryTest format
+              query = lines.tail.filterNot(_.trim.startsWith("#"))
+                .mkString("\n").trim
             case "RESULTS" => results = lines.tail.map(_.trim).filter(_.nonEmpty)
             case "TYPES" =>
               types = Some(lines.tail.mkString(",").split(",").map(_.trim)
@@ -88,10 +91,12 @@ object GoldenRunner {
           Some(s"expected error containing '$fragment' but query succeeded")
         } catch {
           case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse("") +
-              Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
-            if (msg.contains(fragment)) None
-            else Some(s"error did not contain '$fragment': ${msg.take(200)}")
+            val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(8)
+              .map(t => t.toString + Option(t.getMessage).getOrElse(""))
+              .mkString("\n")
+            if (msgs.contains(fragment)) None
+            else Some(s"error did not contain '$fragment': ${msgs.take(300)}")
         }
       case None => runResults(spark, sfDir, c)
     }

@@ -59,6 +59,20 @@ object ImpalaFunctions {
       EqualTo(Abs(d), Literal(Double.PositiveInfinity))
     }
     temp("is_nan") { case Seq(e) => IsNaN(Cast(e, DoubleType)) }
+    // round(double) returns BIGINT in the dialect (math-functions.h Round
+    // vs RoundUpTo); Spark's round keeps DOUBLE. Only resolvable
+    // double/float inputs take the dialect path — unresolved column args
+    // keep Spark semantics (documented partial divergence).
+    temp("round") {
+      case Seq(e) =>
+        val dt = try Some(e.dataType) catch { case _: Throwable => None }
+        dt match {
+          case Some(DoubleType | FloatType) =>
+            Cast(Round(e, Literal(0)), LongType)
+          case _ => Round(e, Literal(0))
+        }
+      case Seq(e, d) => Round(e, d)
+    }
 
     // ---- bit/byte (bit-byte-functions.h) --------------------------------
     // Rotations defined on BIGINT (64-bit) like the reference's widest form.
@@ -119,6 +133,12 @@ object ImpalaFunctions {
         TimestampAdd(unit, UnaryMinus(Cast(n, LongType)), ts)
       }
     }
+    // add_months: Impala's alias of months_add keeps the time-of-day
+    // (timestamp in, timestamp out) — Spark's builtin add_months returns
+    // DATE, so the dialect form shadows it for the session.
+    temp("add_months") { case Seq(ts, n) =>
+      TimestampAdd("MONTH", Cast(n, LongType), ts)
+    }
     // date_add/date_sub with integer days exist in Spark with DATE
     // semantics; Impala's operate on TIMESTAMP — provide adddate/subdate.
     temp("adddate") { case Seq(ts, n) =>
@@ -148,6 +168,10 @@ object ImpalaFunctions {
         ImpalaDateTime.extractExpr(a, litString(b, "extract field"))
       case Seq(a, b) if isStringLit(a) =>
         ImpalaDateTime.extractExpr(b, litString(a, "extract field"))
+      // non-constant field (the reference resolves it per row when
+      // ExtractPrepare can't bind a constant): runtime CASE dispatch,
+      // Impala argument order (ts, unit)
+      case Seq(ts, unit) => ImpalaDateTime.dynamicExtract(ts, unit)
     }
     temp("extract")(extractBuilder)
     temp("date_part")(extractBuilder)
@@ -297,4 +321,16 @@ object ImpalaDateTime {
     }
     Cast(e, IntegerType)
   }
+
+  val ExtractFields: Seq[String] = Seq("year", "month", "day", "hour",
+    "minute", "second", "millisecond", "epoch")
+
+  /** extract with a per-row field name: CASE over the 8 fields (invalid
+    * fields yield NULL rather than the reference's runtime error).
+    */
+  def dynamicExtract(ts: Expression, field: Expression): Expression =
+    CaseWhen(
+      ExtractFields.map(f =>
+        (EqualTo(Lower(field), Literal(f)), extractExpr(ts, f))),
+      None)
 }
