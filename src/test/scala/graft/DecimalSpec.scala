@@ -50,6 +50,48 @@ class DecimalSpec extends AnyFunSuite {
     assert(t.scale < 20) // exact v1 would demand scale 20 and overflow
   }
 
+  /** Pinned divergence table vs TypesUtil.java getDecimalArithmeticResultType
+    * (`fe/.../analysis/TypesUtil.java:155-194`):
+    *
+    * | op  | v1 rule                                   | Spark rule                | diverges |
+    * |-----|-------------------------------------------|---------------------------|----------|
+    * | +/- | (sMax+max(p1-s1,p2-s2)+1, sMax)           | identical (pre-cap)       | only at 38-cap |
+    * | *   | (p1+p2, s1+s2)                            | (p1+p2+1, s1+s2)          | +1 precision, same values |
+    * | /   | scale=max(4, s1+p2+1), prec=p1-s1+s2+scale| scale=max(6, s1+p2+1)     | min-scale 4 vs 6 |
+    * | %   | (min(p1-s1,p2-s2)+sMax, sMax)             | identical                 | no |
+    *
+    * Value-level: the only *value* differences occur where the extra
+    * digits exist only on one side — division when s1+p2+1 < 6 (Spark
+    * keeps 6 fractional digits, v1 keeps 4; the shared 4 digits agree) and
+    * at the 38-digit cap (Spark drops scale, v1 drops precision headroom).
+    * Per SURVEY 7.3 these are accepted divergences; no shim is installed
+    * because no case produces *different digits at a shared scale*.
+    */
+  test("typing grid: each op's result type is pinned vs the v1 rule") {
+    def t(expr: String): DecimalType =
+      Engine.sql(spark, TestSpark.sf,
+        "SELECT CAST(1 AS DECIMAL(5,2)) x, CAST(1 AS DECIMAL(7,3)) y")
+        .selectExpr(expr).schema.fields.head.dataType.asInstanceOf[DecimalType]
+    // add: sMax + max(p1-s1, p2-s2) + 1 = 3+4+1 -> v1 (8,3) == Spark (8,3)
+    assert(t("x + y") === DecimalType(8, 3))
+    // mul: v1 (12,5), Spark adds one precision digit -> (13,5)
+    assert(t("x * y") === DecimalType(13, 5))
+    // div: s1+p2+1 = 2+7+1 = 10 >= 6 -> both engines (5-2+3+10, 10) = (16,10)
+    assert(t("x / y") === DecimalType(16, 10))
+    // mod: v1 (min(3,4)+3, 3) = (6,3) == Spark
+    assert(t("x % y") === DecimalType(6, 3))
+  }
+
+  test("small-scale division: Spark min-scale 6 vs v1 min-scale 4, shared digits agree") {
+    // DECIMAL(2,1)/DECIMAL(2,1): s1+p2+1 = 4 -> v1 scale 4, Spark scale 6
+    val df = Engine.sql(spark, TestSpark.sf,
+      "SELECT CAST(1.0 AS DECIMAL(2,1)) / CAST(3.0 AS DECIMAL(2,1)) q")
+    val ty = df.schema.fields.head.dataType.asInstanceOf[DecimalType]
+    assert(ty.scale === 6)
+    // Spark's 6-digit value rounds to the v1 4-digit value: 0.333333 -> 0.3333
+    assert(df.head().getDecimal(0).toPlainString === "0.333333")
+  }
+
   test("decimal sums are exact and associative (the Det contract)") {
     val r = Engine.sql(spark, TestSpark.sf,
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) s
