@@ -4,7 +4,6 @@ import graft.{Engine, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
@@ -108,44 +107,56 @@ object SimilarityOps {
     },
     None)
 
-  /** DataFrame-native k-means (Lloyd's): deterministic init (first k by
-    * vec_id), decimal-exact centroid means (so centroids — and therefore
-    * cell assignments — are run-stable), few iterations.
+  /** Coarse-quantizer k-means fit (Lloyd's) on a bounded sample.
     *
-    * Scale design: the fit runs on a deterministic hash-bucketed SAMPLE of
-    * the corpus, cached once — Lloyd's iterations never re-scan the full
-    * input (at 100 TB re-scanning per iteration is the whole cost). The
-    * full-corpus scan happens exactly once, in the final cell assignment,
-    * with a broadcast of k*dim doubles. Cells that end an iteration empty
-    * keep their previous centroid so k never silently degrades.
+    * Scale design: the quantizer trains on a deterministic hash-bucketed
+    * sample capped at `FitCap` vectors, collected ONCE and iterated on
+    * the driver — the standard IVF training recipe (a coarse quantizer
+    * needs ~100-1000 samples per cell, not the corpus; at 100 TB the
+    * sample is the same bounded size). This removes every per-iteration
+    * distributed job AND the per-iteration whole-stage-codegen compile of
+    * the k*dim-literal distance expression — the full corpus is scanned
+    * exactly once, in the final cell assignment, against a broadcast of
+    * k*dim doubles. Deterministic: hash-sliced sample, vec_id-ordered
+    * cap, first-k init, no RNG; empty cells keep their previous centroid
+    * so k never silently degrades.
     */
+  private val FitCap = 4096
+
   private def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
       : Array[Array[Double]] = {
-    // ~1/4 hash slice: deterministic (no RNG, no partitioning sensitivity),
-    // prunable to a bucket key at scale. Plenty for a k=16 coarse quantizer.
-    val fit = emb
+    val sample: Array[Array[Double]] = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-      .select(col("vec_id"), col("embedding"))
-      .cache()
-    try {
-      var cents: Array[Array[Double]] = fit.orderBy(col("vec_id")).limit(k)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      for (_ <- 0 until iters) {
-        val means = assignCell(fit, cents)
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("idx", "v")))
-          .groupBy(col("cell"), col("idx"))
-          .agg((sum(col("v").cast(DecimalType(38, 10))).cast("double") /
-            count(lit(1))).as("m"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (cell, rows) =>
-            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-          }
-        cents = Array.tabulate(k)(i => means.getOrElse(i, cents(i)))
+      .orderBy(col("vec_id"))
+      .limit(FitCap)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty embeddings input")
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      for (v <- sample) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          val ct = cents(c)
+          while (i < dim) { val x = v(i) - ct(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
       }
-      cents
-    } finally fit.unpersist()
+      cents = Array.tabulate(math.min(k, cents.length)) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val s = sums(c); Array.tabulate(dim)(i => s(i) / counts(c)) }
+      }
+    }
+    cents
   }
 
   /** Array of squared distances to each centroid. */
