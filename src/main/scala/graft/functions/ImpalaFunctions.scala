@@ -139,6 +139,21 @@ object ImpalaFunctions {
     temp("add_months") { case Seq(ts, n) =>
       TimestampAdd("MONTH", Cast(n, LongType), ts)
     }
+    // nanoseconds_add/_sub (timestamp-functions.h:40): the reference's
+    // TimestampValue has nanosecond resolution; Spark's finest unit is
+    // the microsecond. Rounding rule: the nanosecond delta is TRUNCATED
+    // TOWARD ZERO to whole microseconds (999 ns adds nothing, 1500 ns
+    // adds 1 us) — sub-microsecond residue is unrepresentable.
+    temp("nanoseconds_add") { case Seq(ts, n) =>
+      TimestampAdd("MICROSECOND",
+        IntegralDivide(Cast(n, LongType), Literal(1000L),
+          evalMode = EvalMode.LEGACY), ts)
+    }
+    temp("nanoseconds_sub") { case Seq(ts, n) =>
+      TimestampAdd("MICROSECOND",
+        UnaryMinus(IntegralDivide(Cast(n, LongType), Literal(1000L),
+          evalMode = EvalMode.LEGACY)), ts)
+    }
     // date_add/date_sub with integer days exist in Spark with DATE
     // semantics; Impala's operate on TIMESTAMP — provide adddate/subdate.
     temp("adddate") { case Seq(ts, n) =>
@@ -220,14 +235,11 @@ object ImpalaFunctions {
     temp("appx_median") { case Seq(e) =>
       new ApproximatePercentile(e, Literal(0.5)).toAggregateExpression()
     }
-    // distinctpc / distinctpcsa: legacy Flajolet-Martin PC estimators
-    // (BuiltinsDb.java:625-645); mapped to the HLL++ sketch like ndv.
-    temp("distinctpc") { case Seq(e) =>
-      HyperLogLogPlusPlus(e, relativeSD = 0.0325).toAggregateExpression()
-    }
-    temp("distinctpcsa") { case Seq(e) =>
-      HyperLogLogPlusPlus(e, relativeSD = 0.0325).toAggregateExpression()
-    }
+    // distinctpc / distinctpcsa: the reference's Flajolet-Martin PC
+    // estimators (BuiltinsDb.java:625-645, aggregate-functions.cc:695-884)
+    // as faithful 64x32 bitmap sketches — see PcSketch.
+    temp("distinctpc") { case Seq(e) => PcAgg(e).toAggregateExpression() }
+    temp("distinctpcsa") { case Seq(e) => PcsaAgg(e).toAggregateExpression() }
     // regexp_match_count(s, pattern) -> Spark's regexp_count.
     temp("regexp_match_count") { case Seq(s0, p) => RegExpCount(s0, p) }
     // ndv_hll: the Impala-formula HLL-1024 sketch itself (FNV value hash,

@@ -142,5 +142,57 @@ object DedupOps {
     },
     None)
 
-  val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard)
+  /** Embedding-cosine near-dup: sign-LSH banding over random hyperplanes,
+    * candidate pairs share any band bucket, exact cosine verify.
+    *
+    * Parameter law (sign-LSH agree prob = 1 - theta/pi):
+    *  - production near-dup tau >= 0.9 -> 8-16 bit bands: recall ~99.6%
+    *    at 16x8, bucket fan-out 2^8..2^16 per band actually prunes.
+    *  - the registered query uses tau=0.45 with 4-bit bands so it is
+    *    exercised on the driver testdata (random vectors, max pair cosine
+    *    ~0.51 — no true near-dups exist at 0.9). At this loose tau LSH
+    *    prunes little; it exists to pin the operator end to end, and
+    *    DedupEmbeddingSpec asserts recall 1.0 against brute force.
+    */
+  def embeddingNearDup(emb: DataFrame, tau: Double, bandBits: Int,
+      bands: Int): DataFrame = {
+    val dim = 64
+    val rnd = new java.util.Random(11)
+    val planes = Seq.fill(bands * bandBits)(
+      Seq.fill(dim)(rnd.nextGaussian()))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, p) => acc + p)
+    def sign(p: Seq[Double]): Column =
+      when(dot(col("embedding"), array(p.map(lit): _*)) >= 0, 1).otherwise(0)
+    // band value = packed sign bits of that band's hyperplanes
+    val bandCols = (0 until bands).map { b =>
+      (0 until bandBits).map { i =>
+        sign(planes(b * bandBits + i)) * lit(1 << i)
+      }.reduce(_ + _)
+    }
+    val norm = sqrt(dot(col("embedding"), col("embedding")))
+    val sig = emb.select(col("vec_id"), col("embedding"),
+        norm.as("nrm"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val a = sig.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("id_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = sig.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("id_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val embeddingCosine: Q = Q("dedup_embedding",
+    (s, d) => embeddingNearDup(t(s, d, "embeddings"), tau = 0.45,
+      bandBits = 4, bands = 16),
+    None)
+
+  val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
+    embeddingCosine)
 }

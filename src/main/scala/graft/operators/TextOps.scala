@@ -87,5 +87,30 @@ object TextOps {
     },
     None)
 
-  val defs: Seq[Q] = Seq(textQuality, fingerprint, langId)
+  /** Token counting for training-data budgeting: whitespace tokens plus a
+    * BPE-ish regex segmentation (letter runs / digit runs / single
+    * non-alphanumeric symbols — the shape of GPT-style pre-tokenizers,
+    * deterministic and engine-portable). Chars-per-token is the usual
+    * sanity metric against a real tokenizer.
+    */
+  val tokenCount: Q = Q("text_tokens",
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+      (length(col("text")).cast("double") /
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))).as("chars_per_token")),
+    Some("""SELECT doc_id,
+      |  CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |       t -> t <> '')) AS INT) AS ws_tokens,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+      |       '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_ish_tokens,
+      |  CAST(LENGTH(text) AS DOUBLE) /
+      |    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |    AS chars_per_token
+      |FROM documents""".stripMargin))
+
+  val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount)
 }

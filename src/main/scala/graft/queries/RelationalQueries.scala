@@ -406,16 +406,26 @@ object RelationalQueries {
             countDistinct(col("l_suppkey")).as("exact_supp"),
             expr("ndv_hll(l_partkey)").as("hll_part"),
             expr("ndv_hll(l_suppkey)").as("hll_supp"),
-            expr("ndv(l_partkey)").as("ndvpp_part"))
+            expr("ndv(l_partkey)").as("ndvpp_part"),
+            expr("distinctpc(l_partkey)").as("pc_part"),
+            expr("distinctpcsa(l_partkey)").as("pcsa_part"))
           .select(
             col("exact_part"), col("exact_supp"),
             ok(col("hll_part"), col("exact_part")).as("hll_part_ok"),
             ok(col("hll_supp"), col("exact_supp")).as("hll_supp_ok"),
-            ok(col("ndvpp_part"), col("exact_part")).as("ndvpp_part_ok"))
+            ok(col("ndvpp_part"), col("exact_part")).as("ndvpp_part_ok"),
+            // FM sketches are coarser than HLL: 64 bitmaps ~ 10-40%
+            (abs(col("pc_part").cast("double") /
+              col("exact_part").cast("double") - 1.0) <= lit(0.4))
+              .as("pc_part_ok"),
+            (abs(col("pcsa_part").cast("double") /
+              col("exact_part").cast("double") - 1.0) <= lit(0.75))
+              .as("pcsa_part_ok"))
       },
       Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_part,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supp,
-        |  TRUE AS hll_part_ok, TRUE AS hll_supp_ok, TRUE AS ndvpp_part_ok
+        |  TRUE AS hll_part_ok, TRUE AS hll_supp_ok, TRUE AS ndvpp_part_ok,
+        |  TRUE AS pc_part_ok, TRUE AS pcsa_part_ok
         |FROM lineitem""".stripMargin)),
 
     // Impala trunc()/extract() unit codes (udf-builtins.cc:104-145,

@@ -192,9 +192,9 @@ object Tpch2Queries {
           .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
             col("o_orderdate").as("odate"))
         val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-        val othersLate = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        // reuse l1's subtree (identical scan+join): Spark's ReuseExchange
+        // dedupes the physical work instead of computing late-lines twice
+        val othersLate = l1.select(col("okey").as("o3"), col("skey").as("s3"))
         val withOther = l1.join(others,
           col("okey") === col("o2") && col("skey") =!= col("s2"), "left_semi")
         val lonelyLate = withOther.join(othersLate,

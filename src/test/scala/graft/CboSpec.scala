@@ -19,6 +19,20 @@ class CboSpec extends AnyFunSuite {
 
   private def setup(): Unit = {
     if (!spark.catalog.tableExists("cbo_lineitem")) {
+      for (t <- Seq("cbo_lineitem", "cbo_orders", "cbo_customer")) {
+        // the in-memory catalog forgets tables across JVMs but their
+        // warehouse directories survive — clear stale locations
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
       Engine.table(spark, TestSpark.sf, "lineitem")
         .write.mode(SaveMode.Overwrite).saveAsTable("cbo_lineitem")
       Engine.table(spark, TestSpark.sf, "orders")

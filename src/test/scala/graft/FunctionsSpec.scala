@@ -54,6 +54,16 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("nanoseconds_add/_sub truncate the delta toward zero to micros") {
+    val ts = "TIMESTAMP '2016-05-08 10:30:25'"
+    val r = one(s"CAST(nanoseconds_add($ts, 1500) AS STRING), " +
+      s"CAST(nanoseconds_add($ts, 999) AS STRING), " +
+      s"CAST(nanoseconds_sub($ts, 2000000000) AS STRING)")
+    assert(r.getString(0) === "2016-05-08 10:30:25.000001")
+    assert(r.getString(1) === "2016-05-08 10:30:25")
+    assert(r.getString(2) === "2016-05-08 10:30:23")
+  }
+
   test("extract: Impala field grid incl. millisecond and epoch") {
     val ts = "TIMESTAMP_NTZ '2016-05-08 10:30:25.123'"
     val r = one(s"extract($ts, 'year'), extract($ts, 'month'), " +
