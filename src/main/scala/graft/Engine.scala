@@ -65,7 +65,7 @@ object Engine {
     c.set("spark.sql.ansi.enabled", "false")
     // Impala generates runtime bloom filters from join builds
     // (RuntimeFilterGenerator.java:56-80); Spark's equivalent:
-    c.set("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // Predicate propagation via equivalence classes (Analyzer.java:1527+):
     c.set("spark.sql.constraintPropagation.enabled", "true")
     // NOT IN -> null-aware anti join as a single pass (StmtRewriter.java:524):

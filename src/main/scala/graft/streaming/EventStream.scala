@@ -49,4 +49,38 @@ object EventStream {
     q.processAllAvailable()
     q
   }
+
+  private def eventSide(spark: SparkSession, dir: String, tpe: String,
+      alias: String, streaming: Boolean): DataFrame = {
+    val schema = Engine.table(spark, dir, "events").schema
+    val src =
+      if (streaming)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      else Engine.table(spark, dir, "events")
+    src.filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${alias}_user"),
+        col("event_id").as(s"${alias}_id"),
+        timestamp_micros((col("ts") / 1000).cast("long")).as(s"${alias}_time"))
+      .withWatermark(s"${alias}_time", "1 hour")
+  }
+
+  /** Stream-stream interval join: purchases attributed to the user's
+    * clicks in the preceding 30 minutes. Both sides watermarked so the
+    * join state is bounded — Spark drops click state once the purchase
+    * watermark passes click_time + 30 min (at 100 TB/day the state store
+    * holds only the active interval, partitioned by user).
+    */
+  def attributionJoin(spark: SparkSession, dir: String,
+      streaming: Boolean = true): DataFrame = {
+    Engine.configure(spark)
+    val clicks = eventSide(spark, dir, "click", "click", streaming)
+    val buys = eventSide(spark, dir, "purchase", "buy", streaming)
+    clicks.join(buys,
+      col("click_user") === col("buy_user") &&
+        col("buy_time") >= col("click_time") &&
+        col("buy_time") <= col("click_time") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("buy_id"), col("click_time"), col("buy_time"))
+  }
 }

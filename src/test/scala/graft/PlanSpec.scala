@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the analog of the reference's PlannerTest
+  * corpus (`testdata/workloads/functional-planner/queries/PlannerTest/`):
+  * instead of pinning full plan text, each test asserts the load-bearing
+  * physical property that makes the query scale — pushdown reaching the
+  * scan, dims broadcasting, aggregation going partial-then-final,
+  * null-aware anti joins, Top-N, codegen coverage, partition pruning and
+  * dynamic partition pruning.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+
+  test("filters and column pruning reach the parquet scan (HdfsScanNode conjuncts)") {
+    val df = run("scan_filter")
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(l_quantity,45.0)"), pushed)
+    assert(pushed.contains("EqualTo(l_returnflag,A)"), pushed)
+    // projection pruned to the selected + filtered columns only
+    val read = scan.metadata("ReadSchema")
+    assert(!read.contains("l_extendedprice"), read)
+    assert(read.contains("l_quantity"), read)
+  }
+
+  test("small dimensions broadcast instead of shuffling (DistributedPlanner parity)") {
+    val p = physical(run("q3_shipping"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("aggregation runs partial then final (streaming pre-agg parity)") {
+    val p = physical(run("q1_pricing"))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("NOT IN plans as a single null-aware anti join (NAAJ parity)") {
+    val p = physical(run("join_notin"))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ORDER BY + LIMIT plans as Top-N, not a global sort (TopNNode parity)") {
+    val p = physical(run("topn_orders"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")), p)
+  }
+
+  test("the flagship aggregation stays inside whole-stage codegen") {
+    // '*(n)' marks operators fused into a whole-stage-codegen stage; with
+    // AQE the final plan only exists after execution
+    val df = run("q1_pricing")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+    val fused = p.linesIterator.count(_.trim.stripPrefix("+- ").startsWith("*("))
+    assert(fused >= 2, s"expected scan/filter/agg fused:\n$p")
+  }
+
+  test("explode plans as Generate (UnnestNode parity), no join blowup") {
+    val p = physical(run("explode_norms"))
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("static partition pruning: partition filters never touch data files") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_part"
+    Engine.table(spark, TestSpark.sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val p = physical(pruned)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_year"), p)
+    // count files actually read: must be fewer than the full table's
+    val all = spark.read.parquet(dir)
+    val prunedFiles = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    pruned.count(); all.count()
+    val yearCount = all.select(countDistinct(col("o_year"))).head().getLong(0)
+    assert(yearCount > 1) // pruning is meaningful
+  }
+
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_dpp"
+    Engine.table(spark, TestSpark.sf, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Engine.table(spark, TestSpark.sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_year")).distinct()
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val joined = fact.join(dim, fact("ship_year") === dim("o_year"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning") ||
+      p.contains("dynamicpruningexpression"), p)
+  }
+
+  test("runtime bloom filter is injected on the selective join (RuntimeFilterGenerator parity)") {
+    // Engine.configure enables the optimizer rule; the size thresholds
+    // are meant for TB-scale scans, so drop them to exercise the rule on
+    // test data
+    Engine.configure(spark)
+    // applicationSideScanSizeThreshold is a MIN probe-side size (10GB
+    // default, meant for TB scans) — drop it for test data. The creation-
+    // side threshold is a MAX and the filtered orders side is well under
+    // the 10MB default, so it stays.
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // a broadcast join needs no bloom filter; force the shuffle-join path
+    // the rule exists to protect (at 100 TB both sides shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Engine.table(spark, TestSpark.sf, "lineitem")
+      val sel = Engine.table(spark, TestSpark.sf, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val q = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"no bloom filter injected:\n$opt")
+    } finally {
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

@@ -29,4 +29,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join") {
+    val q = EventStream.attributionJoin(spark, TestSpark.sf).writeStream
+      .outputMode("append").format("memory").queryName("attr_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventStream
+        .attributionJoin(spark, TestSpark.sf, streaming = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
