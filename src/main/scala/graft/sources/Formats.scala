@@ -74,5 +74,26 @@ object Formats {
       |  MAX(o_orderdate) AS max_date
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  val defs: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, avroRoundtrip)
+  /** External data-source scan through the DSv2 connector (SURVEY 2.1
+    * #3, `KvRangeSource`): the id-range conjuncts are ACCEPTED by the
+    * source (narrow generation), the tag conjunct stays residual. The
+    * oracle recomputes the same deterministic rows from DuckDB's range().
+    */
+  val dsv2Scan: Q = Q("scan_datasource",
+    (s, d) => {
+      Engine.configure(s)
+      s.read.format("graft.sources.KvRangeSource").option("rows", "100000")
+        .load()
+        .filter(col("id") >= 1000 && col("id") < 2000)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), graft.Det.dsum2(col("val")).as("total"))
+        .orderBy(col("tag"))
+    },
+    Some(s"""SELECT 't' || (id % 7) AS tag, COUNT(*) AS n,
+      |  ${graft.Det.oSum2("(id % 97) * 0.5")} AS total
+      |FROM (SELECT range AS id FROM range(0, 100000))
+      |WHERE id >= 1000 AND id < 2000
+      |GROUP BY 1 ORDER BY tag""".stripMargin))
+
+  val defs: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, avroRoundtrip, dsv2Scan)
 }
