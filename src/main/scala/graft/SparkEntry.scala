@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, RelationalQueries, Tpch2Queries, TpchQueries, WindowQueries}
+import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, WindowQueries}
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.functions.Udx
 import graft.sources.{Formats, TableSink}
@@ -15,7 +15,8 @@ import graft.sources.{Formats, TableSink}
 object SparkEntry {
 
   val all: Seq[Q] =
-    TpchQueries.defs ++ Tpch2Queries.defs ++ RelationalQueries.defs ++ JoinQueries.defs ++
+    TpchQueries.defs ++ Tpch2Queries.defs ++ Tpch3Queries.defs ++
+      RelationalQueries.defs ++ JoinQueries.defs ++
       WindowQueries.defs ++ NestedQueries.defs ++ PredicateQueries.defs ++
       TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
       MultimodalOps.defs ++ Udx.defs ++ TableSink.defs ++ Formats.defs
