@@ -216,6 +216,8 @@ object ImpalaFunctions {
       case Seq(e, Literal(n: Int, IntegerType)) => ShingleHashes(e, n)
     }
     temp("minhash64") { case Seq(e) => MinHash64(e) }
+    // native sequential-fold dot product (see DotVec) — embedding kernel
+    temp("dot_vec") { case Seq(a, b) => DotVec(a, b) }
 
     // ---- aggregates (aggregate-functions.h) -----------------------------
     // ndv: Impala's HyperLogLog with 1024 buckets (aggregate-functions.h:170-184)

@@ -160,9 +160,8 @@ object DedupOps {
     val rnd = new java.util.Random(11)
     val planes = Seq.fill(bands * bandBits)(
       Seq.fill(dim)(rnd.nextGaussian()))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, p) => acc + p)
+    // native codegen'd sequential-fold dot product (DotVec)
+    def dot(a: Column, b: Column): Column = call_function("dot_vec", a, b)
     def sign(p: Seq[Double]): Column =
       when(dot(col("embedding"), array(p.map(lit): _*)) >= 0, 1).otherwise(0)
     // band value = packed sign bits of that band's hyperplanes

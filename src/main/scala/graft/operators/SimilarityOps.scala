@@ -27,12 +27,12 @@ object SimilarityOps {
     * float->double widening is exact, per-element double products are
     * IEEE-identical, and the sequential fold fixes the association order —
     * DuckDB's list_reduce folds in the same order, so the oracle matches
-    * bit-for-bit (no decimal casts needed in the hot loop).
+    * bit-for-bit. Runs as the native codegen'd DotVec kernel: the
+    * interpreted aggregate/zip_with pipeline costs ~10x on pair-scoring
+    * hot paths (same trap as the text signatures, NOTES.md).
     */
   private def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, p) => acc + p)
+    call_function("dot_vec", a, b)
 
   /** Fixed random hyperplanes (seeded) for sign-LSH bucketing. */
   private def hyperplanes(bits: Int, dim: Int): Seq[Seq[Double]] = {

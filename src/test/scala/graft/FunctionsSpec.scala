@@ -54,6 +54,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_vec is bit-identical to the sequential HOF fold") {
+    val r = Engine.sql(spark, TestSpark.sf,
+      """SELECT dot_vec(embedding, embedding) AS native,
+        |  aggregate(zip_with(embedding, embedding,
+        |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |    CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) AS folded
+        |FROM embeddings""".stripMargin).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getDouble(0) == row.getDouble(1)))
+    // mixed float/double element types and null propagation
+    val m = one("dot_vec(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+      "array(CAST(2.0 AS DOUBLE), CAST(0.5 AS DOUBLE))), " +
+      "dot_vec(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1 AS FLOAT)))")
+    assert(m.getDouble(0) === 4.0)
+    assert(m.isNullAt(1))
+  }
+
   test("nanoseconds_add/_sub truncate the delta toward zero to micros") {
     val ts = "TIMESTAMP '2016-05-08 10:30:25'"
     val r = one(s"CAST(nanoseconds_add($ts, 1500) AS STRING), " +
