@@ -25,7 +25,8 @@ object GoldenRunner {
       catchError: Option[String])
 
   def parse(path: String): Seq[GoldenCase] = {
-    val src = Source.fromFile(path)
+    // explicit UTF-8: the forked test JVM may default to ASCII
+    val src = Source.fromFile(path, "UTF-8")
     val text = try src.mkString finally src.close()
     text.split("====").map(_.trim).filter(_.nonEmpty).zipWithIndex.map {
       case (block, i) =>

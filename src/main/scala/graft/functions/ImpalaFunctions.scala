@@ -23,11 +23,28 @@ object ImpalaFunctions {
   /** Column-API front door for a registered dialect function. */
   def fn(name: String, cols: Column*): Column = call_function(name, cols: _*)
 
+  /** All dialect (name -> expression builder) pairs — consumed by
+    * `register` (temp functions on an existing session) and by
+    * `graft.GraftExtensions` (SparkSessionExtensions injection via
+    * `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
+    def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
+      out += (name -> builder)
+    collect(temp)
+    out.result()
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-
-    def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  private def collect(
+      temp: String => (Seq[Expression] => Expression) => Unit): Unit = {
 
     // ---- string (string-functions.cc) -----------------------------------
     // strleft/strright: leftmost/rightmost n chars (string-functions.h:32).
