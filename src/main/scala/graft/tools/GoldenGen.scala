@@ -31,8 +31,9 @@ object GoldenGen {
       for (f <- files) {
         val blocks = splitBlocks(Files.readString(f.toPath))
         val out = blocks.map { b => fillBlock(spark, sfDir, b, regen) }
+        // trailing separator so appended blocks never merge into the last
         Files.writeString(Paths.get(s"$outDir/${f.getName}"),
-          out.mkString("====\n", "====\n", ""))
+          out.mkString("====\n", "====\n", "====\n"))
         println(s"[golden-gen] wrote $outDir/${f.getName} (${blocks.size} blocks)")
       }
     } finally spark.stop()
