@@ -65,6 +65,98 @@ object MultimodalOps {
     }.toDF()
   }
 
+  /** Resized media: payload transformed binary->binary with new dims. */
+  final case class ResizedMedia(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** STUB resize: deterministic byte downsample to a target "pixel"
+    * budget (a real deployment swaps this for an image scaler; the
+    * binary-in/binary-out partition-wise shape is the real pipeline).
+    */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val target = math.max(1, targetW * targetH / 64)
+    if (payload.length <= target) payload
+    else {
+      val out = new Array[Byte](target)
+      val step = payload.length.toDouble / target
+      var i = 0
+      while (i < target) { out(i) = payload((i * step).toInt); i += 1 }
+      out
+    }
+  }
+
+  def resize(media: org.apache.spark.sql.Dataset[MediaRow],
+      targetW: Int, targetH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        ResizedMedia(r.doc_id, targetW, targetH,
+          resizeStub(r.payload, targetW, targetH))
+      }
+    }.toDF()
+  }
+
+  /** One sampled frame of a "video" payload. */
+  final case class Frame(
+      doc_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      frame: Array[Byte])
+
+  /** STUB frame sampling: treat the payload as a fixed-rate byte stream
+    * and emit every k-th "frame" slice with its timestamp. Real pipeline
+    * shape: one input row fans out to n frame rows (iterator flatMap, no
+    * buffering), codec init once per partition.
+    */
+  def sampleFrames(media: org.apache.spark.sql.Dataset[MediaRow],
+      frameBytes: Int, everyNth: Int, fps: Double = 30.0): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by everyNth).iterator.map { f =>
+          Frame(r.doc_id, f, (f * 1000 / fps).toLong,
+            java.util.Arrays.copyOfRange(
+              r.payload, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }.toDF()
+  }
+
+  private def mediaOf(s: SparkSession, d: String) = {
+    import s.implicits._
+    Engine.table(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Resize stage over the corpus: rows-only check (stub bytes), but the
+    * output schema/dims and the size bound are asserted in the spec.
+    */
+  val resized: Q = Q("multimodal_resize",
+    (s, d) => {
+      Engine.configure(s)
+      resize(mediaOf(s, d), 32, 32)
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("payload")).as("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** Frame-sampling stage: every 4th 256-byte "frame" per document. */
+  val frames: Q = Q("multimodal_frames",
+    (s, d) => {
+      Engine.configure(s)
+      sampleFrames(mediaOf(s, d), frameBytes = 256, everyNth = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("ts_ms")).as("last_ts_ms"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   /** Pipeline entry: documents' text bytes stand in for media payloads
     * (the testdata has no binary media); emits metadata + feature norms.
     */
@@ -85,5 +177,5 @@ object MultimodalOps {
     },
     None)
 
-  val defs: Seq[Q] = Seq(features)
+  val defs: Seq[Q] = Seq(features, resized, frames)
 }
