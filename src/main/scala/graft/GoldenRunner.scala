@@ -43,7 +43,11 @@ object GoldenRunner {
               // '#' lines are comments in the QueryTest format
               query = lines.tail.filterNot(_.trim.startsWith("#"))
                 .mkString("\n").trim
-            case "RESULTS" => results = lines.tail.map(_.trim).filter(_.nonEmpty)
+            // reference files write e.g. "RESULTS: VERIFY_IS_EQUAL_SORTED";
+            // sorted comparison is already this runner's default
+            case h if h == "RESULTS" || h.startsWith("RESULTS:") =>
+              results = lines.tail.map(_.trim).filter(_.nonEmpty)
+                .filterNot(_.startsWith("#"))
             case "TYPES" =>
               types = Some(lines.tail.mkString(",").split(",").map(_.trim)
                 .filter(_.nonEmpty).toSeq)
