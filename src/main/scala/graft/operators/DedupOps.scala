@@ -170,19 +170,27 @@ object DedupOps {
         sign(planes(b * bandBits + i)) * lit(1 << i)
       }.reduce(_ + _)
     }
-    val norm = sqrt(dot(col("embedding"), col("embedding")))
-    val sig = emb.select(col("vec_id"), col("embedding"),
-        norm.as("nrm"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    val a = sig.select(col("band_idx"), col("band_val"),
-      col("vec_id").as("id_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
-    val b = sig.select(col("band_idx"), col("band_val"),
-      col("vec_id").as("id_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("band_idx", "band_val"))
+    // Band join carries ONLY ids (a pair sharing k bands would otherwise
+    // shuffle both 64-float vectors k times); distinct candidate pairs
+    // first, then fetch vectors once per pair for the exact verify.
+    val sig = emb.select(col("vec_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val candidates = sig.select(col("band_idx"), col("band_val"),
+        col("vec_id").as("id_a"))
+      .join(sig.select(col("band_idx"), col("band_val"),
+        col("vec_id").as("id_b")), Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val norm = sqrt(dot(col("embedding"), col("embedding")))
+    val vecs = emb.select(col("vec_id"), col("embedding"), norm.as("nrm"))
+    candidates
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= tau)
       .orderBy(col("id_a"), col("id_b"))
   }
