@@ -65,6 +65,17 @@ object EventStream {
       .withWatermark(s"${alias}_time", "1 hour")
   }
 
+  /** Streaming exact dedup — the ingest-side twin of DedupOps.exact:
+    * duplicate records (same key) are dropped with state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`), so a re-delivered event
+    * inside the lateness window dedups while state older than the
+    * watermark is evicted — the only viable exact-dedup shape for an
+    * unbounded 100 TB/day ingest.
+    */
+  def dedupStream(evs: DataFrame, key: String): DataFrame =
+    evs.withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark(key)
+
   /** Stream-stream interval join: purchases attributed to the user's
     * clicks in the preceding 30 minutes. Both sides watermarked so the
     * join state is bounded — Spark drops click state once the purchase

@@ -30,6 +30,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops re-delivered events within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val input = MemoryStream[(Long, Long)]
+    // batch 0: events 0..99, each delivered 3 times
+    input.addData((0 until 100).flatMap(i =>
+      Seq.fill(3)((i.toLong, hourUs * 24 + i * 1000000L))))
+    val evs = input.toDF().toDF("event_id", "ts_us")
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val q = EventStream.dedupStream(evs, "event_id").writeStream
+      .outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      // batch 1: a late re-delivery of event 50 inside the watermark
+      input.addData(Seq((50L, hourUs * 24 + 50 * 1000000L)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0))
+      assert(ids.length === 100) // each event exactly once
+      assert(ids.toSet === (0L until 100L).toSet)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventStream.attributionJoin(spark, TestSpark.sf).writeStream
       .outputMode("append").format("memory").queryName("attr_test").start()
