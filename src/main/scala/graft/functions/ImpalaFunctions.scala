@@ -65,6 +65,13 @@ object ImpalaFunctions {
     temp("isnottrue") { case Seq(e) => Not(EqualNullSafe(e, Literal(true))) }
     temp("nonnullvalue") { case Seq(e) => IsNotNull(e) }
     temp("nullvalue") { case Seq(e) => IsNull(e) }
+    // isnull(a, b): 2-arg alias of ifnull/nvl
+    // (impala_functions.py:510-519). The 1-arg arity keeps Spark's
+    // own isnull(e) meaning, so existing Spark SQL is unaffected.
+    temp("isnull") {
+      case Seq(e) => IsNull(e)
+      case Seq(a, b) => Coalesce(Seq(a, b))
+    }
 
     // ---- math (math-functions.h:32) -------------------------------------
     // quotient(a, b): integer division after casting both to BIGINT.
@@ -77,17 +84,12 @@ object ImpalaFunctions {
     }
     temp("is_nan") { case Seq(e) => IsNaN(Cast(e, DoubleType)) }
     // round(double) returns BIGINT in the dialect (math-functions.h Round
-    // vs RoundUpTo); Spark's round keeps DOUBLE. Only resolvable
-    // double/float inputs take the dialect path — unresolved column args
-    // keep Spark semantics (documented partial divergence).
+    // vs RoundUpTo); Spark's round keeps DOUBLE. The type dispatch lives
+    // inside DialectRound (RuntimeReplaceable), so it resolves AFTER
+    // analysis — the same SQL gets the same semantics regardless of
+    // whether the argument was resolved when the builder ran.
     temp("round") {
-      case Seq(e) =>
-        val dt = try Some(e.dataType) catch { case _: Throwable => None }
-        dt match {
-          case Some(DoubleType | FloatType) =>
-            Cast(Round(e, Literal(0)), LongType)
-          case _ => Round(e, Literal(0))
-        }
+      case Seq(e) => DialectRound(e)
       case Seq(e, d) => Round(e, d)
     }
 
@@ -213,16 +215,10 @@ object ImpalaFunctions {
     // (matching the reference's raw-slot-byte hashing) and raw bytes for
     // string/binary; remaining types (decimal/timestamp) fall back to a
     // string render — a documented divergence (the reference hashes their
-    // 16-byte slots, which have no Spark-side equivalent layout).
-    temp("fnv_hash") { case Seq(e) =>
-      val dt = try Some(e.dataType) catch { case _: Throwable => None }
-      dt match {
-        case Some(StringType | BinaryType | BooleanType | ByteType |
-                  ShortType | IntegerType | LongType | FloatType |
-                  DoubleType) | None => FnvHash64(e)
-        case Some(_) => FnvHash64(Cast(e, StringType))
-      }
-    }
+    // 16-byte slots, which have no Spark-side equivalent layout). The
+    // fallback dispatch lives inside FnvHashDialect (RuntimeReplaceable)
+    // so it fires after analysis, independent of builder-time resolution.
+    temp("fnv_hash") { case Seq(e) => FnvHashDialect(e) }
     // ---- engine extensions ----------------------------------------------
     // simhash(array<bigint>) — dedup signature (see SimHash64).
     temp("graft_simhash") { case Seq(e) => SimHash64(e) }
@@ -274,10 +270,10 @@ object ImpalaFunctions {
     }
     // sample: the reference's reservoir string aggregate
     // (aggregate-functions.cc ReservoirSampleUpdate/Finalize) — comma-
-    // joined kept samples; nondeterministic output by design.
-    temp("sample") { case Seq(e) =>
-      SampleAgg(Cast(e, DoubleType)).toAggregateExpression()
-    }
+    // joined kept samples; type-generic like the reference (strings,
+    // timestamps, dates sampled verbatim — no lossy numeric cast);
+    // nondeterministic output by design.
+    temp("sample") { case Seq(e) => SampleAgg(e).toAggregateExpression() }
   }
 
   private def isStringLit(e: Expression): Boolean = e match {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, DoubleType, NumericType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DecimalType, DoubleType, FloatType, NumericType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Reservoir state: up to `cap` sampled doubles + the count of rows seen.
@@ -40,8 +40,11 @@ final class Reservoir(val cap: Int, seed: Long = 6364136223846793005L) {
 
   /** Weighted merge (the reference's ReservoirSampleMerge keeps a weighted
     * random subset of the union via per-sample random keys; we draw each
-    * output slot from one side with probability proportional to that
-    * side's `seen` count, without replacement within a side). If the union
+    * output slot from one side WITHOUT replacement, with probability
+    * proportional to that side's REMAINING unconsumed weight — per-sample
+    * weight is seen/n, so a side's remaining weight shrinks as it is
+    * consumed. A fixed seen/total draw probability would over-sample the
+    * larger side's tail once the smaller side depletes). If the union
     * fits under `cap` both complete sample sets are kept verbatim.
     */
   def mergeFrom(o: Reservoir): Unit = {
@@ -59,17 +62,23 @@ final class Reservoir(val cap: Int, seed: Long = 6364136223846793005L) {
     }
     // Shuffle within each side so "take the next element" is a uniform
     // draw without replacement, then fill `cap` slots choosing sides
-    // proportionally to their seen-row weights.
+    // proportionally to their remaining seen-row weights.
     val mine = java.util.Arrays.copyOf(values, n)
     val theirs = java.util.Arrays.copyOf(o.values, o.n)
     shuffleInPlace(mine); shuffleInPlace(theirs)
+    val wMine = seen.toDouble / mine.length
+    val wTheirs = o.seen.toDouble / theirs.length
     var mi = 0; var ti = 0; var out = 0
     val outCap = math.min(cap, mine.length + theirs.length)
     while (out < outCap) {
       val takeMine =
         if (ti >= theirs.length) true
         else if (mi >= mine.length) false
-        else nextNonNeg(total) < seen
+        else {
+          val remMine = wMine * (mine.length - mi)
+          val remTheirs = wTheirs * (theirs.length - ti)
+          rng.nextDouble() * (remMine + remTheirs) < remMine
+        }
       if (takeMine) { values(out) = mine(mi); mi += 1 }
       else { values(out) = theirs(ti); ti += 1 }
       out += 1
@@ -212,30 +221,156 @@ case class AppxMedianAgg(
   override def prettyName: String = "appx_median_rs"
 }
 
+/** Reservoir over rendered string values — backs the type-generic
+  * `sample()`. Same sampling/merge scheme as [[Reservoir]], but elements
+  * are kept as their final string rendering, so any scalar input type is
+  * sampled verbatim (the reference's ReservoirSample is defined per type
+  * and renders at finalize; rendering at update time is distributionally
+  * identical since the rendering is injective enough for display).
+  */
+final class StringReservoir(val cap: Int, seed: Long = 6364136223846793005L) {
+  var seen: Long = 0L
+  var n: Int = 0
+  val values: Array[UTF8String] = new Array[UTF8String](cap)
+  private val rng = new java.util.Random(seed)
+
+  private def nextNonNeg(bound: Long): Long = {
+    val j = rng.nextLong() % bound
+    if (j < 0) j + bound else j
+  }
+
+  def add(v: UTF8String): Unit = {
+    seen += 1
+    if (n < cap) { values(n) = v; n += 1 }
+    else {
+      val idx = nextNonNeg(seen)
+      if (idx < cap) values(idx.toInt) = v
+    }
+  }
+
+  /** Remaining-weight merge — see [[Reservoir.mergeFrom]]. */
+  def mergeFrom(o: StringReservoir): Unit = {
+    if (o.seen == 0) return
+    if (seen == 0) {
+      Array.copy(o.values, 0, values, 0, o.n)
+      n = o.n; seen = o.seen
+      return
+    }
+    val total = seen + o.seen
+    if (n + o.n <= cap) {
+      Array.copy(o.values, 0, values, n, o.n)
+      n += o.n; seen = total
+      return
+    }
+    val mine = java.util.Arrays.copyOf(values, n)
+    val theirs = java.util.Arrays.copyOf(o.values, o.n)
+    shuffleInPlace(mine); shuffleInPlace(theirs)
+    val wMine = seen.toDouble / mine.length
+    val wTheirs = o.seen.toDouble / theirs.length
+    var mi = 0; var ti = 0; var out = 0
+    val outCap = math.min(cap, mine.length + theirs.length)
+    while (out < outCap) {
+      val takeMine =
+        if (ti >= theirs.length) true
+        else if (mi >= mine.length) false
+        else {
+          val remMine = wMine * (mine.length - mi)
+          val remTheirs = wTheirs * (theirs.length - ti)
+          rng.nextDouble() * (remMine + remTheirs) < remMine
+        }
+      if (takeMine) { values(out) = mine(mi); mi += 1 }
+      else { values(out) = theirs(ti); ti += 1 }
+      out += 1
+    }
+    n = out; seen = total
+  }
+
+  private def shuffleInPlace(a: Array[UTF8String]): Unit = {
+    var i = a.length - 1
+    while (i > 0) {
+      val j = nextNonNeg(i + 1).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(seen); out.writeInt(n)
+    var i = 0
+    while (i < n) {
+      val b = values(i).getBytes
+      out.writeInt(b.length); out.write(b)
+      i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+}
+
+object StringReservoir {
+  def deserialize(bytes: Array[Byte], cap: Int): StringReservoir = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val r = new StringReservoir(cap, Reservoir.taskSeed())
+    r.seen = in.readLong()
+    r.n = in.readInt()
+    var i = 0
+    while (i < r.n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      r.values(i) = UTF8String.fromBytes(b)
+      i += 1
+    }
+    r
+  }
+}
+
 /** sample(x): comma-joined sampled values in reservoir order — the
   * reference's `sample()` string aggregate (ReservoirSampleFinalize at
   * `be/src/exprs/aggregate-functions.cc:1074-1092` joins samples with
-  * ", " unsorted). Output is nondeterministic by design (which rows are
-  * kept depends on scan order), so it is rows-only checked; distribution
-  * properties are asserted in ReservoirSpec.
+  * ", " unsorted). Type-generic like the reference (defined over every
+  * scalar type): values are rendered to strings per the input type —
+  * numerics drop a trailing ".0" (C++ ostream style), timestamps render
+  * as "yyyy-MM-dd HH:mm:ss[.ffffff]", strings are kept verbatim. Output
+  * is nondeterministic by design (which rows are kept depends on scan
+  * order), so it is rows-only checked; distribution properties are
+  * asserted in ReservoirSpec.
   */
 case class SampleAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0) extends ReservoirBackedAgg {
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[StringReservoir] {
 
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
   override def dataType: DataType = StringType
 
-  override def eval(r: Reservoir): Any = {
-    if (r.n == 0) return null
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < r.n) {
-      if (i > 0) sb.append(", ")
-      sb.append(fmt(r.values(i)))
-      i += 1
-    }
-    UTF8String.fromString(sb.toString)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sample requires a scalar child, got ${other.catalogString}")
+  }
+
+  // Resolved-type renderer, bound once per task. String inputs must be
+  // copied: the UTF8String handed to update() aliases a reused row buffer.
+  @transient private lazy val render: Any => UTF8String = child.dataType match {
+    case StringType => v => v.asInstanceOf[UTF8String].clone()
+    case FloatType =>
+      v => UTF8String.fromString(fmt(v.asInstanceOf[java.lang.Float].doubleValue()))
+    case DoubleType =>
+      v => UTF8String.fromString(fmt(v.asInstanceOf[java.lang.Double].doubleValue()))
+    case _: DecimalType => v => UTF8String.fromString(
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.toPlainString)
+    case DateType => v => UTF8String.fromString(
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue())
+        .toString)
+    case TimestampType | TimestampNTZType =>
+      v => UTF8String.fromString(fmtTs(v.asInstanceOf[java.lang.Long].longValue()))
+    case _ => v => UTF8String.fromString(String.valueOf(v))
   }
 
   // integral doubles print without the trailing ".0" (matches the
@@ -244,6 +379,49 @@ case class SampleAgg(
     if (v == math.rint(v) && !v.isInfinite && math.abs(v) < 1e15)
       v.toLong.toString
     else v.toString
+
+  // micros since epoch -> "yyyy-MM-dd HH:mm:ss[.ffffff]" (UTC reading,
+  // matching the reference's timezone-less TimestampValue rendering;
+  // fraction only when non-zero, micro precision — the ns digits the
+  // reference can render are unrepresentable in Spark)
+  private def fmtTs(us: Long): String = {
+    val secs = Math.floorDiv(us, 1000000L)
+    val frac = Math.floorMod(us, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      secs, 0, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    if (frac == 0) base else f"$base.$frac%06d"
+  }
+
+  override def createAggregationBuffer(): StringReservoir =
+    new StringReservoir(Reservoir.DefaultCap, Reservoir.taskSeed())
+
+  override def update(r: StringReservoir, input: InternalRow): StringReservoir = {
+    val v = child.eval(input)
+    if (v != null) r.add(render(v))
+    r
+  }
+
+  override def merge(a: StringReservoir, b: StringReservoir): StringReservoir = {
+    a.mergeFrom(b); a
+  }
+  override def serialize(r: StringReservoir): Array[Byte] = r.serialize()
+  override def deserialize(bytes: Array[Byte]): StringReservoir =
+    StringReservoir.deserialize(bytes, Reservoir.DefaultCap)
+
+  override def eval(r: StringReservoir): Any = {
+    if (r.n == 0) return null
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < r.n) {
+      if (i > 0) sb.append(", ")
+      sb.append(r.values(i).toString)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 
   override def withNewMutableAggBufferOffset(o: Int): SampleAgg =
     copy(mutableAggBufferOffset = o)

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * embedding analog of the text signature kernels.
   *
   * Length mismatch yields NULL (zip_with would null-pad to the same
-  * effect); NULL input yields NULL.
+  * effect); NULL input yields NULL; a NULL *element* on either side also
+  * yields NULL — `zip_with(a, b, *)` produces a null product there and
+  * the `aggregate` fold propagates it, so the kernel must match.
   */
 case class DotVec(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,6 +49,7 @@ case class DotVec(left: Expression, right: Expression)
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -71,9 +74,10 @@ case class DotVec(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ${get(lt, a, i)} * ${get(rt, b, i)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

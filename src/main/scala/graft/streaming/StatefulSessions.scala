@@ -73,15 +73,12 @@ object StatefulSessions {
 
   /** Streaming pipeline: events dir -> per-user sessions (append mode).
     *
-    * The repartition/sortWithinPartitions pair feeds each group its events
-    * in ts order without any per-group buffering: the shuffle is on
-    * user_id (matching FlatMapGroupsWithState's required distribution, so
-    * no second exchange), and the local sort's (user_id, ts_us) order
-    * satisfies the operator's key-ordering requirement, so Spark inserts
-    * no key-only re-sort that would scramble ts. `groupBy(col).as[K, V]`
-    * (not `groupByKey`) keeps the grouping key the real user_id column —
-    * a lambda key would be a fresh expression Spark couldn't match to the
-    * existing partitioning.
+    * Group input arrives UNSORTED (see sessionize's doc: local sorts
+    * upstream of stateful ops are rejected by Spark's
+    * UnsupportedOperationChecker, so pre-sorted group input is not
+    * expressible); sessionize handles ordering itself with an in-place
+    * primitive long-array sort of just the timestamps. The stateful
+    * operator's own user_id shuffle is the only exchange in the plan.
     */
   def sessions(spark: SparkSession, dir: String): Dataset[SessionOut] = {
     Engine.configure(spark)

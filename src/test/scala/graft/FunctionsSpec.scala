@@ -71,6 +71,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m.isNullAt(1))
   }
 
+  test("dot_vec null ELEMENT yields NULL like the zip_with fold") {
+    val r = one(
+      "dot_vec(array(CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE)), " +
+        "array(CAST(2 AS DOUBLE), CAST(3 AS DOUBLE))), " +
+      "aggregate(zip_with(array(CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE)), " +
+        "array(CAST(2 AS DOUBLE), CAST(3 AS DOUBLE)), (x, y) -> x * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1)) // the documented-equivalent fold agrees
+  }
+
+  test("fnv_hash and round dispatch survive column (non-literal) args") {
+    // decimal/timestamp columns take the cast-to-string fallback instead
+    // of failing type-check — dispatch happens post-analysis, so column
+    // references behave exactly like literals of the same type
+    val r = Engine.sql(spark, TestSpark.sf,
+      """SELECT fnv_hash(CAST(o_totalprice AS DECIMAL(14,2))) AS h1,
+        |       fnv_hash(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS STRING)) AS h2,
+        |       round(o_totalprice + 0.5d) AS r1
+        |FROM orders ORDER BY o_orderkey LIMIT 1""".stripMargin).head()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.get(2).isInstanceOf[Long]) // dialect round(double) -> BIGINT
+  }
+
+  test("sample() is type-generic: strings and timestamps sampled verbatim") {
+    val s = one("sample(concat('nm_', CAST(1 AS STRING)))").getString(0)
+    assert(s === "nm_1")
+    val r = Engine.sql(spark, TestSpark.sf,
+      "SELECT sample(n_name) FROM nation").head().getString(0)
+    val names = r.split(", ").toSet
+    assert(names.size === 25)
+    assert(names.contains("NATION_0"))
+    val ts = one("sample(TIMESTAMP'2023-01-05 10:11:12')").getString(0)
+    assert(ts === "2023-01-05 10:11:12")
+    val tsf = one("sample(TIMESTAMP'2023-01-05 10:11:12.25')").getString(0)
+    assert(tsf === "2023-01-05 10:11:12.250000")
+  }
+
   test("nanoseconds_add/_sub truncate the delta toward zero to micros") {
     val ts = "TIMESTAMP '2016-05-08 10:30:25'"
     val r = one(s"CAST(nanoseconds_add($ts, 1500) AS STRING), " +
