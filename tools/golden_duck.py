@@ -72,6 +72,10 @@ def parse_blocks(path):
                 continue
             head, _, body = s.partition("\n")
             if head.strip() == "QUERY":
+                if any("duck:skip" in l for l in body.splitlines()
+                       if l.strip().startswith("#")):
+                    q = "__DUCK_SKIP__"
+                    continue
                 q = "\n".join(l for l in body.splitlines()
                               if not l.strip().startswith("#")).strip()
             elif head.strip() == "RESULTS":
@@ -96,9 +100,26 @@ def main():
             if catch is not None or any(r.startswith("row_regex") for r in results):
                 total_skip += 1
                 continue
+            # '# duck:skip' comment: documented engine-vs-duckdb dialect
+            # divergence (e.g. float->int cast rounding, concat NULLs)
+            if q == "__DUCK_SKIP__":
+                total_skip += 1
+                print(f"SKIP {tag} (marked duck:skip)")
+                continue
             if DIALECT_ONLY.search(q):
                 total_skip += 1
                 print(f"SKIP {tag} (dialect)")
+                continue
+            # DDL/DML blocks: execute for session state (views/tables used
+            # by later SELECT blocks) but don't compare — DuckDB returns an
+            # affected-row count for INSERT where the engine returns no rows
+            if re.match(r"(?is)^\s*(create|drop|insert)\b", q):
+                try:
+                    con.execute(q)
+                    print(f"SKIP {tag} (ddl/dml executed)")
+                except Exception as e:
+                    print(f"SKIP {tag} (ddl failed: {str(e).splitlines()[0][:80]})")
+                total_skip += 1
                 continue
             try:
                 rows = con.execute(q).fetchall()
