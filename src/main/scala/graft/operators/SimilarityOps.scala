@@ -188,13 +188,17 @@ object SimilarityOps {
     }
   }
 
-  /** Array of squared distances to each centroid. */
+  /** Per-centroid comparison keys for nearest-centroid selection:
+    * c.c - 2 x.c, which orders identically to the squared distance
+    * ||x-c||^2 = x.x - 2 x.c + c.c (x.x is constant across centroids).
+    * Each term runs on the codegen'd DotVec kernel; c.c folds at plan
+    * time. Callers only argmin / rank these, never read them as true
+    * distances.
+    */
   private def centroidDists(cents: Array[Array[Double]]): Column =
     array(cents.map { c =>
-      aggregate(
-        zip_with(col("embedding"), array(c.map(lit): _*),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, p) => acc + p)
+      val cc = c.map(x => x * x).sum
+      lit(cc) - lit(2.0) * dotDouble(col("embedding"), array(c.map(lit): _*))
     }: _*)
 
   /** Squared distance to each centroid, argmin -> cell id. */
