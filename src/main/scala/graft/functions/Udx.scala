@@ -67,7 +67,10 @@ object Udx {
       |FROM customer
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
 
-  /** Scalar UDF usage (rows-only: string function, engine-side). */
+  /** Scalar UDF usage, oracle-checked: the UDF's split/capitalize logic
+    * re-expressed as DuckDB list ops verifies the registration surface
+    * delivers exactly the user's function.
+    */
   val titleCaseQuery: Q = Q("udf_title_case",
     (s, d) => {
       Engine.configure(s)
@@ -76,7 +79,11 @@ object Udx {
       s.sql("""SELECT p_partkey, title_case(p_name) AS title_name
         |FROM part ORDER BY p_partkey""".stripMargin)
     },
-    None)
+    Some("""SELECT p_partkey,
+      |  ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
+      |    w -> CASE WHEN w = '' THEN w ELSE UPPER(w[1]) || w[2:] END),
+      |    ' ') AS title_name
+      |FROM part ORDER BY p_partkey""".stripMargin))
 
   val defs: Seq[Q] = Seq(weightedAvgQuery, titleCaseQuery)
 }

@@ -61,8 +61,9 @@ object TextOps {
       |FROM documents""".stripMargin))
 
   /** Heuristic language ID: stopword-hit counts per language, argmax with
-    * deterministic tiebreak. No oracle (rows-only check) — the scoring
-    * word lists are engine-internal.
+    * deterministic tiebreak. Oracle-checked: the fixed stopword lists are
+    * embedded in the DuckDB SQL too, so the whole scoring path is
+    * cross-engine verified.
     */
   val langId: Q = Q("text_langid",
     (s, d) => {
@@ -85,7 +86,27 @@ object TextOps {
           .otherwise("en").as("guessed_lang"),
         col("hits_en"), col("hits_de"), col("hits_fr"))
     },
-    None)
+    Some("""WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LEN(LIST_FILTER(
+      |      LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> ''),
+      |      t -> LIST_CONTAINS(['der','die','das','und','ist','nicht','mit',
+      |                          'ein','zu','von'], t))) AS INT) AS hits_de,
+      |    CAST(LEN(LIST_FILTER(
+      |      LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> ''),
+      |      t -> LIST_CONTAINS(['the','and','of','to','a','in','is','for',
+      |                          'with','on'], t))) AS INT) AS hits_en,
+      |    CAST(LEN(LIST_FILTER(
+      |      LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> ''),
+      |      t -> LIST_CONTAINS(['le','la','et','les','des','un','une','est',
+      |                          'pour','dans'], t))) AS INT) AS hits_fr
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN hits_de > hits_en AND hits_de > hits_fr THEN 'de'
+      |       WHEN hits_fr > hits_en AND hits_fr > hits_de THEN 'fr'
+      |       ELSE 'en' END AS guessed_lang,
+      |  hits_en, hits_de, hits_fr
+      |FROM scored""".stripMargin))
 
   /** Token counting for training-data budgeting: whitespace tokens plus a
     * BPE-ish regex segmentation (letter runs / digit runs / single
