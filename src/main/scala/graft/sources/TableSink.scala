@@ -53,5 +53,33 @@ object TableSink {
       |GROUP BY YEAR(o_orderdate)
       |ORDER BY o_year""".stripMargin))
 
-  val defs: Seq[Q] = Seq(partitionedRoundtrip)
+  /** Keyed-store sink round trip (HBase table sink analog — see
+    * KvStoreSink): write orders as keyed puts, scan them back with a
+    * pushed key range, aggregate per tag. The oracle computes the same
+    * aggregate straight from the source table, so the put/scan path is
+    * value-checked end to end.
+    */
+  val kvRoundtrip: Q = Q("sink_kv_roundtrip",
+    (s, d) => {
+      Engine.configure(s)
+      KvStore.drop("q_orders")
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_totalprice").as("val"),
+          col("o_orderstatus").as("tag"))
+        .write.format("graft.sources.KvStoreSink")
+        .option("table", "q_orders").mode(SaveMode.Append).save()
+      s.read.format("graft.sources.KvStoreSink")
+        .option("table", "q_orders").load()
+        .filter(col("key") <= 1000)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), graft.Det.dsum2(col("val")).as("total"))
+        .orderBy(col("tag"))
+    },
+    Some(s"""SELECT o_orderstatus AS tag, COUNT(*) AS n,
+      |  ${graft.Det.oSum2("o_totalprice")} AS total
+      |FROM orders WHERE o_orderkey <= 1000
+      |GROUP BY o_orderstatus ORDER BY tag""".stripMargin))
+
+  val defs: Seq[Q] = Seq(partitionedRoundtrip, kvRoundtrip)
 }
