@@ -231,6 +231,8 @@ object ImpalaFunctions {
     temp("minhash64") { case Seq(e) => MinHash64(e) }
     // native sequential-fold dot product (see DotVec) — embedding kernel
     temp("dot_vec") { case Seq(a, b) => DotVec(a, b) }
+    // packed hyperplane-sign signature (see SignBits) — LSH kernel
+    temp("sign_bits") { case Seq(v, p) => SignBits(v, p) }
 
     // ---- aggregates (aggregate-functions.h) -----------------------------
     // ndv: Impala's HyperLogLog with 1024 buckets (aggregate-functions.h:170-184)

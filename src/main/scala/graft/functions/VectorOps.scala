@@ -19,6 +19,97 @@ import org.apache.spark.sql.types._
   * yields NULL — `zip_with(a, b, *)` produces a null product there and
   * the `aggregate` fold propagates it, so the kernel must match.
   */
+/** Packed hyperplane-sign signature: bit i of the result is 1 iff
+  * `vec . planes[i] >= 0`. One kernel call computes every plane's dot in
+  * a single loop nest over a constant-folded plane matrix — replacing
+  * per-plane `CreateArray` + dot expressions, whose generated code at 64
+  * planes x 64 dims blows past JIT method limits and runs ~100x slower
+  * (NOTES.md round 3). Accumulation is element-order double addition,
+  * identical to DotVec, so sign decisions (and thus LSH buckets/bands)
+  * are bit-for-bit unchanged.
+  *
+  * `planes` must be a foldable array<array<double>> literal; at most 64
+  * planes (one bit each). NULL vector -> NULL.
+  */
+case class SignBits(vec: Expression, planes: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = planes
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val planesOk = planes.foldable && (planes.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    if (!vecOk) TypeCheckResult.TypeCheckFailure(
+      s"sign_bits requires array<float|double> vector, got ${vec.dataType.catalogString}")
+    else if (!planesOk) TypeCheckResult.TypeCheckFailure(
+      "sign_bits requires a foldable array<array<double>> plane matrix")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val planeMat: Array[Array[Double]] = {
+    val arr = planes.eval().asInstanceOf[ArrayData]
+    val m = Array.tabulate(arr.numElements()) { i =>
+      arr.getArray(i).toDoubleArray()
+    }
+    require(m.length <= 64, s"sign_bits supports at most 64 planes, got ${m.length}")
+    m
+  }
+
+  @transient private lazy val isFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, p: Any): Any =
+    SignBits.compute(v.asInstanceOf[ArrayData], planeMat, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("planeMat", planeMat, "double[][]")
+    val fl = if (isFloat) "true" else "false"
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.SignBits.compute($v, $matRef, $fl);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignBits =
+    copy(vec = newLeft, planes = newRight)
+
+  override def prettyName: String = "sign_bits"
+}
+
+object SignBits {
+  /** All-planes sign computation in one loop nest; element-order double
+    * accumulation matches DotVec exactly.
+    */
+  def compute(v: ArrayData, planes: Array[Array[Double]],
+      isFloat: Boolean): Long = {
+    val n = v.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val d = math.min(n, pl.length)
+      var acc = 0.0
+      var i = 0
+      if (isFloat) {
+        while (i < d) { acc += v.getFloat(i).toDouble * pl(i); i += 1 }
+      } else {
+        while (i < d) { acc += v.getDouble(i) * pl(i); i += 1 }
+      }
+      if (acc >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
+
 case class DotVec(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -162,13 +162,15 @@ object DedupOps {
       Seq.fill(dim)(rnd.nextGaussian()))
     // native codegen'd sequential-fold dot product (DotVec)
     def dot(a: Column, b: Column): Column = call_function("dot_vec", a, b)
-    def sign(p: Seq[Double]): Column =
-      when(dot(col("embedding"), array(p.map(lit): _*)) >= 0, 1).otherwise(0)
-    // band value = packed sign bits of that band's hyperplanes
+    // band value = that band's plane signs packed by the SignBits kernel
+    // (bit i = sign of plane b*bandBits+i): one loop-nest kernel call per
+    // band instead of bandBits separate dot expressions per band, whose
+    // generated code at 64+ planes blows JIT method limits (NOTES.md).
+    // Values are identical to the per-sign sum this replaces.
     val bandCols = (0 until bands).map { b =>
-      (0 until bandBits).map { i =>
-        sign(planes(b * bandBits + i)) * lit(1 << i)
-      }.reduce(_ + _)
+      call_function("sign_bits", col("embedding"),
+        array(planes.slice(b * bandBits, (b + 1) * bandBits)
+          .map(p => array(p.map(lit): _*)): _*)).cast("int")
     }
     // Band join carries ONLY ids (a pair sharing k bands would otherwise
     // shuffle both 64-float vectors k times); distinct candidate pairs

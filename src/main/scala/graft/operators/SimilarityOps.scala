@@ -84,11 +84,11 @@ object SimilarityOps {
   val bucketed: Q = Q("sim_lsh_bucket",
     (s, d) => {
       val planes = hyperplanes(8, 64)
+      // packed sign signature via the SignBits kernel (bit i = plane i,
+      // same bucket values as the per-plane sum it replaces)
       def bucket(e: Column): Column =
-        planes.zipWithIndex.map { case (p, i) =>
-          when(dotDouble(e, array(p.map(lit): _*)) >= 0, lit(1 << i))
-            .otherwise(lit(0))
-        }.reduce(_ + _)
+        call_function("sign_bits", e,
+          array(planes.map(p => array(p.map(lit): _*)): _*)).cast("int")
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
       val q = emb.filter(col("vec_id") < 10)
