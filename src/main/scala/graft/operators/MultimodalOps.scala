@@ -177,5 +177,38 @@ object MultimodalOps {
     },
     None)
 
-  val defs: Seq[Q] = Seq(features, resized, frames)
+  /** End-to-end multimodal retrieval composition: opaque binary ->
+    * partition-wise decode (stub) -> feature vector -> cosine top-3 over
+    * the decoded features (broadcast query set, codegen'd dot_vec
+    * kernel). The shape a real image-dedup / retrieval pipeline takes at
+    * 100 TB: decode stays on executors, the ANN stage sees only the
+    * small feature relation, never the payload bytes.
+    */
+  val embedKnn: Q = Q("multimodal_embed_knn",
+    (s, d) => {
+      Engine.configure(s)
+      import org.apache.spark.sql.expressions.Window
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("dot_vec", a, b)
+      val feats = extractFeatures(mediaOf(s, d))
+        .select(col("doc_id"), col("feature"),
+          sqrt(dot(col("feature"), col("feature"))).as("nrm"))
+        .filter(col("nrm") > 0)
+      val q = feats.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("feature").as("qf"),
+          col("nrm").as("qn"))
+      val scored = feats.join(broadcast(q), col("qid") =!= col("doc_id"))
+        .select(col("qid"), col("doc_id"),
+          (dot(col("qf"), col("feature")) / (col("qn") * col("nrm")))
+            .as("cosine"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("doc_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("qid"), col("cosine").desc, col("doc_id"))
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(features, resized, frames, embedKnn)
 }

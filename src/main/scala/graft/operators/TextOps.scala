@@ -193,6 +193,60 @@ object TextOps {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin))
 
+  /** The whole training-corpus pipeline as ONE declarative query:
+    * quality filter -> normalized-fingerprint exact dedup (keep the
+    * smallest doc_id per fingerprint) -> deterministic split assignment
+    * -> per-(split, lang) corpus stats. Every stage is the same
+    * expression used by its standalone operator, so the composition is
+    * fully oracle-checked; Catalyst fuses the map-side stages into the
+    * scan and the only shuffles are the dedup group-by and the final
+    * small aggregation — the plan a 100 TB corpus build wants.
+    */
+  val corpusPipeline: Q = Q("pipeline_corpus",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val nTokens = size(tokens(col("text")))
+      val fp = md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")))
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val filtered = doc
+        .select(col("doc_id"), col("lang"), col("text"),
+          nTokens.as("n_tokens"), fp.as("fp"))
+        .filter(col("n_tokens") >= 10)
+      val deduped = filtered
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(filtered, Seq("fp", "doc_id"))
+      deduped
+        .select(col("lang"), col("n_tokens"),
+          when(bucket < "cc", "train").when(bucket < "e6", "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |         t -> t <> '')) AS INT) AS n_tokens,
+      |    MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+      |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |filtered AS (SELECT * FROM scored WHERE n_tokens >= 10),
+      |deduped AS (
+      |  SELECT f.* FROM filtered f
+      |  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp) k
+      |    ON f.fp = k.fp AND f.doc_id = k.doc_id)
+      |SELECT
+      |  CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM deduped
+      |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin))
+
   val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount,
-    piiScrub, splitAssign)
+    piiScrub, splitAssign, corpusPipeline)
 }

@@ -139,4 +139,23 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("LSH dedup band join is an equi-join on band keys, never all-pairs") {
+    val df = run("dedup_embedding")
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate generation joins on (band_idx, band_val) equality
+    assert(p.contains("band_idx") && p.contains("band_val"), p)
+    // the only nested-loop join allowed is none at all: LSH exists to
+    // avoid the quadratic scan
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("PQ candidate scan joins the small broadcast query set") {
+    val df = run("sim_pq")
+    val p = physical(df)
+    // cell-pruned candidates join a broadcast of the probed queries
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
