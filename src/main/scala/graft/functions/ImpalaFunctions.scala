@@ -182,6 +182,18 @@ object ImpalaFunctions {
       TimestampAdd("DAY", UnaryMinus(Cast(n, LongType)), ts)
     }
 
+    // to_timestamp: Impala's 1-arg numeric form converts epoch SECONDS
+    // (timestamp-functions.h ToTimestamp); the 2-arg (string, fmt) form
+    // keeps Spark's parse semantics. Timezone-less like the dialect's
+    // TIMESTAMP, so the numeric form lands on TIMESTAMP_NTZ via UTC.
+    temp("to_timestamp") {
+      case Seq(e) =>
+        Cast(SecondsToTimestamp(Cast(e, LongType)), TimestampNTZType)
+      case Seq(s0, fmt) => new ParseToTimestamp(s0, fmt)
+    }
+    // from_timestamp(ts, fmt): render a timestamp with a format string
+    // (timestamp-functions.h FromTimestamp) -> date_format.
+    temp("from_timestamp") { case Seq(ts, fmt) => DateFormatClass(ts, fmt) }
     // trunc(ts, unit) with Impala's Oracle-style unit codes
     // (be/src/exprs/udf-builtins.cc:104-145 StrToTruncUnit). Shadows
     // Spark's trunc(date, fmt) for the session — Impala has no DATE type,
@@ -257,8 +269,25 @@ object ImpalaFunctions {
     // as faithful 64x32 bitmap sketches — see PcSketch.
     temp("distinctpc") { case Seq(e) => PcAgg(e).toAggregateExpression() }
     temp("distinctpcsa") { case Seq(e) => PcsaAgg(e).toAggregateExpression() }
-    // regexp_match_count(s, pattern) -> Spark's regexp_count.
-    temp("regexp_match_count") { case Seq(s0, p) => RegExpCount(s0, p) }
+    // regexp_match_count(s, pattern[, start_pos[, params]]) — the 4-arg
+    // form (string-functions.cc RegexpMatchCount) takes a 1-based start
+    // position and option letters: i=case-insensitive, c=case-sensitive
+    // (default), n=newline-matches-dot, m=multi-line. Implemented as a
+    // substring from start_pos plus an inline (?i)(?s)(?m) flag prefix.
+    temp("regexp_match_count") {
+      case Seq(s0, p) => RegExpCount(s0, p)
+      case Seq(s0, p, pos) =>
+        RegExpCount(Substring(s0, Cast(pos, IntegerType), Literal(Int.MaxValue)), p)
+      case Seq(s0, p, pos, params) =>
+        // per-row flag letters -> inline (?i)(?s)(?m) prefix, built as an
+        // expression so non-constant params work
+        def flag(letter: String, java: String): Expression =
+          If(GreaterThan(StringInstr(params, Literal(letter)), Literal(0)),
+            Literal(java), Literal(""))
+        val flagged = Concat(Seq(
+          flag("i", "(?i)"), flag("n", "(?s)"), flag("m", "(?m)"), p))
+        RegExpCount(Substring(s0, Cast(pos, IntegerType), Literal(Int.MaxValue)), flagged)
+    }
     // ndv_hll: the Impala-formula HLL-1024 sketch itself (FNV value hash,
     // harmonic estimator) as a TypedImperativeAggregate — see NdvHll.
     temp("ndv_hll") { case Seq(e) => NdvHll(e).toAggregateExpression() }
