@@ -182,6 +182,18 @@ object ImpalaFunctions {
       TimestampAdd("DAY", UnaryMinus(Cast(n, LongType)), ts)
     }
 
+    // regexp_like(s, pattern[, options]) — the 3-arg form takes the same
+    // i/c/n/m option letters as regexp_match_count
+    // (string-functions.cc RegexpLike); 2-arg keeps Spark semantics.
+    temp("regexp_like") {
+      case Seq(s0, p) => RLike(s0, p)
+      case Seq(s0, p, params) =>
+        def flag(letter: String, java: String): Expression =
+          If(GreaterThan(StringInstr(params, Literal(letter)), Literal(0)),
+            Literal(java), Literal(""))
+        RLike(s0, Concat(Seq(
+          flag("i", "(?i)"), flag("n", "(?s)"), flag("m", "(?m)"), p)))
+    }
     // to_timestamp: Impala's 1-arg numeric form converts epoch SECONDS
     // (timestamp-functions.h ToTimestamp); the 2-arg (string, fmt) form
     // keeps Spark's parse semantics. Timezone-less like the dialect's
