@@ -22,7 +22,8 @@ object GoldenRunner {
       expected: Seq[String],
       types: Option[Seq[String]],
       orderSensitive: Boolean,
-      catchError: Option[String])
+      catchError: Option[String],
+      impalaRender: Boolean = false)
 
   def parse(path: String): Seq[GoldenCase] = {
     // explicit UTF-8: the forked test JVM may default to ASCII
@@ -35,6 +36,7 @@ object GoldenRunner {
         var results = Seq.empty[String]
         var types: Option[Seq[String]] = None
         var ordered = false
+        var impalaRender = false
         var catchErr: Option[String] = None
         sections.foreach { s =>
           val lines = s.linesIterator.toSeq
@@ -51,13 +53,15 @@ object GoldenRunner {
             case "TYPES" =>
               types = Some(lines.tail.mkString(",").split(",").map(_.trim)
                 .filter(_.nonEmpty).toSeq)
-            case "OPTIONS" => ordered = lines.tail.exists(_.contains("order_sensitive"))
+            case "OPTIONS" =>
+              ordered = lines.tail.exists(_.contains("order_sensitive"))
+              impalaRender = lines.tail.exists(_.contains("impala_render"))
             case "CATCH" => catchErr = Some(lines.tail.mkString("\n").trim)
             case _ => ()
           }
         }
         GoldenCase(s"${new java.io.File(path).getName}#${i + 1}", query,
-          results, types, ordered, catchErr)
+          results, types, ordered, catchErr, impalaRender)
     }.toSeq
   }
 
@@ -72,15 +76,29 @@ object GoldenRunner {
   }
 
   /** Render a row the way the golden files encode it. */
-  def render(row: Row): String =
+  def render(row: Row): String = render(row, impala = false)
+
+  /** With impala = true, numbers render the way the reference's test
+    * client does (floats widened to double before printing, whole
+    * doubles without a trailing ".0") — used by blocks ported verbatim
+    * from the reference corpus via OPTIONS `impala_render`.
+    */
+  def render(row: Row, impala: Boolean): String =
     row.toSeq.map {
       case null => "NULL"
       case s: String => "'" + s + "'"
       case t: java.time.LocalDateTime => fmtTs(t)
       case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
       case d: java.sql.Date => d.toString
+      case f: java.lang.Float if impala => fmtD(f.doubleValue())
+      case d: java.lang.Double if impala => fmtD(d.doubleValue())
       case v => v.toString
     }.mkString(",")
+
+  private def fmtD(v: Double): String =
+    if (v == math.rint(v) && !v.isInfinite && !v.isNaN && math.abs(v) < 1e15)
+      v.toLong.toString
+    else v.toString
 
   private def matches(got: String, want: String): Boolean =
     if (want.startsWith("row_regex:")) {
@@ -115,7 +133,7 @@ object GoldenRunner {
       if (got.map(_.toUpperCase) != want.map(_.toUpperCase))
         return Some(s"types: got=${got.mkString(",")} want=${want.mkString(",")}")
     }
-    val got = df.collect().map(render).toSeq
+    val got = df.collect().map(r => render(r, c.impalaRender)).toSeq
     if (got.size != c.expected.size)
       return Some(s"rows: ${got.size} vs ${c.expected.size}; " +
         s"first got=${got.headOption.getOrElse("<none>")} " +

@@ -1,8 +1,22 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, Round, RuntimeReplaceable}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseCount, BitwiseOr, Cast, Expression, Literal, Pmod, Round, RuntimeReplaceable, ShiftLeft, ShiftRightUnsigned, Subtract}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.types._
+
+/** Bit width of an integral input — the reference's bit/byte builtins
+  * operate within the argument's own width
+  * (`be/src/exprs/bit-byte-functions.cc`), not a widened 64 bits.
+  */
+private[functions] object BitWidth {
+  def of(dt: DataType): Int = dt match {
+    case ByteType => 8
+    case ShortType => 16
+    case IntegerType => 32
+    case _ => 64
+  }
+  def mask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
+}
 
 /** Post-analysis type dispatch for dialect builtins whose rewrite depends
   * on the argument's resolved type. A temp-function builder runs at parse
@@ -46,4 +60,48 @@ case class DialectRound(child: Expression)
   override protected def withNewChildInternal(c: Expression): DialectRound =
     copy(child = c)
   override def prettyName: String = "round"
+}
+
+/** countset(x[, v]): set (or, with v=0, clear) bits within the INPUT's
+  * width — countset(cast(-1 as tinyint)) is 8, not 64.
+  */
+case class DialectCountSet(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+
+  override lazy val replacement: Expression = {
+    val w = BitWidth.of(left.dataType)
+    val masked = BitwiseAnd(Cast(left, LongType), Literal(BitWidth.mask(w)))
+    val ones = Cast(BitwiseCount(masked), IntegerType)
+    org.apache.spark.sql.catalyst.expressions.If(
+      org.apache.spark.sql.catalyst.expressions.EqualTo(
+        Cast(right, IntegerType), Literal(0)),
+      Subtract(Literal(w), ones), ones)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DialectCountSet = copy(left = l, right = r)
+  override def prettyName: String = "countset"
+}
+
+/** rotateleft/rotateright(x, n): rotate within the input's width and
+  * return the input's type, like the reference.
+  */
+case class DialectRotate(left: Expression, right: Expression,
+    isLeft: Boolean) extends RuntimeReplaceable with BinaryLike[Expression] {
+
+  override lazy val replacement: Expression = {
+    val w = BitWidth.of(left.dataType)
+    val v = BitwiseAnd(Cast(left, LongType), Literal(BitWidth.mask(w)))
+    val s = Pmod(Cast(right, IntegerType), Literal(w))
+    val rotated =
+      if (isLeft)
+        BitwiseOr(ShiftLeft(v, s), ShiftRightUnsigned(v, Subtract(Literal(w), s)))
+      else
+        BitwiseOr(ShiftRightUnsigned(v, s), ShiftLeft(v, Subtract(Literal(w), s)))
+    Cast(BitwiseAnd(rotated, Literal(BitWidth.mask(w))), left.dataType)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DialectRotate = copy(left = l, right = r)
+  override def prettyName: String = if (isLeft) "rotateleft" else "rotateright"
 }

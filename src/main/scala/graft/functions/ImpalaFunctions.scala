@@ -94,17 +94,10 @@ object ImpalaFunctions {
     }
 
     // ---- bit/byte (bit-byte-functions.h) --------------------------------
-    // Rotations defined on BIGINT (64-bit) like the reference's widest form.
-    temp("rotateleft") { case Seq(x, n) =>
-      val v = Cast(x, LongType)
-      val s = Pmod(Cast(n, IntegerType), Literal(64))
-      BitwiseOr(ShiftLeft(v, s), ShiftRightUnsigned(v, Subtract(Literal(64), s)))
-    }
-    temp("rotateright") { case Seq(x, n) =>
-      val v = Cast(x, LongType)
-      val s = Pmod(Cast(n, IntegerType), Literal(64))
-      BitwiseOr(ShiftRightUnsigned(v, s), ShiftLeft(v, Subtract(Literal(64), s)))
-    }
+    // Rotations operate within the input's own width and keep its type
+    // (bit-byte-functions.cc) — post-analysis dispatch via DialectRotate.
+    temp("rotateleft") { case Seq(x, n) => DialectRotate(x, n, isLeft = true) }
+    temp("rotateright") { case Seq(x, n) => DialectRotate(x, n, isLeft = false) }
     temp("getbit") { case Seq(x, pos) =>
       Cast(BitwiseAnd(ShiftRightUnsigned(Cast(x, LongType), Cast(pos, IntegerType)),
         Literal(1L)), ByteType)
@@ -118,12 +111,11 @@ object ImpalaFunctions {
             BitwiseNot(ShiftLeft(Literal(1L), Cast(pos, IntegerType)))),
           BitwiseOr(Cast(x, LongType), ShiftLeft(Literal(1L), Cast(pos, IntegerType))))
     }
+    // countset counts within the input's width (8 for tinyint, ... 64
+    // for bigint), matching the reference
     temp("countset") {
-      case Seq(x) => Cast(BitwiseCount(Cast(x, LongType)), IntegerType)
-      case Seq(x, v) =>
-        If(EqualTo(Cast(v, IntegerType), Literal(0)),
-          Subtract(Literal(64), Cast(BitwiseCount(Cast(x, LongType)), IntegerType)),
-          Cast(BitwiseCount(Cast(x, LongType)), IntegerType))
+      case Seq(x) => DialectCountSet(x, Literal(1))
+      case Seq(x, v) => DialectCountSet(x, v)
     }
 
     // ---- timestamp (timestamp-functions.h:40) ---------------------------

@@ -165,8 +165,11 @@ abstract class ReservoirBackedAgg extends TypedImperativeAggregate[Reservoir] {
     Reservoir.deserialize(bytes, Reservoir.DefaultCap)
 }
 
-/** histogram(x): comma-joined equi-height bucket boundaries (34 buckets
-  * like the reference's output format).
+/** histogram(x): comma-joined equi-height bucket boundaries, exactly the
+  * reference's HistogramFinalize (`aggregate-functions.cc:1095-1110`):
+  * min(n, 100) buckets, samples_per_bucket = max(n/100, 1), boundary =
+  * sample[(b+1)*spb - 1]; below 100 samples the output IS the sorted
+  * sample. Whole values print without a trailing ".0" (C++ ostream).
   */
 case class HistogramAgg(
     child: Expression,
@@ -179,14 +182,18 @@ case class HistogramAgg(
     if (r.n == 0) return null
     val sorted = java.util.Arrays.copyOf(r.values, r.n)
     java.util.Arrays.sort(sorted)
-    val buckets = 34
-    val bounds = (1 to buckets).map { b =>
-      val idx = math.min(sorted.length - 1,
-        math.ceil(sorted.length.toDouble * b / buckets).toInt - 1)
-      sorted(math.max(idx, 0))
+    val numBuckets = math.min(sorted.length, 100)
+    val samplesPerBucket = math.max(sorted.length / 100, 1)
+    val bounds = (0 until numBuckets).map { b =>
+      fmt(sorted((b + 1) * samplesPerBucket - 1))
     }
     UTF8String.fromString(bounds.mkString(", "))
   }
+
+  private def fmt(v: Double): String =
+    if (v == math.rint(v) && !v.isInfinite && math.abs(v) < 1e15)
+      v.toLong.toString
+    else v.toString
 
   override def withNewMutableAggBufferOffset(o: Int): HistogramAgg =
     copy(mutableAggBufferOffset = o)

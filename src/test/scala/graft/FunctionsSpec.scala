@@ -177,18 +177,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
-  test("bit functions") {
+  test("bit functions operate within the input's width") {
+    // Spark literals type as INT (width 32; Impala's literals take the
+    // smallest fit — divergence pinned in SURVEY 7.3), so rotation counts
+    // reduce mod 32 and zero-counts complement against 32
     val r = one("rotateleft(1, 65), rotateright(2, 1), getbit(5, 0), " +
       "getbit(5, 1), setbit(8, 0), setbit(9, 0, 0), countset(255), " +
       "countset(255, 0)")
-    assert(r.getLong(0) === 2L)
-    assert(r.getLong(1) === 1L)
+    assert(r.getInt(0) === 2) // 65 mod 32 = 1
+    assert(r.getInt(1) === 1)
     assert(r.getByte(2) === 1.toByte)
     assert(r.getByte(3) === 0.toByte)
     assert(r.getLong(4) === 9L)
     assert(r.getLong(5) === 8L)
     assert(r.getInt(6) === 8)
-    assert(r.getInt(7) === 56)
+    assert(r.getInt(7) === 24) // 32-bit input: 32 - 8
+    // native-width semantics: tinyint all-ones has 8 set bits, not 64
+    val t = one("countset(cast(-1 as tinyint)), countset(cast(-1 as smallint)), " +
+      "countset(cast(-1 as bigint)), rotateleft(cast(1 as tinyint), 9), " +
+      "rotateright(cast(2 as tinyint), 1)")
+    assert(t.getInt(0) === 8)
+    assert(t.getInt(1) === 16)
+    assert(t.getInt(2) === 64)
+    assert(t.getByte(3) === 2.toByte) // 9 mod 8 = 1, stays tinyint
+    assert(t.getByte(4) === 1.toByte)
   }
 
   test("is_inf / is_nan (non-ANSI division semantics give NULL for 1/0)") {

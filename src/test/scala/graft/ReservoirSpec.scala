@@ -15,11 +15,11 @@ class ReservoirSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1.0)
   }
 
-  test("histogram returns 34 non-decreasing bucket bounds") {
+  test("histogram returns 100 non-decreasing bucket bounds (reference layout)") {
     val s0 = Engine.sql(spark, TestSpark.sf,
       "SELECT histogram(l_extendedprice) h FROM lineitem").head().getString(0)
     val bounds = s0.split(", ").map(_.toDouble)
-    assert(bounds.length === 34)
+    assert(bounds.length === 100) // min(n, 100) with n >= 100
     assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b })
     // last bound is the max when below capacity
     val mx = Engine.sql(spark, TestSpark.sf,
@@ -33,7 +33,7 @@ class ReservoirSpec extends AnyFunSuite {
       .repartition(13)
       .agg(call_function("histogram", col("l_quantity")))
       .head().getString(0)
-    assert(h.split(", ").length === 34)
+    assert(h.split(", ").length === 100)
   }
 
   test("sample() returns every value below capacity, a subset above") {

@@ -31,7 +31,7 @@ DIALECT_ONLY = re.compile(
     r"shingle_hashes|trunc|extract|date_part|now)\s*\(", re.I)
 
 
-def render_val(v):
+def render_val(v, impala=False):
     if v is None:
         return "NULL"
     if isinstance(v, str):
@@ -51,8 +51,9 @@ def render_val(v):
         if math.isinf(v):
             return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
-            # Scala renders whole doubles as e.g. "3.0"
-            return f"{int(v)}.0"
+            # impala_render drops the trailing .0 (C++ ostream style);
+            # default matches Scala's whole-double rendering
+            return str(int(v)) if impala else f"{int(v)}.0"
         r = repr(v)
         return r
     if isinstance(v, decimal.Decimal):
@@ -127,7 +128,8 @@ def main():
                 total_skip += 1
                 print(f"SKIP {tag} (duckdb: {str(e).splitlines()[0][:90]})")
                 continue
-            got = [",".join(render_val(v) for v in r) for r in rows]
+            impala = "impala_render" in opts
+            got = [",".join(render_val(v, impala) for v in r) for r in rows]
             want = list(results)
             if "order_sensitive" not in opts:
                 got, want = sorted(got), sorted(want)
