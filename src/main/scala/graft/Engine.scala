@@ -75,8 +75,12 @@ object Engine {
     // treat event time as int64 nanos end-to-end (the reference's
     // TimestampValue is nanosecond-resolution too, timestamp-value.h:40-65).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ImpalaFunctions.register(spark)
+    // dialect functions once per session (re-registration is pure churn)
+    if (fnRegistered.add(spark)) ImpalaFunctions.register(spark)
   }
+
+  private val fnRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Read one table from an sf directory (HdfsTable analog,
     * `fe/.../catalog/HdfsTable.java`): plain parquet with pushdown +
@@ -85,14 +89,22 @@ object Engine {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // last mounted sf dir per session: mounting eagerly reads 10 parquet
+  // footers, which dominates per-query latency on conformance corpora if
+  // repeated, so register() is a no-op until the dir changes
+  private val mounted =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Mount every table as a temp view so `spark.sql` works like the
-    * reference's SQL front door. Cheap (lazy plans), idempotent.
+    * reference's SQL front door. Idempotent and cached per (session, dir).
     */
   def register(spark: SparkSession, dir: String): Unit = {
+    if (dir == mounted.get(spark)) return
     configure(spark)
     tableNames.foreach { t =>
       table(spark, dir, t).createOrReplaceTempView(t)
     }
+    mounted.put(spark, dir)
   }
 
   /** SQL entry point: `Engine.sql(spark, sfDir, "SELECT ...")`. */
