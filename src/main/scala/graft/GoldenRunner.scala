@@ -83,8 +83,12 @@ object GoldenRunner {
     * doubles without a trailing ".0") — used by blocks ported verbatim
     * from the reference corpus via OPTIONS `impala_render`.
     */
-  def render(row: Row, impala: Boolean): String =
-    row.toSeq.map {
+  def render(row: Row, impala: Boolean): String = {
+    val fields = if (row.schema != null) row.schema.fields else null
+    row.toSeq.zipWithIndex.map { case (v, i) => v match {
+      // the reference's test client renders STRING NULLs quoted
+      case null if impala && fields != null &&
+          fields(i).dataType == org.apache.spark.sql.types.StringType => "'NULL'"
       case null => "NULL"
       case s: String => "'" + s + "'"
       case t: java.time.LocalDateTime => fmtTs(t)
@@ -93,7 +97,8 @@ object GoldenRunner {
       case f: java.lang.Float if impala => fmtD(f.doubleValue())
       case d: java.lang.Double if impala => fmtD(d.doubleValue())
       case v => v.toString
-    }.mkString(",")
+    } }.mkString(",")
+  }
 
   private def fmtD(v: Double): String =
     if (v == math.rint(v) && !v.isInfinite && !v.isNaN && math.abs(v) < 1e15)

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, HyperLogLogPlusPlus, ListAgg}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -261,7 +262,17 @@ object ImpalaFunctions {
     // the analyzer apply DISTINCT / FILTER wrapping.
     temp("group_concat") {
       case Seq(e) => ListAgg(e, Literal(", "))
-      case Seq(e, sep) => ListAgg(e, sep)
+      // a NULL separator falls back to the default ", "
+      // (aggregate-functions.cc StringConcatUpdate's default separator)
+      case Seq(e, sep) => ListAgg(e, Coalesce(Seq(sep, Literal(", "))))
+    }
+    // variance_pop / variance_samp: reference aliases of var_pop/var_samp
+    // (impala_functions.py aggregate section); Spark has the short names.
+    temp("variance_pop") { case Seq(e) =>
+      aggregate.VariancePop(Cast(e, DoubleType)).toAggregateExpression()
+    }
+    temp("variance_samp") { case Seq(e) =>
+      aggregate.VarianceSamp(Cast(e, DoubleType)).toAggregateExpression()
     }
     // appx_median: reservoir-sampled median in the reference
     // (aggregate-functions.h:126-167); Spark's approx percentile sketch.
