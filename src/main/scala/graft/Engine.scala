@@ -75,6 +75,8 @@ object Engine {
     // treat event time as int64 nanos end-to-end (the reference's
     // TimestampValue is nanosecond-resolution too, timestamp-value.h:40-65).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the dialect permits bare count() as count(*)
+    c.set("spark.sql.legacy.allowParameterlessCount", "true")
     // dialect functions once per session (re-registration is pure churn)
     if (fnRegistered.add(spark)) ImpalaFunctions.register(spark)
   }

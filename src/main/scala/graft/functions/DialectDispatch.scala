@@ -83,6 +83,37 @@ case class DialectCountSet(left: Expression, right: Expression)
   override def prettyName: String = "countset"
 }
 
+/** date_add/date_sub(ts, n_or_interval): the reference's forms operate
+  * on TIMESTAMP and accept either a day count or an INTERVAL expression
+  * (`fe/.../analysis/ArithmeticExpr.java` TIMESTAMP arithmetic); Spark's
+  * builtins are DATE-typed and integer-only. Dispatch on the resolved
+  * right-hand type.
+  */
+case class DialectDateAdd(left: Expression, right: Expression, sign: Int)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+
+  override lazy val replacement: Expression = right.dataType match {
+    case _: YearMonthIntervalType | _: DayTimeIntervalType |
+         CalendarIntervalType =>
+      val iv = if (sign >= 0) right
+      else org.apache.spark.sql.catalyst.expressions.UnaryMinus(right)
+      // timezone must be bound here: the analyzer's ResolveTimeZone has
+      // already run by the time this replacement is materialized
+      org.apache.spark.sql.catalyst.expressions.TimestampAddInterval(left, iv,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.TimestampAdd(
+        "DAY",
+        if (sign >= 0) Cast(right, LongType)
+        else org.apache.spark.sql.catalyst.expressions.UnaryMinus(Cast(right, LongType)),
+        left)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DialectDateAdd = copy(left = l, right = r)
+  override def prettyName: String = if (sign >= 0) "date_add" else "date_sub"
+}
+
 /** rotateleft/rotateright(x, n): rotate within the input's width and
   * return the input's type, like the reference.
   */

@@ -99,6 +99,12 @@ object ImpalaFunctions {
     // (bit-byte-functions.cc) — post-analysis dispatch via DialectRotate.
     temp("rotateleft") { case Seq(x, n) => DialectRotate(x, n, isLeft = true) }
     temp("rotateright") { case Seq(x, n) => DialectRotate(x, n, isLeft = false) }
+    // bitand/bitor/bitxor/bitnot: named forms of the operators
+    // (bit-byte-functions.h BitAnd/BitOr/BitXor/BitNot)
+    temp("bitand") { case Seq(a, b) => BitwiseAnd(a, b) }
+    temp("bitor") { case Seq(a, b) => BitwiseOr(a, b) }
+    temp("bitxor") { case Seq(a, b) => BitwiseXor(a, b) }
+    temp("bitnot") { case Seq(a) => BitwiseNot(a) }
     temp("getbit") { case Seq(x, pos) =>
       Cast(BitwiseAnd(ShiftRightUnsigned(Cast(x, LongType), Cast(pos, IntegerType)),
         Literal(1L)), ByteType)
@@ -167,7 +173,11 @@ object ImpalaFunctions {
           evalMode = EvalMode.LEGACY)), ts)
     }
     // date_add/date_sub with integer days exist in Spark with DATE
-    // semantics; Impala's operate on TIMESTAMP — provide adddate/subdate.
+    // semantics; Impala's operate on TIMESTAMP and also accept INTERVAL
+    // expressions — shadow them (post-analysis type dispatch) and
+    // provide adddate/subdate.
+    temp("date_add") { case Seq(ts, n) => DialectDateAdd(ts, n, 1) }
+    temp("date_sub") { case Seq(ts, n) => DialectDateAdd(ts, n, -1) }
     temp("adddate") { case Seq(ts, n) =>
       TimestampAdd("DAY", Cast(n, LongType), ts)
     }
@@ -227,6 +237,13 @@ object ImpalaFunctions {
     temp("extract")(extractBuilder)
     temp("date_part")(extractBuilder)
 
+    // pid()/user()/effective_user() (utility-functions.h): session
+    // identity utilities. version() exists in Spark natively.
+    temp("pid") { case Seq() =>
+      Literal(ProcessHandle.current().pid().toInt)
+    }
+    temp("user") { case Seq() => CurrentUser() }
+    temp("effective_user") { case Seq() => CurrentUser() }
     // ---- utility (utility-functions.h:29) -------------------------------
     // fnv_hash hashes native fixed-width bytes for numeric/boolean input
     // (matching the reference's raw-slot-byte hashing) and raw bytes for
