@@ -6,16 +6,18 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Impala-formula HyperLogLog NDV: 1024 buckets over an FNV-1a 64 value
-  * hash, harmonic-mean estimator with small-range linear counting.
-  *
-  * Mirrors the reference's `ndv` UDA (`be/src/exprs/aggregate-functions.h:
-  * 170-184`: HLL_PRECISION=10, buckets store the max leading-zero rank of
-  * the remaining hash bits) re-expressed as a Spark
-  * `TypedImperativeAggregate`: Init/Update/Merge/Serialize/Finalize map
-  * 1:1 onto createAggregationBuffer/update/merge/serialize/eval. The
-  * 1 KiB buffer merges associatively (bucket-wise max), so partial
-  * aggregation and AQE re-planning are safe at any scale.
+/** Impala-formula HyperLogLog NDV, bit-exact with the reference's `ndv`
+  * UDA (`be/src/exprs/aggregate-functions.cc` HllUpdate/HllFinalEstimate,
+  * HLL_PRECISION=10): MurmurHash2_64 of the value's native slot bytes
+  * seeded with FNV64_SEED, low 10 bits pick the bucket, rank =
+  * ctz(hash>>10)+1, float-precision harmonic estimator with the HLL++
+  * k-NN bias correction below 5m and the threshold-gated linear-counting
+  * fallback — so the reference corpus' pinned ndv values reproduce
+  * exactly. Re-expressed as a Spark `TypedImperativeAggregate`:
+  * Init/Update/Merge/Serialize/Finalize map 1:1 onto
+  * createAggregationBuffer/update/merge/serialize/eval. The 1 KiB buffer
+  * merges associatively (bucket-wise max), so partial aggregation and
+  * AQE re-planning are safe at any scale.
   */
 case class NdvHll(
     child: Expression,
@@ -32,45 +34,21 @@ case class NdvHll(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
-  /** Hash the value's native byte representation (the reference hashes
-    * raw slot bytes, not string forms — better FNV dispersion too).
-    */
-  private def hashValue(v: Any): Long = v match {
-    case s: UTF8String => FnvHash64.hash64(s.getBytes)
-    case b: Array[Byte] => FnvHash64.hash64(b)
-    case l: java.lang.Long => FnvHash64.hashFixed(l.longValue(), 8)
-    case i: java.lang.Integer => FnvHash64.hashFixed(i.longValue(), 4)
-    case s: java.lang.Short => FnvHash64.hashFixed(s.longValue(), 2)
-    case b: java.lang.Byte => FnvHash64.hashFixed(b.longValue(), 1)
-    case d: java.lang.Double =>
-      FnvHash64.hashFixed(java.lang.Double.doubleToLongBits(d.doubleValue()), 8)
-    case f: java.lang.Float =>
-      FnvHash64.hashFixed(java.lang.Float.floatToIntBits(f.floatValue()).toLong, 4)
-    case b: java.lang.Boolean =>
-      FnvHash64.hashFixed(if (b.booleanValue()) 1L else 0L, 1)
-    case other => FnvHash64.hash64(
-      UTF8String.fromString(other.toString).getBytes)
-  }
-
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      // murmur3 fmix64 finalizer on top of FNV: sequential/short inputs
-      // leave FNV without full avalanche, which skews both the bucket
-      // distribution and the geometric rank statistic
-      var h = hashValue(v)
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^= h >>> 33
-      // Low bits pick the bucket, rank = trailing zeros of the rest + 1 —
-      // FNV's avalanche is weakest in the high bits on short inputs, and
-      // this matches the reference's bucket/rank choice
-      // (aggregate-functions.cc HllUpdate: hash % buckets, ctz of rest).
-      val idx = (h & (M - 1)).toInt
-      val rest = h >>> P
-      val rank = (if (rest == 0L) 64 - P
-        else java.lang.Long.numberOfTrailingZeros(rest)) + 1
-      if (rank > buf(idx)) buf(idx) = rank.toByte
+      // AnyValUtil::Hash64: MurmurHash2_64 over native slot bytes, seeded
+      // with FNV64_SEED (aggregate-functions.cc:1146)
+      val h = ImpalaValHash.hash64(v, child.dataType, ImpalaValHash.Fnv64Seed)
+      // HllUpdate skips a zero hash entirely; low bits pick the bucket,
+      // rank = ctz(hash >> 10) + 1
+      if (h != 0L) {
+        val idx = (h & (M - 1)).toInt
+        val rest = h >>> P
+        val rank = (if (rest == 0L) 64 - P
+          else java.lang.Long.numberOfTrailingZeros(rest)) + 1
+        if (rank > buf(idx)) buf(idx) = rank.toByte
+      }
     }
     buf
   }
@@ -85,21 +63,25 @@ case class NdvHll(
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    var harmonic = 0.0
+    // HllFinalEstimate, float-for-float: powf harmonic sum accumulated in
+    // FLOAT (C `float harmonic_mean`), float alpha, int64 truncation
+    var harmonic: Float = 0f
     var zeros = 0
     var i = 0
     while (i < M) {
-      harmonic += 1.0 / (1L << buf(i))
+      harmonic += math.pow(2.0, -buf(i)).toFloat
       if (buf(i) == 0) zeros += 1
       i += 1
     }
-    val alpha = 0.7213 / (1.0 + 1.079 / M) // bias correction, m >= 128
-    var est = alpha * M * M / harmonic
-    // small-range correction: linear counting below 2.5m with empty buckets
-    if (est <= 2.5 * M && zeros > 0) {
-      est = M * math.log(M.toDouble / zeros)
-    }
-    math.round(est)
+    harmonic = 1.0f / harmonic
+    val alpha: Float = 0.7213f / (1f + 1.079f / M)
+    var estimate: Long = (alpha * M * M * harmonic).toLong
+    // HLL++ bias adjustment below 5m (HllEstimateBias k-NN interpolation)
+    if (estimate <= 5L * M) estimate -= HllBias.estimateBias(estimate)
+    if (zeros == 0) return estimate
+    // linear counting when low-cardinality (threshold for precision 10)
+    val h: Long = (M * math.log((M.toFloat / zeros).toDouble).toFloat).toLong
+    if (h <= 900.0f) h else estimate
   }
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf

@@ -16,10 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (2^avg - 2^(avg*PC_K)) / PC_THETA; PCSA multiplies by the row count.
   *
   * The bitmap ORs associatively, so partial aggregation/merge is safe at
-  * any scale. Hash values are engine-internal (a seeded 32-bit mix of the
-  * FNV-64 value hash) — estimator structure matches the reference, exact
-  * estimates differ by hash function, which the reference never pinned
-  * either.
+  * any scale. Hashing is bit-exact with the reference's
+  * `AnyValUtil::Hash` (seeded CRC32-C of the value's native slot bytes,
+  * the SSE4.2 path its release binaries take), so the estimates match
+  * the reference corpus' pinned distinctpc/distinctpcsa values exactly.
   */
 abstract class PcBackedAgg extends TypedImperativeAggregate[Array[Int]] {
   def child: Expression
@@ -27,8 +27,10 @@ abstract class PcBackedAgg extends TypedImperativeAggregate[Array[Int]] {
 
   final val NumBitmaps = 64
   final val BitmapLen = 32
-  final val Theta = 0.77351
-  final val K = -1.75
+  // the reference's constants are FLOATs (PC_THETA = 0.77351f) — keep the
+  // float-rounded values so truncated estimates agree at the boundaries
+  final val Theta = 0.77351f.toDouble
+  final val K = -1.75f.toDouble
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -36,31 +38,11 @@ abstract class PcBackedAgg extends TypedImperativeAggregate[Array[Int]] {
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](NumBitmaps)
 
-  private def valueHash64(v: Any): Long = v match {
-    case s: UTF8String => FnvHash64.hash64(s.getBytes)
-    case b: Array[Byte] => FnvHash64.hash64(b)
-    case l: java.lang.Long => FnvHash64.hashFixed(l.longValue(), 8)
-    case i: java.lang.Integer => FnvHash64.hashFixed(i.longValue(), 4)
-    case s: java.lang.Short => FnvHash64.hashFixed(s.longValue(), 2)
-    case b: java.lang.Byte => FnvHash64.hashFixed(b.longValue(), 1)
-    case d: java.lang.Double =>
-      FnvHash64.hashFixed(java.lang.Double.doubleToLongBits(d.doubleValue()), 8)
-    case f: java.lang.Float =>
-      FnvHash64.hashFixed(java.lang.Float.floatToIntBits(f.floatValue()).toLong, 4)
-    case b: java.lang.Boolean =>
-      FnvHash64.hashFixed(if (b.booleanValue()) 1L else 0L, 1)
-    case other => FnvHash64.hash64(
-      UTF8String.fromString(other.toString).getBytes)
-  }
-
-  /** Seeded 32-bit hash: fmix64 of (value hash ^ golden-ratio seed mix). */
-  private def hash32(v: Any, seed: Int): Int = {
-    var h = valueHash64(v) ^ (seed.toLong * 0x9E3779B97F4A7C15L)
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    h.toInt
-  }
+  /** `AnyValUtil::Hash` — seeded raw CRC32-C of the native slot bytes
+    * (per-bitmap seed is the hash-function index, PcUpdate's scheme).
+    */
+  private def hash32(v: Any, seed: Int): Int =
+    ImpalaValHash.hash32(v, child.dataType, seed)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
