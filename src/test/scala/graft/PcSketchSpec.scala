@@ -15,9 +15,12 @@ class PcSketchSpec extends AnyFunSuite {
       .head().getLong(0)
 
   test("distinctpc lands within FM error bounds on known cardinalities") {
+    // FM's ~10% published error needs n >> nmaps (64); use the ~1500-key
+    // column. Small-n inputs (e.g. 150 keys over 64 maps) sit in FM's
+    // known low-bias regime — the magnitude test below covers that range.
     val exact = Engine.sql(spark, TestSpark.sf,
-      "SELECT count(distinct o_custkey) FROM orders").head().getLong(0)
-    val pc = est("distinctpc", "o_custkey", "orders")
+      "SELECT count(distinct l_orderkey) FROM lineitem").head().getLong(0)
+    val pc = est("distinctpc", "l_orderkey", "lineitem")
     assert(math.abs(pc - exact).toDouble / exact < 0.35,
       s"pc=$pc exact=$exact")
   }
