@@ -109,9 +109,41 @@ object Engine {
     mounted.put(spark, dir)
   }
 
-  /** SQL entry point: `Engine.sql(spark, sfDir, "SELECT ...")`. */
+  /** SQL entry point: `Engine.sql(spark, sfDir, "SELECT ...")`.
+    *
+    * Accepts the reference's dialect beyond plain Spark SQL: plan hints
+    * (`straight_join`, `[shuffle]`/`[broadcast]` — advisory in the
+    * reference, Spark's AQE makes those calls here) are stripped, and
+    * nested-types TableRefs (`FROM tbl.arr`, `FROM t, t.arr`,
+    * subplan subqueries) rewrite through [[graft.plans.NestedTableRefs]].
+    */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
-    spark.sql(query)
+    val cleaned = stripPlanHints(query)
+    val rewritten =
+      try {
+        val parsed = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cleaned)
+        if (graft.plans.NestedTableRefs.mightApply(parsed)) {
+          val out = graft.plans.NestedTableRefs.rewrite(spark, parsed)
+          if (out ne parsed) Some(out) else None
+        } else None
+      } catch { case _: Throwable => None }
+    rewritten match {
+      case Some(plan) => org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+      case None => spark.sql(cleaned)
+    }
+  }
+
+  /** The reference's optional plan hints have no Spark parse; they only
+    * steer its static distributed planner (`DistributedPlanner.java`),
+    * which AQE replaces, so dropping them is semantics-preserving.
+    */
+  private def stripPlanHints(query: String): String = {
+    var q = query
+    if (q.toLowerCase.contains("straight_join"))
+      q = q.replaceAll("(?i)\\bstraight_join\\b", "")
+    if (q.contains("["))
+      q = q.replaceAll("\\[(?i:shuffle|noshuffle|broadcast)\\]", "")
+    q
   }
 }

@@ -51,7 +51,8 @@ object GoldenRunner {
               results = lines.tail.map(_.trim).filter(_.nonEmpty)
                 .filterNot(_.startsWith("#"))
             case "TYPES" =>
-              types = Some(lines.tail.mkString(",").split(",").map(_.trim)
+              types = Some(lines.tail.filterNot(_.trim.startsWith("#"))
+                .mkString(",").split(",").map(_.trim)
                 .filter(_.nonEmpty).toSeq)
             case "OPTIONS" =>
               ordered = lines.tail.exists(_.contains("order_sensitive"))

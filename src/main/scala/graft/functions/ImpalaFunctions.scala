@@ -291,10 +291,14 @@ object ImpalaFunctions {
     temp("variance_samp") { case Seq(e) =>
       aggregate.VarianceSamp(Cast(e, DoubleType)).toAggregateExpression()
     }
-    // appx_median: reservoir-sampled median in the reference
-    // (aggregate-functions.h:126-167); Spark's approx percentile sketch.
+    // appx_median: reservoir-sampled median, reference-exact rank
+    // (aggregate-functions.cc:1119 AppxMedianFinalize takes
+    // samples[num_samples/2]; exact below the 20k reservoir cap —
+    // Spark's ApproximatePercentile uses a different rank convention
+    // and returns the element one rank lower).
     temp("appx_median") { case Seq(e) =>
-      new ApproximatePercentile(e, Literal(0.5)).toAggregateExpression()
+      Cast(AppxMedianAgg(Cast(e, DoubleType)).toAggregateExpression(),
+        e.dataType)
     }
     // distinctpc / distinctpcsa: the reference's Flajolet-Martin PC
     // estimators (BuiltinsDb.java:625-645, aggregate-functions.cc:695-884)

@@ -1,0 +1,319 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types._
+
+/** Pre-analysis rewrite of the reference's nested-types TableRefs into
+  * Spark Generate/LateralJoin plans.
+  *
+  * The reference models collections as implicit tables
+  * (`fe/.../analysis/CollectionTableRef.java`, planned as
+  * SubplanNode/UnnestNode — `fe/.../planner/SingleNodePlanner.java`
+  * createSubplan): `FROM complextypestbl.int_array` scans a collection,
+  * `FROM tbl t, t.int_array a` is a correlated unnest join, and
+  * `FROM tbl t, (SELECT count(*) FROM t.int_array) v` is a per-row
+  * subplan aggregate. Spark has no TableRef syntax for this, but its
+  * engine has every needed primitive: Generate (unnest), LateralJoin +
+  * decorrelation (subplans). This rewriter maps the dialect onto those
+  * primitives on the PARSED (unresolved) tree, deciding explode shapes
+  * from catalog schemas, and leaves all resolution to Catalyst.
+  *
+  * Scale note: Generate is a streaming narrow operator (no shuffle, no
+  * state) and decorrelated LateralJoin aggregates become ordinary
+  * hash-aggregate + join plans, which is exactly how the reference
+  * executes SubplanNode per-row streams.
+  *
+  * Supported forms (the reference's nested-types QueryTest corpus):
+  *  - uncorrelated paths:   FROM view.col.path  [alias]
+  *  - correlated refs:      FROM t, t.arr a / INNER|LEFT OUTER JOIN t.arr
+  *  - anti/semi:            LEFT ANTI|SEMI JOIN t.arr (empty/non-empty)
+  *  - lateral subplans:     FROM t, (SELECT ... FROM t.arr) v
+  *  - arrays expose pos BIGINT + item (+ struct-item fields), maps
+  *    expose key + value; intermediate collections on a path unnest
+  *    under hidden names so only the named collection's columns bind.
+  */
+object NestedTableRefs {
+
+  /** Cheap pre-test: any multi-part relation at all? */
+  def mightApply(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 => u
+    }.nonEmpty
+
+  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    if (!mightApply(plan)) plan else new NestedRefRewriter(spark).apply(plan)
+}
+
+private final class NestedRefRewriter(spark: SparkSession) {
+
+  /** Row type of a named relation in scope: alias -> visible fields. */
+  private type Scope = Map[String, StructType]
+
+  private var changed = false
+  private var nextId = 0
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    val out = rewriteNode(plan, Map.empty)
+    if (changed) out else plan
+  }
+
+  // ---- catalog lookup --------------------------------------------------
+
+  private val viewCache = collection.mutable.Map.empty[String, Option[StructType]]
+
+  private def viewType(name: String): Option[StructType] =
+    viewCache.getOrElseUpdate(name.toLowerCase, {
+      try Some(spark.table(name).schema)
+      catch { case _: Throwable => None }
+    })
+
+  private def field(st: StructType, name: String): Option[StructField] =
+    st.fields.find(_.name.equalsIgnoreCase(name))
+
+  /** Visible row type of an exploded array element: pos/item plus
+    * struct-item fields (how the reference exposes collection tables).
+    */
+  private def pseudoRow(elem: DataType): StructType = {
+    val base = Seq(StructField("pos", LongType), StructField("item", elem))
+    elem match {
+      case st: StructType => StructType(base ++ st.fields)
+      case _ => StructType(base)
+    }
+  }
+
+  private def mapRow(mt: MapType): StructType = StructType(Seq(
+    StructField("key", mt.keyType), StructField("value", mt.valueType)))
+
+  /** Does `parts` walk from rowType through struct fields/collection hops
+    * and END on a collection? (The decision test for "this multi-part
+    * name is a nested TableRef, not a database.table".)
+    */
+  private def isCollectionPath(rowType: StructType, parts: Seq[String]): Boolean = {
+    if (parts.isEmpty) return false
+    var cur: DataType = rowType
+    for (p <- parts) {
+      val isLast = p eq parts.last
+      cur match {
+        case st: StructType => field(st, p) match {
+          case None => return false
+          case Some(f) => f.dataType match {
+            case ArrayType(et, _) =>
+              if (isLast) return true
+              cur = pseudoRow(et)
+            case _: MapType => return isLast
+            case other =>
+              if (isLast) return false
+              cur = other
+          }
+        }
+        case _ => return false
+      }
+    }
+    false
+  }
+
+  // ---- plan traversal --------------------------------------------------
+
+  private def rewriteNode(plan: LogicalPlan, outer: Scope): LogicalPlan =
+    plan match {
+      case j: Join => rewriteJoin(j, outer)
+      case u: UnresolvedRelation =>
+        expandStandalone(u.multipartIdentifier, None, outer).getOrElse(u)
+      case s @ SubqueryAlias(id, u: UnresolvedRelation) =>
+        expandStandalone(u.multipartIdentifier, Some(id.name), outer)
+          .getOrElse(s)
+      case other =>
+        other.mapChildren(c => rewriteNode(c, outer))
+    }
+
+  private def rewriteJoin(j: Join, outer: Scope): LogicalPlan = {
+    val left = rewriteNode(j.left, outer)
+    val scope = outer ++ aliasesOf(left)
+
+    def refOf(p: LogicalPlan): Option[(Seq[String], Option[String])] = p match {
+      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 =>
+        Some((u.multipartIdentifier, None))
+      case SubqueryAlias(id, u: UnresolvedRelation)
+          if u.multipartIdentifier.length >= 2 =>
+        Some((u.multipartIdentifier, Some(id.name)))
+      case _ => None
+    }
+
+    refOf(j.right) match {
+      // correlated: head is an alias visible on the left side
+      case Some((parts, alias)) if scope.contains(parts.head.toLowerCase) &&
+          isCollectionPath(scope(parts.head.toLowerCase), parts.tail) =>
+        changed = true
+        buildChain(left, scope(parts.head.toLowerCase), parts, alias,
+          j.joinType, j.condition)
+      // uncorrelated ref joined against something else: expand standalone
+      case Some((parts, alias)) if viewType(parts.head).exists(t =>
+          isCollectionPath(t, parts.tail)) =>
+        val expanded = expandStandalone(parts, alias, outer).get
+        j.copy(left = left, right = expanded)
+      case _ =>
+        j.right match {
+          case SubqueryAlias(id, sub)
+              if (j.joinType == Inner || j.joinType == Cross) &&
+                correlatesWith(sub, scope) =>
+            changed = true
+            val sub2 = rewriteNode(sub, scope)
+            LateralJoin(left,
+              LateralSubquery(SubqueryAlias(id, sub2)), Inner, j.condition)
+          case r => j.copy(left = left, right = rewriteNode(r, outer))
+        }
+    }
+  }
+
+  /** Does this subquery's FROM reference a collection of an outer alias?
+    * (The reference plans these as subplans; Spark needs LATERAL.)
+    */
+  private def correlatesWith(sub: LogicalPlan, scope: Scope): Boolean =
+    sub.collectFirst {
+      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 &&
+          scope.contains(u.multipartIdentifier.head.toLowerCase) &&
+          isCollectionPath(scope(u.multipartIdentifier.head.toLowerCase),
+            u.multipartIdentifier.tail) => u
+    }.nonEmpty
+
+  /** Uncorrelated `FROM view.path [alias]`, or — inside a lateral
+    * subquery — `FROM outer_alias.path [alias]` unnested over one row
+    * with the collection resolving as an outer reference.
+    */
+  private def expandStandalone(parts: Seq[String], alias: Option[String],
+      outer: Scope): Option[LogicalPlan] = {
+    if (parts.length < 2) return None
+    val head = parts.head
+    outer.get(head.toLowerCase) match {
+      case Some(rowType) if isCollectionPath(rowType, parts.tail) =>
+        changed = true
+        return Some(buildChain(OneRowRelation(), rowType, parts, alias,
+          Inner, None))
+      case _ => ()
+    }
+    viewType(head) match {
+      case Some(rowType) if isCollectionPath(rowType, parts.tail) =>
+        changed = true
+        val base = SubqueryAlias(head, UnresolvedRelation(Seq(head)))
+        Some(buildChain(base, rowType, parts, alias, Inner, None))
+      case _ => None
+    }
+  }
+
+  /** Alias -> row type bindings visible from a FROM subtree. */
+  private def aliasesOf(p: LogicalPlan): Scope = p match {
+    case SubqueryAlias(id, child) =>
+      rowTypeOf(child).map(t => Map(id.name.toLowerCase -> t))
+        .getOrElse(Map.empty)
+    case g: Generate if g.qualifier.isDefined =>
+      aliasesOf(g.child) + (g.qualifier.get.toLowerCase ->
+        StructType(g.generatorOutput.map(a => StructField(a.name, a.dataType))))
+    case j: Join => aliasesOf(j.left) ++ aliasesOf(j.right)
+    case lj: LateralJoin => aliasesOf(lj.left)
+    case f: Filter => aliasesOf(f.child)
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+      viewType(u.multipartIdentifier.head)
+        .map(t => Map(u.multipartIdentifier.head.toLowerCase -> t))
+        .getOrElse(Map.empty)
+    case _ => Map.empty
+  }
+
+  private def rowTypeOf(child: LogicalPlan): Option[StructType] = child match {
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+      viewType(u.multipartIdentifier.head)
+    case g: Generate if g.qualifier.isDefined =>
+      Some(StructType(g.generatorOutput.map(a => StructField(a.name, a.dataType))))
+    case _ => None
+  }
+
+  /** One entry per name reachable from the current walk position:
+    * lowercase name -> (qualified attribute path, type).
+    */
+  private type Lookup = Map[String, (Seq[String], DataType)]
+
+  private def lookupOf(prefix: Seq[String], st: StructType): Lookup =
+    st.fields.map(f =>
+      f.name.toLowerCase -> ((prefix :+ f.name, f.dataType))).toMap
+
+  /** Unnest `parts` (head = base alias/view) on top of `base`. Arrays on
+    * the path unnest in sequence; only the last collection's columns get
+    * public names + the ref's qualifier, intermediates stay hidden.
+    */
+  private def buildChain(base: LogicalPlan, rowType: StructType,
+      parts: Seq[String], alias: Option[String], joinType: JoinType,
+      condition: Option[Expression]): LogicalPlan = {
+
+    // anti/semi over a collection ref: no unnest output is visible,
+    // the join is just an emptiness test on the collection
+    // (StmtRewriter-style: EXISTS over a relative ref).
+    if (joinType == LeftAnti || joinType == LeftSemi) {
+      val attr = UnresolvedAttribute(parts)
+      val sz = Coalesce(Seq(Size(attr, legacySizeOfNull = false), Literal(0)))
+      val pred =
+        if (joinType == LeftSemi) GreaterThan(sz, Literal(0))
+        else EqualTo(sz, Literal(0))
+      return Filter(pred, base)
+    }
+
+    val outerGen = joinType == LeftOuter
+
+    var plan = base
+    var lookup: Lookup = lookupOf(Seq(parts.head), rowType)
+    val n = parts.tail.length
+
+    parts.tail.zipWithIndex.foreach { case (p, i) =>
+      val isLast = i == n - 1
+      val (path, dt) = lookup.getOrElse(p.toLowerCase,
+        throw new IllegalStateException(s"unreachable: checked path $parts"))
+      dt match {
+        case ArrayType(et, _) =>
+          nextId += 1
+          val public = isLast
+          val q = if (public) alias.getOrElse(p) else s"__u$nextId"
+          val posName = if (public) "pos" else s"__pos$nextId"
+          val itemName = if (public) "item" else s"__item$nextId"
+          val flatten = public && et.isInstanceOf[StructType]
+          val gen = UnnestArray(UnresolvedAttribute(path), flatten)
+          val outAttrs =
+            Seq(AttributeReference(posName, LongType, nullable = true)(),
+              AttributeReference(itemName, et, nullable = true)()) ++
+            (if (flatten) et.asInstanceOf[StructType].fields.toSeq.map(sf =>
+              AttributeReference(sf.name, sf.dataType, nullable = true)())
+             else Nil)
+          plan = Generate(gen, Nil, outerGen, Some(q), outAttrs, plan)
+          // next hops see pos/item under their public names, plus the
+          // struct item's own fields reachable through the item column
+          lookup = Map(
+            "pos" -> ((Seq(q, posName), LongType: DataType)),
+            "item" -> ((Seq(q, itemName), et))) ++
+            (et match {
+              case st: StructType =>
+                lookupOf(Seq(q, itemName), st)
+              case _ => Map.empty[String, (Seq[String], DataType)]
+            })
+        case mt: MapType =>
+          val q = alias.getOrElse(p)
+          val outAttrs = Seq(
+            AttributeReference("key", mt.keyType, nullable = true)(),
+            AttributeReference("value", mt.valueType, nullable = true)())
+          plan = Generate(Explode(UnresolvedAttribute(path)), Nil,
+            outerGen, Some(q), outAttrs, plan)
+          lookup = lookupOf(Seq(q), mapRow(mt))
+        case st: StructType =>
+          lookup = lookupOf(path, st)
+        case other =>
+          throw new IllegalStateException(
+            s"unreachable: $p is ${other.simpleString(10)} in checked path $parts")
+      }
+    }
+
+    condition match {
+      case Some(c) => Filter(c, plan)
+      case None => plan
+    }
+  }
+}

@@ -105,6 +105,72 @@ object NestedQueries {
         |       - 1 AS INT) AS pos,
         |  n_nationkey AS nk
         |FROM region JOIN nation ON r_regionkey = n_regionkey
-        |ORDER BY r_name, pos""".stripMargin))
+        |ORDER BY r_name, pos""".stripMargin)),
+
+    // The reference's nested-types TableRef dialect (CollectionTableRef /
+    // SubplanNode, nested-types-scanner-*.test): `FROM t, t.items`
+    // correlated unnest with the pos virtual column, rewritten to
+    // Generate by plans.NestedTableRefs. The oracle reproduces pos via
+    // a window over the same sort the array was built with.
+    Q("nested_tableref_unnest",
+      (s, d) => {
+        Engine.sql(s, d,
+          """CREATE OR REPLACE TEMPORARY VIEW lineitem_nested AS
+            |SELECT l_orderkey,
+            |  sort_array(collect_list(struct(l_linenumber AS ln,
+            |    l_quantity AS qty))) AS items
+            |FROM lineitem WHERE l_orderkey < 200
+            |GROUP BY l_orderkey""".stripMargin)
+        Engine.sql(s, d,
+          """SELECT l_orderkey, pos, ln, qty
+            |FROM lineitem_nested t, t.items
+            |ORDER BY l_orderkey, ln""".stripMargin)
+      },
+      Some("""SELECT l_orderkey,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity) - 1 AS BIGINT) AS pos,
+        |  l_linenumber AS ln, l_quantity AS qty
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, ln""".stripMargin)),
+
+    // Subplan aggregate over a correlated collection
+    // (`FROM t, (SELECT agg FROM t.items) v`, nested-types-subplan.test
+    // shape): decorrelates to an ordinary aggregate + join.
+    Q("nested_tableref_subplan",
+      (s, d) => {
+        Engine.sql(s, d,
+          """CREATE OR REPLACE TEMPORARY VIEW cust_order_prices AS
+            |SELECT o_custkey, collect_list(o_totalprice) AS prices
+            |FROM orders GROUP BY o_custkey""".stripMargin)
+        Engine.sql(s, d,
+          """SELECT o_custkey, cnt, mx
+            |FROM cust_order_prices t,
+            |  (SELECT count(item) AS cnt, max(item) AS mx FROM t.prices) v
+            |ORDER BY o_custkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, CAST(COUNT(o_totalprice) AS BIGINT) AS cnt,
+        |  MAX(o_totalprice) AS mx
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // LEFT ANTI JOIN on a relative collection ref = emptiness test
+    // (nested-types-subplan.test "left anti join c.c_orders").
+    Q("nested_tableref_anti",
+      (s, d) => {
+        Engine.sql(s, d,
+          """CREATE OR REPLACE TEMPORARY VIEW cust_orderkeys AS
+            |SELECT c_custkey, collect_list(o.o_orderkey) AS oks
+            |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            |  AND o.o_totalprice > 300000
+            |GROUP BY c_custkey""".stripMargin)
+        Engine.sql(s, d,
+          """SELECT c_custkey FROM cust_orderkeys t
+            |LEFT ANTI JOIN t.oks
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -407,25 +407,32 @@ object RelationalQueries {
             expr("ndv_hll(l_partkey)").as("hll_part"),
             expr("ndv_hll(l_suppkey)").as("hll_supp"),
             expr("ndv(l_partkey)").as("ndvpp_part"),
-            expr("distinctpc(l_partkey)").as("pc_part"),
-            expr("distinctpcsa(l_partkey)").as("pcsa_part"))
+            // FM needs n >> nmaps (64): check it on the widest key so the
+            // tolerance holds at every SF (l_partkey at sf0.001 is ~200
+            // distinct = FM's known small-n bias regime)
+            countDistinct(col("l_orderkey")).as("exact_okey"),
+            expr("distinctpc(l_orderkey)").as("pc_okey"),
+            expr("distinctpcsa(l_orderkey)").as("pcsa_okey"))
           .select(
             col("exact_part"), col("exact_supp"),
             ok(col("hll_part"), col("exact_part")).as("hll_part_ok"),
             ok(col("hll_supp"), col("exact_supp")).as("hll_supp_ok"),
             ok(col("ndvpp_part"), col("exact_part")).as("ndvpp_part_ok"),
-            // FM sketches are coarser than HLL: 64 bitmaps ~ 10-40%
-            (abs(col("pc_part").cast("double") /
-              col("exact_part").cast("double") - 1.0) <= lit(0.4))
-              .as("pc_part_ok"),
-            (abs(col("pcsa_part").cast("double") /
-              col("exact_part").cast("double") - 1.0) <= lit(0.75))
-              .as("pcsa_part_ok"))
+            // FM-over-CRC is reference-exact but inherently coarse (the
+            // reference's own corpus pins distinctpc(int_col)=20 against
+            // an exact NDV of 957, distinct-estimate.test): assert
+            // magnitude (within 4x), not tolerance
+            (col("pc_okey").cast("double") * 4 >= col("exact_okey") &&
+              col("pc_okey") <= col("exact_okey") * 4)
+              .as("pc_okey_ok"),
+            (col("pcsa_okey").cast("double") * 4 >= col("exact_okey") &&
+              col("pcsa_okey") <= col("exact_okey") * 4)
+              .as("pcsa_okey_ok"))
       },
       Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_part,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supp,
         |  TRUE AS hll_part_ok, TRUE AS hll_supp_ok, TRUE AS ndvpp_part_ok,
-        |  TRUE AS pc_part_ok, TRUE AS pcsa_part_ok
+        |  TRUE AS pc_okey_ok, TRUE AS pcsa_okey_ok
         |FROM lineitem""".stripMargin)),
 
     // Impala trunc()/extract() unit codes (udf-builtins.cc:104-145,
