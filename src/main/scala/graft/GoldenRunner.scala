@@ -23,7 +23,8 @@ object GoldenRunner {
       types: Option[Seq[String]],
       orderSensitive: Boolean,
       catchError: Option[String],
-      impalaRender: Boolean = false)
+      impalaRender: Boolean = false,
+      hasResults: Boolean = true)
 
   def parse(path: String): Seq[GoldenCase] = {
     // explicit UTF-8: the forked test JVM may default to ASCII
@@ -34,6 +35,7 @@ object GoldenRunner {
         val sections = block.split("---- ").map(_.trim).filter(_.nonEmpty)
         var query = ""
         var results = Seq.empty[String]
+        var hasResults = false
         var types: Option[Seq[String]] = None
         var ordered = false
         var impalaRender = false
@@ -45,9 +47,12 @@ object GoldenRunner {
               // '#' lines are comments in the QueryTest format
               query = lines.tail.filterNot(_.trim.startsWith("#"))
                 .mkString("\n").trim
-            // reference files write e.g. "RESULTS: VERIFY_IS_EQUAL_SORTED";
-            // sorted comparison is already this runner's default
-            case h if h == "RESULTS" || h.startsWith("RESULTS:") =>
+            // reference files write e.g. "RESULTS: VERIFY_IS_EQUAL_SORTED"
+            // (sorted comparison is already this runner's default), with
+            // occasional "RESULTS :" spacing
+            case h if h == "RESULTS" || h.startsWith("RESULTS:") ||
+                h.startsWith("RESULTS ") =>
+              hasResults = true
               results = lines.tail.map(_.trim).filter(_.nonEmpty)
                 .filterNot(_.startsWith("#"))
             case "TYPES" =>
@@ -62,7 +67,7 @@ object GoldenRunner {
           }
         }
         GoldenCase(s"${new java.io.File(path).getName}#${i + 1}", query,
-          results, types, ordered, catchErr, impalaRender)
+          results, types, ordered, catchErr, impalaRender, hasResults)
     }.toSeq
   }
 
@@ -91,6 +96,9 @@ object GoldenRunner {
       case null if impala && fields != null &&
           fields(i).dataType == org.apache.spark.sql.types.StringType => "'NULL'"
       case null => "NULL"
+      // the reference's test client escapes backslashes in its expected
+      // strings ('\%' prints as '\\%')
+      case s: String if impala => "'" + s.replace("\\", "\\\\") + "'"
       case s: String => "'" + s + "'"
       case t: java.time.LocalDateTime => fmtTs(t)
       case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
@@ -101,10 +109,29 @@ object GoldenRunner {
     } }.mkString(",")
   }
 
-  private def fmtD(v: Double): String =
-    if (v == math.rint(v) && !v.isInfinite && !v.isNaN && math.abs(v) < 1e15)
-      v.toLong.toString
-    else v.toString
+  /** The reference's test client prints doubles via C "%.16g" (16
+    * significant digits, trailing zeros stripped), not shortest-repr:
+    * 30.299999999999997 prints as 30.3, 12.100000381469727 as
+    * 12.10000038146973. Whole numbers drop the ".0".
+    */
+  private def fmtD(v: Double): String = {
+    if (v.isInfinite || v.isNaN) return v.toString
+    if (v == math.rint(v) && math.abs(v) < 1e15) return v.toLong.toString
+    val g = String.format("%.16g", Double.box(v))
+    val cleaned =
+      if (g.contains('e') || g.contains('E')) {
+        val Array(m, e) = g.split("[eE]")
+        val m2 = if (m.contains('.'))
+          m.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        else m
+        m2 + "e" + e
+      } else if (g.contains('.')) {
+        g.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      } else g
+    // a mantissa rounded to a whole number is still fractional output
+    if (cleaned.nonEmpty && !cleaned.contains('.') && !cleaned.contains('e'))
+      cleaned else cleaned
+  }
 
   private def matches(got: String, want: String): Boolean =
     if (want.startsWith("row_regex:")) {
@@ -140,6 +167,9 @@ object GoldenRunner {
         return Some(s"types: got=${got.mkString(",")} want=${want.mkString(",")}")
     }
     val got = df.collect().map(r => render(r, c.impalaRender)).toSeq
+    // a block with no RESULTS section at all only asserts the query runs
+    // (the reference corpus uses this for doesn't-crash tests)
+    if (!c.hasResults) return None
     if (got.size != c.expected.size)
       return Some(s"rows: ${got.size} vs ${c.expected.size}; " +
         s"first got=${got.headOption.getOrElse("<none>")} " +

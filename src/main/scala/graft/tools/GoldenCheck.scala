@@ -15,7 +15,9 @@ object GoldenCheck {
             println(s"FAIL ${c.name}: ${err.linesIterator.take(3).mkString(" | ").take(300)}")
         } catch { case e: Throwable =>
           bad += 1
-          println(s"FAIL ${c.name}: EX ${Option(e.getMessage).getOrElse("?").linesIterator.take(1).mkString.take(200)}")
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+            .linesIterator.filter(_.trim.nonEmpty).take(2).mkString(" | ")
+          println(s"FAIL ${c.name}: EX ${msg.take(250)}")
         }
       }
       println(s"== $ok pass, $bad fail")
