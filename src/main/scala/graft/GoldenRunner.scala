@@ -117,20 +117,23 @@ object GoldenRunner {
   private def fmtD(v: Double): String = {
     if (v.isInfinite || v.isNaN) return v.toString
     if (v == math.rint(v) && math.abs(v) < 1e15) return v.toLong.toString
-    val g = String.format("%.16g", Double.box(v))
-    val cleaned =
-      if (g.contains('e') || g.contains('E')) {
-        val Array(m, e) = g.split("[eE]")
-        val m2 = if (m.contains('.'))
-          m.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-        else m
-        m2 + "e" + e
-      } else if (g.contains('.')) {
-        g.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      } else g
-    // a mantissa rounded to a whole number is still fractional output
-    if (cleaned.nonEmpty && !cleaned.contains('.') && !cleaned.contains('e'))
-      cleaned else cleaned
+    // C printf %.16g rounds the EXACT binary expansion of the double;
+    // Java's %g instead rounds the shortest decimal repr, which goes the
+    // other way when the shortest repr's 17th digit is a 5 (1.0/7 must
+    // print ...28 like the reference, not ...29).
+    val mc = new java.math.MathContext(16, java.math.RoundingMode.HALF_EVEN)
+    val r = new java.math.BigDecimal(v).round(mc)
+    val exp = r.precision - r.scale - 1
+    if (exp < -4 || exp >= 16) {
+      val m = r.movePointLeft(exp).stripTrailingZeros.toPlainString
+      val sign = if (exp < 0) "-" else "+"
+      f"${m}e$sign${math.abs(exp)}%02d"
+    } else {
+      val s = r.toPlainString
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
   }
 
   private def matches(got: String, want: String): Boolean =
