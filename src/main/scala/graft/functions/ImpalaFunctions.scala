@@ -269,6 +269,9 @@ object ImpalaFunctions {
     temp("sign_bits") { case Seq(v, p) => SignBits(v, p) }
 
     // ---- aggregates (aggregate-functions.h) -----------------------------
+    // avg over TIMESTAMP (aggregate-functions.cc TimestampAvgUpdate);
+    // non-timestamp children fall through to Spark's Average unchanged.
+    temp("avg") { case Seq(e) => DialectAvg(e) }
     // ndv: Impala's HyperLogLog with 1024 buckets (aggregate-functions.h:170-184)
     // => relative sd ~= 1.04/sqrt(1024) = 0.0325 on Spark's HLL++.
     temp("ndv") { case Seq(e) =>
