@@ -97,8 +97,16 @@ object GoldenRunner {
           fields(i).dataType == org.apache.spark.sql.types.StringType => "'NULL'"
       case null => "NULL"
       // the reference's test client escapes backslashes in its expected
-      // strings ('\%' prints as '\\%')
-      case s: String if impala => "'" + s.replace("\\", "\\\\") + "'"
+      // strings ('\%' prints as '\\%') and control bytes as \xNN
+      // (null_data.test's NUL-byte strings print as 'a\x00b')
+      case s: String if impala =>
+        val b = new StringBuilder("'")
+        s.foreach {
+          case '\\' => b.append("\\\\")
+          case c if c < 0x20 => b.append(f"\\x${c.toInt}%02x")
+          case c => b.append(c)
+        }
+        b.append("'").toString
       case s: String => "'" + s + "'"
       case t: java.time.LocalDateTime => fmtTs(t)
       case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
