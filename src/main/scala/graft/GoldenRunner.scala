@@ -93,8 +93,14 @@ object GoldenRunner {
     val fields = if (row.schema != null) row.schema.fields else null
     row.toSeq.zipWithIndex.map { case (v, i) => v match {
       // the reference's test client renders STRING NULLs quoted
-      case null if impala && fields != null &&
-          fields(i).dataType == org.apache.spark.sql.types.StringType => "'NULL'"
+      // (CHAR/VARCHAR columns included — they surface when
+      // spark.sql.preserveCharVarcharTypeInfo is on)
+      case null if impala && fields != null && (fields(i).dataType match {
+        case org.apache.spark.sql.types.StringType => true
+        case _: org.apache.spark.sql.types.CharType => true
+        case _: org.apache.spark.sql.types.VarcharType => true
+        case _ => false
+      }) => "'NULL'"
       case null => "NULL"
       // the reference's test client escapes backslashes in its expected
       // strings ('\%' prints as '\\%') and control bytes as \xNN

@@ -136,3 +136,26 @@ case class DialectRotate(left: Expression, right: Expression,
       l: Expression, r: Expression): DialectRotate = copy(left = l, right = r)
   override def prettyName: String = if (isLeft) "rotateleft" else "rotateright"
 }
+
+/** appx_median(x): string inputs take the reference's string-reservoir
+  * median (memcmp sort, `aggregate-functions.cc:1119` AppxMedianFinalize
+  * over StringVal), everything else the double reservoir with a finalize
+  * cast back to the argument type. Post-analysis dispatch, same rationale
+  * as [[graft.functions.TimestampAvg]]'s DialectAvg.
+  */
+case class DialectAppxMedian(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate
+    with UnaryLike[Expression] {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType | _: CharType | _: VarcharType =>
+      AppxMedianStringAgg(Cast(child, StringType))
+    case dt =>
+      AppxMedianAgg(Cast(child, DoubleType), resultType = dt)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DialectAppxMedian =
+    copy(child = c)
+  override def prettyName: String = "appx_median"
+}

@@ -299,10 +299,10 @@ object ImpalaFunctions {
     // samples[num_samples/2]; exact below the 20k reservoir cap —
     // Spark's ApproximatePercentile uses a different rank convention
     // and returns the element one rank lower).
-    temp("appx_median") { case Seq(e) =>
-      Cast(AppxMedianAgg(Cast(e, DoubleType)).toAggregateExpression(),
-        e.dataType)
-    }
+    // post-analysis dispatch: string inputs use the string reservoir,
+    // numerics the double one with a finalize cast back — see
+    // DialectAppxMedian in DialectDispatch.scala
+    temp("appx_median") { case Seq(e) => DialectAppxMedian(e) }
     // distinctpc / distinctpcsa: the reference's Flajolet-Martin PC
     // estimators (BuiltinsDb.java:625-645, aggregate-functions.cc:695-884)
     // as faithful 64x32 bitmap sketches — see PcSketch.

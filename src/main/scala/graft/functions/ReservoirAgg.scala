@@ -204,19 +204,28 @@ case class HistogramAgg(
   override def prettyName: String = "histogram"
 }
 
-/** appx_median_rs(x): reservoir median (the reference's appx_median). */
+/** appx_median_rs(x): reservoir median (the reference's appx_median).
+  * `resultType` casts the double median back to the input's type at
+  * finalize (the reference's appx_median returns the argument type);
+  * the default DoubleType keeps the raw reservoir value.
+  */
 case class AppxMedianAgg(
     child: Expression,
+    resultType: DataType = DoubleType,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends ReservoirBackedAgg {
 
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = resultType
 
   override def eval(r: Reservoir): Any = {
     if (r.n == 0) return null
     val sorted = java.util.Arrays.copyOf(r.values, r.n)
     java.util.Arrays.sort(sorted)
-    sorted(sorted.length / 2)
+    val m = sorted(sorted.length / 2)
+    if (resultType == DoubleType) m
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(m, DoubleType),
+      resultType, Some("UTC")).eval(null)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): AppxMedianAgg =
@@ -226,6 +235,62 @@ case class AppxMedianAgg(
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): AppxMedianAgg = copy(child = c.head)
   override def prettyName: String = "appx_median_rs"
+}
+
+/** appx_median over STRING input: reservoir of raw string values, median
+  * by byte-wise sort (the reference's AppxMedianFinalize sorts the sample
+  * with RawValue::LessThan — memcmp for strings — and takes
+  * samples[num_samples/2], `be/src/exprs/aggregate-functions.cc:1119`).
+  * Exact below the 20k reservoir cap, like the numeric twin.
+  */
+case class AppxMedianStringAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[StringReservoir] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"appx_median string path requires STRING, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): StringReservoir =
+    new StringReservoir(Reservoir.DefaultCap, Reservoir.taskSeed())
+
+  override def update(r: StringReservoir, input: InternalRow): StringReservoir = {
+    val v = child.eval(input)
+    // clone: the UTF8String aliases a reused scan row buffer
+    if (v != null) r.add(v.asInstanceOf[UTF8String].clone())
+    r
+  }
+
+  override def merge(a: StringReservoir, b: StringReservoir): StringReservoir = {
+    a.mergeFrom(b); a
+  }
+
+  override def eval(r: StringReservoir): Any = {
+    if (r.n == 0) return null
+    val sorted = java.util.Arrays.copyOf(r.values, r.n)
+    // UTF8String.compareTo is byte-wise — the reference's memcmp order
+    java.util.Arrays.sort(sorted, java.util.Comparator.naturalOrder[UTF8String]())
+    sorted(sorted.length / 2)
+  }
+
+  override def serialize(r: StringReservoir): Array[Byte] = r.serialize()
+  override def deserialize(bytes: Array[Byte]): StringReservoir =
+    StringReservoir.deserialize(bytes, Reservoir.DefaultCap)
+  override def withNewMutableAggBufferOffset(o: Int): AppxMedianStringAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): AppxMedianStringAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): AppxMedianStringAgg = copy(child = c.head)
+  override def prettyName: String = "appx_median"
 }
 
 /** Reservoir over rendered string values — backs the type-generic
