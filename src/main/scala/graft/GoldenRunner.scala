@@ -130,6 +130,8 @@ object GoldenRunner {
     */
   private def fmtD(v: Double): String = {
     if (v.isInfinite || v.isNaN) return v.toString
+    // C %g keeps the sign of negative zero; toLong would drop it
+    if (v == 0.0 && (1.0 / v) < 0) return "-0"
     if (v == math.rint(v) && math.abs(v) < 1e15) return v.toLong.toString
     // C printf %.16g rounds the EXACT binary expansion of the double;
     // Java's %g instead rounds the shortest decimal repr, which goes the

@@ -93,8 +93,16 @@ case class DialectDateAdd(left: Expression, right: Expression, sign: Int)
     extends RuntimeReplaceable with BinaryLike[Expression] {
 
   override lazy val replacement: Expression = right.dataType match {
-    case _: YearMonthIntervalType | _: DayTimeIntervalType |
-         CalendarIntervalType =>
+    // year-month intervals take their own physical op (TimestampAddInterval
+    // only accepts day-time/calendar intervals — the analyzer sugar that
+    // normally routes this is ResolveBinaryArithmetic, which does not
+    // re-run inside a replacement)
+    case _: YearMonthIntervalType =>
+      val iv = if (sign >= 0) right
+      else org.apache.spark.sql.catalyst.expressions.UnaryMinus(right)
+      org.apache.spark.sql.catalyst.expressions.TimestampAddYMInterval(left, iv,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    case _: DayTimeIntervalType | CalendarIntervalType =>
       val iv = if (sign >= 0) right
       else org.apache.spark.sql.catalyst.expressions.UnaryMinus(right)
       // timezone must be bound here: the analyzer's ResolveTimeZone has
@@ -158,4 +166,32 @@ case class DialectAppxMedian(child: Expression)
   override protected def withNewChildInternal(c: Expression): DialectAppxMedian =
     copy(child = c)
   override def prettyName: String = "appx_median"
+}
+
+/** log(base, x) with raw C math (the reference's math-functions.cc uses
+  * plain `log(x)/log(base)`): log(1,2)=Infinity, log(0,2)=-0,
+  * log(2,0)=-Infinity, log(0,0)=NaN. Spark's Logarithm/Divide null-guard
+  * non-positive inputs and zero denominators, so this is its own kernel.
+  */
+case class CMathLog(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  // callers cast both children to DOUBLE (see the `log` builder)
+  override def dataType: DataType = DoubleType
+
+  protected override def nullSafeEval(b: Any, v: Any): Any =
+    java.lang.Math.log(v.asInstanceOf[Double]) /
+      java.lang.Math.log(b.asInstanceOf[Double])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, v) =>
+      s"${ev.value} = java.lang.Math.log($v) / java.lang.Math.log($b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CMathLog = copy(left = l, right = r)
+  override def prettyName: String = "log"
 }

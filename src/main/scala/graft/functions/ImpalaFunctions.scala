@@ -209,14 +209,44 @@ object ImpalaFunctions {
     // from_timestamp(ts, fmt): render a timestamp with a format string
     // (timestamp-functions.h FromTimestamp) -> date_format.
     temp("from_timestamp") { case Seq(ts, fmt) => DateFormatClass(ts, fmt) }
+    // to_date(ts) returns STRING in the reference (timestamp-functions.h
+    // ToDate -> StringVal "yyyy-MM-dd"), not a DATE value.
+    temp("to_date") { case Seq(ts) =>
+      Cast(Cast(ts, DateType), StringType)
+    }
+    // log(base, x): the reference computes ln(x)/ln(base) with raw C math
+    // (math-functions.cc), so log(1,2)=Infinity, log(0,0)=NaN instead of
+    // Spark's guarded NULLs — see CMathLog.
+    temp("log") {
+      case Seq(b, v) => CMathLog(Cast(b, DoubleType), Cast(v, DoubleType))
+      case Seq(v) => Log(Cast(v, DoubleType))
+    }
+    // decode(e, s1, r1, ..., [def]): Impala's DECODE matches NULL search
+    // values (conditional-functions.h; CaseExpr with null-safe equality),
+    // keeping the results' common type. Spark's own decode renders
+    // results as strings; the 2-arg charset form stays native.
+    temp("decode") {
+      case Seq(bin, charset) => StringDecode(bin, charset)
+      case args if args.size >= 3 =>
+        val e = args.head
+        val rest = args.tail
+        val pairs = rest.grouped(2).filter(_.size == 2).toSeq
+          .map { case Seq(s, r) => (EqualNullSafe(e, s), r) }
+        val default = if (rest.size % 2 == 1) Some(rest.last) else None
+        CaseWhen(pairs, default)
+    }
     // trunc(ts, unit) with Impala's Oracle-style unit codes
     // (be/src/exprs/udf-builtins.cc:104-145 StrToTruncUnit). Shadows
     // Spark's trunc(date, fmt) for the session — Impala has no DATE type,
     // so the dialect form (TIMESTAMP in, TIMESTAMP out) is the one users
     // of the reference expect. Unit must be a literal (the reference's
     // TruncPrepare also only resolves constant units up front).
-    temp("trunc") { case Seq(ts, lit) =>
-      ImpalaDateTime.truncExpr(ts, litString(lit, "trunc unit"))
+    temp("trunc") {
+      case Seq(ts, lit) if isStringLit(lit) =>
+        ImpalaDateTime.truncExpr(ts, litString(lit, "trunc unit"))
+      // non-constant unit: per-row CASE dispatch; unknown units raise the
+      // reference's "Invalid Truncate Unit: <u>" at runtime (IMPALA-1746)
+      case Seq(ts, unit) => ImpalaDateTime.dynamicTrunc(ts, unit)
     }
     // extract(ts, 'field') / extract(field FROM ts) / date_part('field', ts)
     // — Impala returns INT for every field (udf-builtins.cc:336-424),
@@ -313,19 +343,33 @@ object ImpalaFunctions {
     // position and option letters: i=case-insensitive, c=case-sensitive
     // (default), n=newline-matches-dot, m=multi-line. Implemented as a
     // substring from start_pos plus an inline (?i)(?s)(?m) flag prefix.
+    // start_pos < 1 and unknown option letters raise the reference's
+    // runtime errors verbatim (string-functions.cc RegexpMatchCount
+    // "Illegal starting position" / "Illegal match parameter")
+    def checkedPos(pos: Expression): Expression =
+      If(LessThan(Cast(pos, IntegerType), Literal(1)),
+        Cast(RaiseError(Concat(Seq(
+          Literal("Illegal starting position "), Cast(pos, StringType)))),
+          IntegerType),
+        Cast(pos, IntegerType))
     temp("regexp_match_count") {
       case Seq(s0, p) => RegExpCount(s0, p)
       case Seq(s0, p, pos) =>
-        RegExpCount(Substring(s0, Cast(pos, IntegerType), Literal(Int.MaxValue)), p)
+        RegExpCount(Substring(s0, checkedPos(pos), Literal(Int.MaxValue)), p)
       case Seq(s0, p, pos, params) =>
         // per-row flag letters -> inline (?i)(?s)(?m) prefix, built as an
         // expression so non-constant params work
         def flag(letter: String, java: String): Expression =
           If(GreaterThan(StringInstr(params, Literal(letter)), Literal(0)),
             Literal(java), Literal(""))
-        val flagged = Concat(Seq(
+        val checkedParams =
+          If(RLike(params, Literal("^[icnm]*$")), Literal(""),
+            Cast(RaiseError(Concat(Seq(Literal("Illegal match parameter "),
+              RegExpExtract(params, Literal("[^icnm]"), Literal(0))))),
+              StringType))
+        val flagged = Concat(Seq(checkedParams,
           flag("i", "(?i)"), flag("n", "(?s)"), flag("m", "(?m)"), p))
-        RegExpCount(Substring(s0, Cast(pos, IntegerType), Literal(Int.MaxValue)), flagged)
+        RegExpCount(Substring(s0, checkedPos(pos), Literal(Int.MaxValue)), flagged)
     }
     // ndv_hll: the Impala-formula HLL-1024 sketch itself (FNV value hash,
     // harmonic estimator) as a TypedImperativeAggregate — see NdvHll.
@@ -430,4 +474,21 @@ object ImpalaDateTime {
       ExtractFields.map(f =>
         (EqualTo(Lower(field), Literal(f)), extractExpr(ts, f))),
       None)
+
+  val TruncUnits: Seq[String] = Seq(
+    "syyyy", "yyyy", "year", "syear", "yyy", "yy", "y", "q",
+    "month", "mon", "mm", "rm", "ww", "w", "ddd", "dd", "j",
+    "day", "dy", "d", "hh", "hh12", "hh24", "mi")
+
+  /** trunc with a per-row unit: CASE over the unit codes; an unknown unit
+    * raises the reference's runtime error text ("Invalid Truncate Unit:
+    * <unit>", udf-builtins.cc TruncImpl) via raise_error.
+    */
+  def dynamicTrunc(ts: Expression, unit: Expression): Expression =
+    CaseWhen(
+      TruncUnits.map(u =>
+        (EqualTo(Lower(unit), Literal(u)), truncExpr(ts, u))),
+      Some(Cast(RaiseError(
+        Concat(Seq(Literal("Invalid Truncate Unit: "), Cast(unit, StringType)))),
+        TimestampNTZType)))
 }

@@ -7,28 +7,17 @@ object CharProbe {
     def q(s: String): Unit = {
       println(s"-- $s")
       try Engine.sql(spark, dir, s).show(12, truncate = false)
-      catch { case e: Throwable => println("ERROR: " + (e.toString + Option(e.getMessage).getOrElse("")).take(300)) }
+      catch { case e: Throwable => println("ERROR: " + (Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(4).map(t => Option(t.getMessage).getOrElse(t.toString)).mkString(" <- ")).take(300)) }
     }
-    q("set spark.sql.preserveCharVarcharTypeInfo=true")
-    q("select cast('hel' as char(5)) c, length(cast('hel' as char(5))) l")
-    q("select cast('xyzzzzz12' as varchar(-1))")
-    q("select cast('xyzzzzz12' as char(-1))")
-    q("drop table if exists chars_tiny")
-    q("create table chars_tiny (cs char(5), cl char(140), vc varchar(32)) using parquet")
-    q("insert into chars_tiny values (cast('6a' as char(5)), cast('6b' as char(140)), cast('6c' as varchar(32))), ('5a','5bbb','5c'), (null,null,null), ('a','b','c'), ('6a','6b','6c')")
-    q("select * from chars_tiny where cs = cast('6a' as CHAR(2))")
-    q("select count(*) c from chars_tiny where cs != cast('a' as char(3))")
-    q("select count(DISTINCT cs) c from chars_tiny where cs = cast('5a' as char(10))")
-    q("select min(cs) a, max(vc) b, ndv(cl) c, ndv(vc) d from chars_tiny")
-    q("select appx_median(cs) m from chars_tiny")
-    q("select cs, LAST_VALUE(cs) OVER (ORDER BY cs rows between unbounded preceding and current row) lv FROM chars_tiny")
-    q("drop table if exists char_parts")
-    q("create table char_parts (vc varchar(32)) using parquet partitioned by (csp char(5), clp char(140), vcp varchar(32))")
-    q("insert into char_parts (csp, clp, vcp, vc) select cs, cl, vc, vc from chars_tiny")
-    q("select csp, length(csp) l, vcp from char_parts where csp != cast('dne' as char(5)) order by csp")
-    q("drop table if exists char_parts")
-    q("drop table if exists chars_tiny")
-    q("set spark.sql.preserveCharVarcharTypeInfo=false")
+    q("select unix_timestamp('1972||mar||03||030303', 'yyyy||MMM||dd||HHmmss') a")
+    q("select unix_timestamp('1972||Mar||03||030303', 'yyyy||MMM||dd||HHmmss') a")
+    q("select count(*) c from lineitem where btrim(l_comment, l_comment) != ''")
+    q("select timestamp '2010-01-01' + make_interval(0,0,0,0,0,0, cast(null as tinyint)) a")
+    q("select dayofyear(trunc('2014-11-11', '0')) a")
+    q("select weekofyear(timestamp '2009-01-01') w, to_date(timestamp '2009-01-02 03:04:05') d")
+    q("select translate('one\\ntwo', '\\n', '@') a")
+    q("select regexp_match_count('aaa123a', 'a*') a, regexp_match_count('0123456789', '.?') b, regexp_match_count('abcab', '(a|ab|abc)') c, regexp_match_count('abc123efg', '[\\\\d]') d, regexp_match_count('a1b2c3d4e5!!!', '[\\\\w\\\\d]') e")
+    q("select regexp_match_count('this\\nis\\nnewline', '.*', 1, '') a, regexp_match_count('IPhone\\nIPad\\nIPod', '^I.*$', 1, 'm') b, regexp_match_count('aaa', 'a*', 4, '') c")
     spark.stop()
   }
 }
