@@ -110,11 +110,14 @@ case class DialectDateAdd(left: Expression, right: Expression, sign: Int)
       org.apache.spark.sql.catalyst.expressions.TimestampAddInterval(left, iv,
         Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
     case _ =>
+      // timezone bound explicitly: TimestampAdd is TimeZoneAware and
+      // stays unresolved inside a replacement otherwise
       org.apache.spark.sql.catalyst.expressions.TimestampAdd(
         "DAY",
         if (sign >= 0) Cast(right, LongType)
         else org.apache.spark.sql.catalyst.expressions.UnaryMinus(Cast(right, LongType)),
-        left)
+        left,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
   }
 
   override protected def withNewChildrenInternal(
@@ -159,6 +162,10 @@ case class DialectAppxMedian(child: Expression)
   override lazy val replacement: Expression = child.dataType match {
     case StringType | _: CharType | _: VarcharType =>
       AppxMedianStringAgg(Cast(child, StringType))
+    // NTZ has no direct <-> double cast; route via TIMESTAMP (UTC session)
+    case TimestampNTZType =>
+      AppxMedianAgg(Cast(Cast(child, TimestampType), DoubleType),
+        resultType = TimestampNTZType)
     case dt =>
       AppxMedianAgg(Cast(child, DoubleType), resultType = dt)
   }
@@ -166,6 +173,28 @@ case class DialectAppxMedian(child: Expression)
   override protected def withNewChildInternal(c: Expression): DialectAppxMedian =
     copy(child = c)
   override def prettyName: String = "appx_median"
+}
+
+/** histogram(x): type-aware rendering — the reference's histogram is
+  * instantiated per input type and prints each sample boundary as that
+  * type (floats in float precision, timestamps as timestamps).
+  */
+case class DialectHistogram(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate
+    with UnaryLike[Expression] {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case FloatType => HistogramAgg(Cast(child, DoubleType), render = "float")
+    case TimestampType => HistogramAgg(Cast(child, DoubleType), render = "ts")
+    case TimestampNTZType =>
+      HistogramAgg(Cast(Cast(child, TimestampType), DoubleType), render = "ts")
+    case _ => HistogramAgg(Cast(child, DoubleType))
+  }
+
+  override protected def withNewChildInternal(c: Expression): DialectHistogram =
+    copy(child = c)
+  override def prettyName: String = "histogram"
 }
 
 /** log(base, x) with raw C math (the reference's math-functions.cc uses

@@ -314,16 +314,30 @@ object ImpalaFunctions {
       case Seq(e) => ListAgg(e, Literal(", "))
       // a NULL separator falls back to the default ", "
       // (aggregate-functions.cc StringConcatUpdate's default separator)
-      case Seq(e, sep) => ListAgg(e, Coalesce(Seq(sep, Literal(", "))))
+      case Seq(e, sep: Literal) =>
+        ListAgg(e, Coalesce(Seq(sep, Literal(", "))))
+      // per-row separator (StringConcatUpdate appends sep_i + value_i) —
+      // ListAgg needs a foldable delimiter, so this takes its own agg
+      case Seq(e, sep) =>
+        GroupConcatSep(Cast(e, StringType), Cast(sep, StringType))
     }
     // variance_pop / variance_samp: reference aliases of var_pop/var_samp
     // (impala_functions.py aggregate section); Spark has the short names.
     temp("variance_pop") { case Seq(e) =>
       aggregate.VariancePop(Cast(e, DoubleType)).toAggregateExpression()
     }
-    temp("variance_samp") { case Seq(e) =>
-      aggregate.VarianceSamp(Cast(e, DoubleType)).toAggregateExpression()
-    }
+    // Sample variance/stddev of a SINGLE value is 0 in the reference
+    // (KnuthVar with count==1, aggregate-functions.cc), NULL in Spark —
+    // wrap with a count guard so n=1 groups match.
+    def sampleAgg(name: String,
+        mk: Expression => aggregate.AggregateFunction)(e: Expression): Expression =
+      If(EqualTo(aggregate.Count(Seq(e)).toAggregateExpression(), Literal(1L)),
+        Literal(0.0),
+        mk(Cast(e, DoubleType)).toAggregateExpression())
+    for (name <- Seq("variance", "variance_samp", "var_samp"))
+      temp(name) { case Seq(e) => sampleAgg(name, aggregate.VarianceSamp(_))(e) }
+    for (name <- Seq("stddev", "stddev_samp"))
+      temp(name) { case Seq(e) => sampleAgg(name, aggregate.StddevSamp(_))(e) }
     // appx_median: reservoir-sampled median, reference-exact rank
     // (aggregate-functions.cc:1119 AppxMedianFinalize takes
     // samples[num_samples/2]; exact below the 20k reservoir cap —
@@ -376,9 +390,7 @@ object ImpalaFunctions {
     temp("ndv_hll") { case Seq(e) => NdvHll(e).toAggregateExpression() }
     // histogram / appx_median_rs: the reference's 20k-reservoir aggregates
     // (aggregate-functions.h:126-167) — see ReservoirAgg.
-    temp("histogram") { case Seq(e) =>
-      HistogramAgg(Cast(e, DoubleType)).toAggregateExpression()
-    }
+    temp("histogram") { case Seq(e) => DialectHistogram(e) }
     temp("appx_median_rs") { case Seq(e) =>
       AppxMedianAgg(Cast(e, DoubleType)).toAggregateExpression()
     }

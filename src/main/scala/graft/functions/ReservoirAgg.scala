@@ -173,6 +173,7 @@ abstract class ReservoirBackedAgg extends TypedImperativeAggregate[Reservoir] {
   */
 case class HistogramAgg(
     child: Expression,
+    render: String = "num",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends ReservoirBackedAgg {
 
@@ -190,10 +191,30 @@ case class HistogramAgg(
     UTF8String.fromString(bounds.mkString(", "))
   }
 
-  private def fmt(v: Double): String =
-    if (v == math.rint(v) && !v.isInfinite && math.abs(v) < 1e15)
-      v.toLong.toString
-    else v.toString
+  // `render` keeps the INPUT type's own printing (the reference's
+  // histogram is defined per type and renders each sample as its type):
+  // "float" prints the float's shortest repr, "ts" re-interprets the
+  // buffered value as epoch seconds and prints a timestamp.
+  private def fmt(v: Double): String = render match {
+    case "ts" =>
+      val micros = Math.rint(v * 1e6).toLong
+      val secs = Math.floorDiv(micros, 1000000L)
+      val frac = Math.floorMod(micros, 1000000L)
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        secs, 0, java.time.ZoneOffset.UTC)
+      val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+        f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+        f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      if (frac == 0) base else f"$base.$frac%06d"
+    case "float" =>
+      if (v == math.rint(v) && !v.isInfinite && math.abs(v) < 1e15)
+        v.toLong.toString
+      else v.toFloat.toString
+    case _ =>
+      if (v == math.rint(v) && !v.isInfinite && math.abs(v) < 1e15)
+        v.toLong.toString
+      else v.toString
+  }
 
   override def withNewMutableAggBufferOffset(o: Int): HistogramAgg =
     copy(mutableAggBufferOffset = o)
@@ -222,10 +243,13 @@ case class AppxMedianAgg(
     val sorted = java.util.Arrays.copyOf(r.values, r.n)
     java.util.Arrays.sort(sorted)
     val m = sorted(sorted.length / 2)
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, Literal => CLit}
     if (resultType == DoubleType) m
-    else org.apache.spark.sql.catalyst.expressions.Cast(
-      org.apache.spark.sql.catalyst.expressions.Literal(m, DoubleType),
-      resultType, Some("UTC")).eval(null)
+    // double -> NTZ has no direct cast; route via TIMESTAMP (UTC session)
+    else if (resultType == TimestampNTZType)
+      CCast(CCast(CLit(m, DoubleType), TimestampType, Some("UTC")),
+        TimestampNTZType, Some("UTC")).eval(null)
+    else CCast(CLit(m, DoubleType), resultType, Some("UTC")).eval(null)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): AppxMedianAgg =
@@ -502,4 +526,88 @@ case class SampleAgg(
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): SampleAgg = copy(child = c.head)
   override def prettyName: String = "sample"
+}
+
+
+/** group_concat(value, sep) with a PER-ROW separator (the reference's
+  * StringConcatUpdate appends `sep_i + value_i` for every row after the
+  * first, where sep_i is that row's separator value,
+  * `be/src/exprs/aggregate-functions.cc:743-775`). Input order is
+  * unspecified, same as the reference. Only used when the separator is
+  * non-foldable — constant separators keep Spark's codegen'd ListAgg.
+  */
+case class GroupConcatSep(
+    value: Expression,
+    sep: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(UTF8String, UTF8String)]] {
+
+  type Buf = scala.collection.mutable.ArrayBuffer[(UTF8String, UTF8String)]
+
+  override def children: Seq[Expression] = Seq(value, sep)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val v = value.eval(input)
+    if (v != null) {
+      val s = sep.eval(input)
+      val sepStr = if (s == null) UTF8String.fromString(", ")
+        else s.asInstanceOf[UTF8String].clone()
+      b += ((v.asInstanceOf[UTF8String].clone(), sepStr))
+    }
+    b
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+
+  override def eval(b: Buf): Any = {
+    if (b.isEmpty) return null
+    val sb = new java.lang.StringBuilder()
+    sb.append(b.head._1.toString)
+    var i = 1
+    while (i < b.length) {
+      sb.append(b(i)._2.toString).append(b(i)._1.toString)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.length)
+    b.foreach { case (v, s) =>
+      val vb = v.getBytes; val sb2 = s.getBytes
+      out.writeInt(vb.length); out.write(vb)
+      out.writeInt(sb2.length); out.write(sb2)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new Buf()
+    var i = 0
+    while (i < n) {
+      val vl = in.readInt(); val vb = new Array[Byte](vl); in.readFully(vb)
+      val sl = in.readInt(); val sb2 = new Array[Byte](sl); in.readFully(sb2)
+      b += ((UTF8String.fromBytes(vb), UTF8String.fromBytes(sb2)))
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): GroupConcatSep =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GroupConcatSep =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): GroupConcatSep =
+    copy(value = c(0), sep = c(1))
+  override def prettyName: String = "group_concat"
 }
