@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.types._
@@ -38,11 +39,27 @@ import org.apache.spark.sql.types._
   */
 object NestedTableRefs {
 
-  /** Cheap pre-test: any multi-part relation at all? */
-  def mightApply(plan: LogicalPlan): Boolean =
-    plan.collectFirst {
-      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 => u
-    }.nonEmpty
+  /** Cheap pre-test: any multi-part relation at all? Must look through
+    * expression subqueries (WHERE-clause refs) and innerChildren (CTE
+    * definitions), which plan-level collect does not visit.
+    */
+  def mightApply(plan: LogicalPlan): Boolean = {
+    def scan(p: LogicalPlan): Boolean = {
+      p.collectFirst {
+        case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 => u
+      }.nonEmpty ||
+      p.collect { case n: LogicalPlan => n }.exists { n =>
+        n.innerChildren.exists {
+          case lp: LogicalPlan => scan(lp)
+          case _ => false
+        } ||
+        n.expressions.exists(_.collectFirst {
+          case sq: SubqueryExpression if scan(sq.plan) => sq
+        }.nonEmpty)
+      }
+    }
+    scan(plan)
+  }
 
   def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
     if (!mightApply(plan)) plan else new NestedRefRewriter(spark).apply(plan)
@@ -126,9 +143,130 @@ private final class NestedRefRewriter(spark: SparkSession) {
       case s @ SubqueryAlias(id, u: UnresolvedRelation) =>
         expandStandalone(u.multipartIdentifier, Some(id.name), outer)
           .getOrElse(s)
+      // CTE definitions are NOT in children (innerChildren only), so
+      // mapChildren misses them — correlated WITH views over collection
+      // refs (IMPALA-2414) need the explicit walk
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        val defs2 = w.cteRelations.map { case (n, sa, lim) =>
+          (n, rewriteNode(sa, outer).asInstanceOf[SubqueryAlias], lim)
+        }
+        w.copy(child = rewriteNode(w.child, outer), cteRelations = defs2)
+      case f: Filter => rewriteFilter(f, outer)
       case other =>
         other.mapChildren(c => rewriteNode(c, outer))
     }
+
+  /** WHERE-clause subqueries over collection refs (scalar, [NOT] EXISTS,
+    * [NOT] IN) — the reference's StmtRewriter turns these into joins
+    * before planning (`fe/.../analysis/StmtRewriter.java`); Spark's
+    * decorrelator does not accept a Generate over an outer array inside
+    * an expression subquery, but accepts exactly the same plan as a
+    * LATERAL join. So hoist each such subquery into a lateral:
+    *   scalar:  LEFT lateral of the single-column subquery (empty -> NULL)
+    *   EXISTS:  lateral COUNT(1) > 0 (NOT EXISTS via the enclosing Not)
+    *   IN:      lateral [#matches, #null-comparisons] folded into the
+    *            exact three-valued IN result (empty set -> FALSE,
+    *            null-tainted miss -> NULL), so NOT IN is just Not(...)
+    */
+  private def rewriteFilter(f: Filter, outer: Scope): LogicalPlan = {
+    val child2 = rewriteNode(f.child, outer)
+    val scope = outer ++ aliasesOf(child2)
+
+    var plan: LogicalPlan = child2
+    var cond: Expression = f.condition
+
+    def freshTag(): String = { nextId += 1; s"__sq$nextId" }
+
+    def lateral(body: LogicalPlan, joinType: JoinType): Unit = {
+      plan = LateralJoin(plan, LateralSubquery(body), joinType, None)
+    }
+
+    // InSubquery is a predicate over a ListQuery, not itself a
+    // SubqueryExpression — collect all three shapes explicitly
+    val hoistable: Seq[Expression] = cond.collect {
+      case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if correlatesWith(sq.plan, scope) => sq
+      case sq: org.apache.spark.sql.catalyst.expressions.Exists
+          if correlatesWith(sq.plan, scope) => sq
+      case in: org.apache.spark.sql.catalyst.expressions.InSubquery
+          if correlatesWith(in.query.plan, scope) => in
+    }
+
+    hoistable.foreach { sq =>
+      val innerPlan = sq match {
+        case in: org.apache.spark.sql.catalyst.expressions.InSubquery =>
+          in.query.plan
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.plan
+      }
+      val inner = rewriteNode(innerPlan, scope)
+      val replacement: Expression = sq match {
+        case _: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+          val tag = freshTag()
+          val col = s"${tag}_v"
+          lateral(SubqueryAlias(tag,
+            org.apache.spark.sql.catalyst.analysis.UnresolvedSubqueryColumnAliases(
+              Seq(col), SubqueryAlias(s"${tag}_i", inner))), LeftOuter)
+          UnresolvedAttribute(Seq(tag, col))
+        case _: org.apache.spark.sql.catalyst.expressions.Exists =>
+          val tag = freshTag()
+          val col = s"${tag}_c"
+          val agg = Aggregate(Nil, Seq(Alias(
+            aggregate.Count(Seq(Literal(1))).toAggregateExpression(), col)()),
+            inner)
+          lateral(SubqueryAlias(tag, agg), Inner)
+          GreaterThan(UnresolvedAttribute(Seq(tag, col)), Literal(0L))
+        case in: org.apache.spark.sql.catalyst.expressions.InSubquery =>
+          // the outer value must stay OUT of the lateral's aggregates
+          // (a mixed outer/local agg argument is undecorrelatable), so
+          // the lateral only collects the subquery column and the test
+          // happens outside: TRUE on a contained match, NULL when the
+          // probe is null against a non-empty set or the set has nulls,
+          // FALSE otherwise (incl. the empty set) — exact 3-valued IN
+          val v = in.values.head
+          val tag = freshTag()
+          val fcol = s"${tag}_f"
+          val aliased =
+            org.apache.spark.sql.catalyst.analysis.UnresolvedSubqueryColumnAliases(
+              Seq(fcol), SubqueryAlias(s"${tag}_i", inner))
+          val fRef = UnresolvedAttribute(Seq(fcol))
+          val arr = s"${tag}_a"
+          val n = s"${tag}_n"
+          val agg = Aggregate(Nil, Seq(
+            Alias(aggregate.CollectList(fRef).toAggregateExpression(), arr)(),
+            Alias(aggregate.Count(Seq(CaseWhen(
+              Seq((IsNull(fRef), Literal(1))), None))).toAggregateExpression(), n)()),
+            aliased)
+          lateral(SubqueryAlias(tag, agg), Inner)
+          val arrRef = UnresolvedAttribute(Seq(tag, arr))
+          val nRef = UnresolvedAttribute(Seq(tag, n))
+          val setNonEmpty = GreaterThan(
+            Add(Cast(Size(arrRef, legacySizeOfNull = false), LongType), nRef),
+            Literal(0L))
+          CaseWhen(Seq(
+            (EqualNullSafe(ArrayContains(arrRef, v), Literal(true)),
+              Literal(true)),
+            (And(IsNull(v), setNonEmpty), Literal(null, BooleanType)),
+            (GreaterThan(nRef, Literal(0L)), Literal(null, BooleanType))),
+            Some(Literal(false)))
+        case other => null
+      }
+      if (replacement != null) {
+        changed = true
+        cond = cond.transform { case e if e eq sq => replacement }
+      }
+    }
+
+    // subqueries that stay in place still get their plans rewritten
+    // (self-contained collection refs at deeper scopes)
+    cond = cond.transform {
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          if !hoistable.exists(_ eq sq) =>
+        sq.withNewPlan(rewriteNode(sq.plan, scope))
+    }
+
+    Filter(cond, plan)
+  }
 
   private def rewriteJoin(j: Join, outer: Scope): LogicalPlan = {
     val left = rewriteNode(j.left, outer)
@@ -172,13 +310,27 @@ private final class NestedRefRewriter(spark: SparkSession) {
   /** Does this subquery's FROM reference a collection of an outer alias?
     * (The reference plans these as subplans; Spark needs LATERAL.)
     */
-  private def correlatesWith(sub: LogicalPlan, scope: Scope): Boolean =
-    sub.collectFirst {
-      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 &&
-          scope.contains(u.multipartIdentifier.head.toLowerCase) &&
-          isCollectionPath(scope(u.multipartIdentifier.head.toLowerCase),
-            u.multipartIdentifier.tail) => u
-    }.nonEmpty
+  private def correlatesWith(sub: LogicalPlan, scope: Scope): Boolean = {
+    def hit(u: UnresolvedRelation): Boolean =
+      u.multipartIdentifier.length >= 2 &&
+        scope.contains(u.multipartIdentifier.head.toLowerCase) &&
+        isCollectionPath(scope(u.multipartIdentifier.head.toLowerCase),
+          u.multipartIdentifier.tail)
+    // deep: CTE definitions live in innerChildren, refs may also sit in
+    // expression subqueries
+    def scan(p: LogicalPlan): Boolean =
+      p.collectFirst { case u: UnresolvedRelation if hit(u) => u }.nonEmpty ||
+      p.collect { case n: LogicalPlan => n }.exists { n =>
+        n.innerChildren.exists {
+          case lp: LogicalPlan => scan(lp)
+          case _ => false
+        } ||
+        n.expressions.exists(_.collectFirst {
+          case sq: SubqueryExpression if scan(sq.plan) => sq
+        }.nonEmpty)
+      }
+    scan(sub)
+  }
 
   /** Uncorrelated `FROM view.path [alias]`, or — inside a lateral
     * subquery — `FROM outer_alias.path [alias]` unnested over one row
