@@ -435,6 +435,53 @@ object RelationalQueries {
         |  TRUE AS pc_okey_ok, TRUE AS pcsa_okey_ok
         |FROM lineitem""".stripMargin)),
 
+    // appx_median over STRING and INT inputs (AppxMedianFinalize takes
+    // samples[n/2] after a memcmp/numeric sort; the documents table is
+    // under the 20k reservoir cap at every SF, so the result is the
+    // EXACT rank-floor(n/2) element and DuckDB can reproduce it with a
+    // row_number over the sorted group).
+    Q("agg_appx_median",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("appx_median(lang)").as("med_lang"),
+          expr("appx_median(n_chars)").as("med_chars"))
+        .orderBy(col("source")),
+      Some("""WITH g AS (SELECT source, COUNT(*) c FROM documents GROUP BY source),
+        |rl AS (SELECT source, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang) - 1 rn
+        |  FROM documents),
+        |rc AS (SELECT source, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) - 1 rn
+        |  FROM documents)
+        |SELECT g.source, CAST(g.c AS BIGINT) AS n_docs,
+        |  (SELECT lang FROM rl WHERE rl.source = g.source AND rl.rn = g.c // 2)
+        |    AS med_lang,
+        |  (SELECT n_chars FROM rc WHERE rc.source = g.source AND rc.rn = g.c // 2)
+        |    AS med_chars
+        |FROM g ORDER BY source""".stripMargin)),
+
+    // Single-value sample variance/stddev is 0 in the dialect (the
+    // reference's KnuthVar count==1 case), not Spark's NULL — the oracle
+    // encodes the Impala semantics explicitly so the gate pins them.
+    Q("agg_stats_single",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("variance(l_quantity)").as("var_qty"),
+          expr("stddev(l_quantity)").as("stddev_qty"))
+        .filter(col("n") === 1)
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CASE WHEN COUNT(*) = 1 THEN 0.0 ELSE VAR_SAMP(l_quantity) END
+        |    AS var_qty,
+        |  CASE WHEN COUNT(*) = 1 THEN 0.0 ELSE STDDEV_SAMP(l_quantity) END
+        |    AS stddev_qty
+        |FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) = 1
+        |ORDER BY l_orderkey""".stripMargin)),
+
     // Impala trunc()/extract() unit codes (udf-builtins.cc:104-145,
     // 336-424): quarter, year-anchored and month-anchored weeks, day of
     // week, hour, minute against DuckDB date arithmetic.
