@@ -202,6 +202,97 @@ object DedupOps {
       bandBits = 4, bands = 16),
     None)
 
+  /** Connected components over a near-dup pair set: every document in a
+    * component gets the component's smallest doc id as `cluster_id`, and
+    * `keep = (doc_id == cluster_id)` marks the canonical survivor. This
+    * is the step that turns any pair-producing dedup (exact, MinHash,
+    * SimHash, embedding-cosine) into a keep/drop decision when dup
+    * relations chain (A~B, B~C but not A~C).
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * current labels across the (symmetrized) edge set and keeps the
+    * smallest label seen — one shuffle per round, no driver-side data.
+    * Rounds needed = component diameter; near-dup components come from
+    * band-bucket joins and are clique-like (diameter 2-3), so the loop
+    * converges in a handful of rounds even at 100 TB. The driver reads
+    * ONE scalar per round (the changed-label count) for the fixpoint
+    * test, same pattern as the IVF k-means fit; labels are cached per
+    * round and unpersisted after use.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    // localCheckpoint each round: materializes the working set (same role
+    // as cache) AND breaks lineage, so round N+1's self-referential joins
+    // neither re-run the whole history nor trip ambiguous-self-join
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      // smallest label among self + neighbors
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("nid"),
+          col("cluster_id").as("nlabel")), col("b") === col("nid"))
+        .select(col("a").as("id"), col("nlabel").as("cand"))
+      val minned = labels.select(col("id"), col("cluster_id").as("cand"))
+        .union(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("cand")).as("cluster_id"))
+      // pointer jump (label-of-label): halves remaining path length each
+      // round, so chains converge in O(log n) rounds, not O(diameter) —
+      // every label is itself a member id, so the self-lookup always hits
+      val next = minned
+        .join(labels.select(col("id").as("jid"),
+          col("cluster_id").as("jlabel")), col("cluster_id") === col("jid"))
+        .select(col("id"), least(col("cluster_id"), col("jlabel"))
+          .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster assignment over a CHAIN pair set: consecutive doc_ids
+    * within each (source, lang) group. Chains are the adversarial input
+    * for label propagation (diameter = group size, up to ~112 on the
+    * driver data — the pointer-jump rounds earn their keep), and the
+    * fixpoint is independently checkable: a chain connects its whole
+    * group, so cluster_id must equal the group's min doc_id, which
+    * DuckDB expresses as a window min. Real pipelines feed LSH/exact
+    * pairs into the same operator.
+    */
+  val clusterAssign: Q = Q("dedup_cluster_assign",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("lang")).orderBy(col("doc_id"))
+      val pairs = t(s, d, "documents")
+        .select(col("source"), col("lang"), col("doc_id").as("b"),
+          lag(col("doc_id"), 1).over(w).as("a"))
+        .filter(col("a").isNotNull)
+        .select(col("a"), col("b"))
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (SELECT source, lang FROM documents
+      |  GROUP BY source, lang HAVING COUNT(*) > 1)
+      |SELECT d.doc_id,
+      |  MIN(d.doc_id) OVER (PARTITION BY d.source, d.lang) AS cluster_id,
+      |  (d.doc_id = MIN(d.doc_id) OVER (PARTITION BY d.source, d.lang))
+      |    AS keep
+      |FROM documents d JOIN g USING (source, lang)
+      |ORDER BY d.doc_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
-    embeddingCosine)
+    embeddingCosine, clusterAssign)
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupOps
+
+/** Connected-components label propagation (dedup cluster assignment). */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chained pairs collapse to one component (multi-hop propagation)") {
+    // path graph 1-2-3-4 plus a separate pair 10-11: propagation needs
+    // 3 rounds for the path, which a single min-over-neighbors would miss
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val got = DedupOps.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("cluster assignment matches per-group min on exact dups") {
+    val q = SparkEntry.queries("dedup_cluster_assign")(spark, TestSpark.sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // keep is true exactly when doc_id == cluster_id, one keeper per cluster
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min === cid)
+      assert(members.count(_.getBoolean(2)) === 1)
+    }
+  }
+}
