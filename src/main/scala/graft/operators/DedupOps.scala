@@ -242,15 +242,18 @@ object DedupOps {
         .union(viaNeighbor)
         .groupBy(col("id"))
         .agg(min(col("cand")).as("cluster_id"))
-      // pointer jump (label-of-label): halves remaining path length each
-      // round, so chains converge in O(log n) rounds, not O(diameter) —
-      // every label is itself a member id, so the self-lookup always hits
-      val next = minned
+      // pointer jumps (label-of-label): each halves the remaining path
+      // length, so chains converge in O(log n) rounds, not O(diameter) —
+      // every label is itself a member id, so the self-lookup always
+      // hits. Two jumps per round: rounds are latency-bound (a fixed
+      // number of shuffles each), an extra small join per round beats
+      // an extra round.
+      def jump(p: DataFrame): DataFrame = p
         .join(labels.select(col("id").as("jid"),
           col("cluster_id").as("jlabel")), col("cluster_id") === col("jid"))
-        .select(col("id"), least(col("cluster_id"), col("jlabel"))
+        .select(p("id"), least(col("cluster_id"), col("jlabel"))
           .as("cluster_id"))
-        .localCheckpoint(true)
+      val next = jump(jump(minned)).localCheckpoint(true)
       val changed = next
         .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
         .filter(col("cluster_id") =!= col("old")).count()
