@@ -114,6 +114,9 @@ object GoldenRunner {
         }
         b.append("'").toString
       case s: String => "'" + s + "'"
+      // zero decimals at high scale would print scientific ("0E-38");
+      // the reference prints plain digits
+      case bd: java.math.BigDecimal => bd.toPlainString
       case t: java.time.LocalDateTime => fmtTs(t)
       case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
       case d: java.sql.Date => d.toString
