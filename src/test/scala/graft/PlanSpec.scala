@@ -158,4 +158,54 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+  // ---- round 5: subplan subquery hoisting + cluster propagation --------
+
+  private def nestedFixture(): Unit = {
+    Engine.sql(spark, TestSpark.sf,
+      """create or replace temporary view pspec_nested as
+        |select c.c_custkey, cast(c.c_acctbal as decimal(12,2)) c_acctbal,
+        |       o.c_orders
+        |from customer c left join (
+        |  select o_custkey, array_sort(collect_list(struct(
+        |    o_orderkey, cast(o_totalprice as decimal(12,2)) as o_totalprice)))
+        |    c_orders
+        |  from orders group by o_custkey) o
+        |on o.o_custkey = c.c_custkey""".stripMargin)
+  }
+
+  test("scalar subquery over a collection ref hoists to a decorrelated join (StmtRewriter parity)") {
+    nestedFixture()
+    val df = Engine.sql(spark, TestSpark.sf,
+      """select c_custkey from pspec_nested c
+        |where c_custkey < 10
+        |  and c_acctbal < (select avg(o_totalprice) from c.c_orders)""".stripMargin)
+    df.collect()
+    val p = physical(df)
+    // the per-row subplan must become joins over a Generate — never a
+    // cartesian product, never a per-row subquery execution
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("[NOT] IN over a nested collection decorrelates without mixed-reference aggregates") {
+    nestedFixture()
+    val df = Engine.sql(spark, TestSpark.sf,
+      """select c_custkey from pspec_nested c, c.c_orders o
+        |where c_custkey < 10
+        |  and o_orderkey not in (select o_orderkey + 1 from c.c_orders)""".stripMargin)
+    df.collect() // analysis would throw on an undecorrelatable plan
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cluster propagation is bounded shuffles per round, no widening joins") {
+    val df = SparkEntry.queries("dedup_cluster_assign")(spark, TestSpark.sf)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // final plan reads the checkpointed labels (rounds already folded),
+    // joined/sorted once — the iterative work never re-enters this plan
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
 }
