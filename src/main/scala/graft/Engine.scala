@@ -78,7 +78,18 @@ object Engine {
     // the dialect permits bare count() as count(*)
     c.set("spark.sql.legacy.allowParameterlessCount", "true")
     // dialect functions once per session (re-registration is pure churn)
-    if (fnRegistered.add(spark)) ImpalaFunctions.register(spark)
+    if (fnRegistered.add(spark)) {
+      ImpalaFunctions.register(spark)
+      // narrow semi/anti build sides reduce to their distinct rows
+      // before AQE can runtime-broadcast a row-huge/byte-tiny build
+      // (IMPALA-2256 parity) — see plans/SemiJoinBuildDedup
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.SemiJoinBuildDedup)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.SemiJoinBuildDedup
+      }
+    }
   }
 
   private val fnRegistered =

@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Dedup narrow SEMI/ANTI join build sides.
+  *
+  * A semi/anti probe only tests membership, so the build side is a SET —
+  * but Spark materializes it row-for-row. When the build has huge row
+  * count at tiny byte width (the reference's IMPALA-2256 regression:
+  * `int_col IN (SELECT 1 FROM a CROSS JOIN b)` — a 121M-row build of a
+  * single constant), AQE sees a byte-small shuffle and converts to a
+  * broadcast join, then dies building a 121M-entry hash relation on the
+  * driver. Reducing the build to its distinct rows first bounds it by
+  * the key cardinality instead of the row count.
+  *
+  * Guarded to builds whose whole output is <= 16 bytes wide: that is the
+  * shape where row count and byte size diverge enough to fool AQE, and
+  * where the extra aggregate is provably cheap (the deduped set is at
+  * most the narrow key space). Runs in the user optimizer batch, after
+  * RewriteSubquery has produced the join form.
+  */
+object SemiJoinBuildDedup extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(_, right, LeftSemi | LeftAnti, _, _)
+        if right.output.nonEmpty &&
+          right.output.map(_.dataType.defaultSize).sum <= 16 &&
+          !alreadyDeduped(right) =>
+      j.copy(right = Aggregate(right.output, right.output, right))
+  }
+
+  private def alreadyDeduped(p: LogicalPlan): Boolean = p match {
+    case Aggregate(g, a, _, _) => g.map(_.canonicalized) == a.map(_.canonicalized)
+    case _ => false
+  }
+}

@@ -208,4 +208,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
   }
 
+  test("narrow IN-subquery build sides dedup before the join (IMPALA-2256 parity)") {
+    // the reference's regression: a 121M-row single-constant build that
+    // AQE would runtime-broadcast as a 121M-entry hash relation. The
+    // SemiJoinBuildDedup rule must reduce the build to its distinct rows.
+    Engine.configure(spark)
+    val df = Engine.sql(spark, TestSpark.sf,
+      """SELECT count(*) FROM range(1000) t
+         WHERE t.id % 7 IN (SELECT 1 FROM range(1000) a CROSS JOIN range(1000) b)""")
+    val opt = df.queryExecution.optimizedPlan
+    val semi = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semi.nonEmpty, opt.treeString)
+    val deduped = semi.head.right.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.map(_.canonicalized) ==
+            a.aggregateExpressions.map(_.canonicalized) => a
+    }
+    assert(deduped.nonEmpty, s"build side not deduped:\n${opt.treeString}")
+    // and the wide-build guard: a build wider than 16 bytes is untouched
+    val wide = Engine.sql(spark, TestSpark.sf,
+      """SELECT count(*) FROM orders o
+         WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_name > '')""")
+    wide.collect() // must still be correct under the rule
+  }
+
 }
