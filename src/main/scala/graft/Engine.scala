@@ -77,6 +77,11 @@ object Engine {
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the dialect permits bare count() as count(*)
     c.set("spark.sql.legacy.allowParameterlessCount", "true")
+    // INSERT OVERWRITE with dynamic partitions replaces only the
+    // partitions that receive rows (hdfs-table-sink.cc:509 deletes
+    // per-output-partition), not the whole table — Spark calls that
+    // "dynamic" overwrite mode (its default is "static" = full wipe).
+    c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // dialect functions once per session (re-registration is pure churn)
     if (fnRegistered.add(spark)) {
       ImpalaFunctions.register(spark)
@@ -155,6 +160,18 @@ object Engine {
       q = q.replaceAll("(?i)\\bstraight_join\\b", "")
     if (q.contains("["))
       q = q.replaceAll("\\[(?i:shuffle|noshuffle|broadcast)\\]", "")
+    // Impala maps an empty-string partition-key value to the NULL
+    // partition (insert.test "s2=''" lands in
+    // __HIVE_DEFAULT_PARTITION__); Spark rejects '' in a static spec,
+    // so rewrite it. Dynamic-partition '' values already map to NULL.
+    if (q.toLowerCase.contains("partition")) {
+      val emptyKey = "(?i)(partition\\s*\\([^)]*?=\\s*)(''|\"\")".r
+      var prev = ""
+      while (prev != q) { // fixpoint: one spec may hold several '' keys
+        prev = q
+        q = emptyKey.replaceAllIn(q, m => m.group(1) + "NULL")
+      }
+    }
     q
   }
 }
