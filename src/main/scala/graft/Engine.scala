@@ -77,6 +77,10 @@ object Engine {
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the dialect permits bare count() as count(*)
     c.set("spark.sql.legacy.allowParameterlessCount", "true")
+    // Impala has no BINARY type: parquet byte_array columns without a
+    // UTF8 annotation read as STRING (parquet-metadata-utils.cc type
+    // mapping); Spark needs the flag to match.
+    c.set("spark.sql.parquet.binaryAsString", "true")
     // INSERT OVERWRITE with dynamic partitions replaces only the
     // partitions that receive rows (hdfs-table-sink.cc:509 deletes
     // per-output-partition), not the whole table — Spark calls that
@@ -135,7 +139,7 @@ object Engine {
     */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
-    val cleaned = stripPlanHints(query)
+    val cleaned = likeParquet(spark, stripPlanHints(query))
     val rewritten =
       try {
         val parsed = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cleaned)
@@ -149,6 +153,24 @@ object Engine {
       case None => spark.sql(cleaned)
     }
   }
+
+  /** `CREATE TABLE t LIKE PARQUET '<file>'` — the reference infers the
+    * new table's schema from a parquet file's footer
+    * (`CreateTableLikeFileStmt.java`, parquet schema → column defs).
+    * Spark has no such form; rewrite it to a plain CREATE TABLE with the
+    * schema read from the file (footer-only read, no data scan).
+    */
+  private val likeParquetRe =
+    "(?is)^\\s*create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([\\w.]+)\\s+like\\s+parquet\\s+'([^']+)'\\s*$".r
+
+  private def likeParquet(spark: SparkSession, query: String): String =
+    query match {
+      case likeParquetRe(ifNotExists, table, file) =>
+        val schema = spark.read.parquet(file).schema
+        val ine = if (ifNotExists == null) "" else "if not exists "
+        s"create table $ine$table (${schema.toDDL}) using parquet"
+      case _ => query
+    }
 
   /** The reference's optional plan hints have no Spark parse; they only
     * steer its static distributed planner (`DistributedPlanner.java`),
