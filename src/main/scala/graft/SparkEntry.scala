@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, WindowQueries}
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.functions.Udx
-import graft.sources.{Formats, TableSink}
+import graft.sources.{Formats, MixedFormat, TableSink}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
       RelationalQueries.defs ++ JoinQueries.defs ++
       WindowQueries.defs ++ NestedQueries.defs ++ PredicateQueries.defs ++
       TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
-      MultimodalOps.defs ++ Udx.defs ++ TableSink.defs ++ Formats.defs
+      MultimodalOps.defs ++ Udx.defs ++ TableSink.defs ++ Formats.defs ++
+      MixedFormat.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

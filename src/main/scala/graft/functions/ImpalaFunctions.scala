@@ -311,6 +311,20 @@ object ImpalaFunctions {
     // (BuiltinsDb.java:781-806). Returning the bare AggregateFunction lets
     // the analyzer apply DISTINCT / FILTER wrapping.
     temp("group_concat") {
+      // with the accumulation cap lowered (graft.group_concat.max_bytes),
+      // every form routes through the capped agg — the reference enforces
+      // its 1 GB StringVal limit during accumulation on ALL group_concats
+      // (QueryTest/large_strings.test), and only the imperative agg can
+      // fail fast mid-accumulation
+      case args if GroupConcatSep.confMaxBytes < GroupConcatSep.MaxBytesDefault =>
+        val cap = GroupConcatSep.confMaxBytes
+        args match {
+          case Seq(e) =>
+            GroupConcatSep(Cast(e, StringType), Literal(", "), cap)
+          case Seq(e, sep) =>
+            GroupConcatSep(Cast(e, StringType),
+              Coalesce(Seq(Cast(sep, StringType), Literal(", "))), cap)
+        }
       case Seq(e) => ListAgg(e, Literal(", "))
       // a NULL separator falls back to the default ", "
       // (aggregate-functions.cc StringConcatUpdate's default separator)

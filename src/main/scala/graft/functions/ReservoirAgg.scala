@@ -534,16 +534,25 @@ case class SampleAgg(
   * first, where sep_i is that row's separator value,
   * `be/src/exprs/aggregate-functions.cc:743-775`). Input order is
   * unspecified, same as the reference. Only used when the separator is
-  * non-foldable — constant separators keep Spark's codegen'd ListAgg.
+  * non-foldable — constant separators keep Spark's codegen'd ListAgg —
+  * or when `graft.group_concat.max_bytes` is set below the default.
+  *
+  * Accumulation is capped at `maxBytes` (default 1 GiB): the reference
+  * rejects concatenations past StringVal's 1 GB limit DURING
+  * accumulation, not at finalize (`QueryTest/large_strings.test`
+  * "Concatenated string length larger than allowed limit of 1 GB
+  * character data") — erroring early is what keeps a runaway
+  * group_concat from taking down an executor at scale.
   */
 case class GroupConcatSep(
     value: Expression,
     sep: Expression,
+    maxBytes: Long = GroupConcatSep.MaxBytesDefault,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(UTF8String, UTF8String)]] {
+    extends TypedImperativeAggregate[GroupConcatSep.ConcatBuf] {
 
-  type Buf = scala.collection.mutable.ArrayBuffer[(UTF8String, UTF8String)]
+  type Buf = GroupConcatSep.ConcatBuf
 
   override def children: Seq[Expression] = Seq(value, sep)
   override def nullable: Boolean = true
@@ -551,18 +560,28 @@ case class GroupConcatSep(
 
   override def createAggregationBuffer(): Buf = new Buf()
 
+  private def grow(b: Buf, delta: Long): Unit = {
+    b.bytes += delta
+    if (b.bytes > maxBytes)
+      throw new IllegalStateException(
+        "Concatenated string length larger than allowed limit of 1 GB " +
+          "character data")
+  }
+
   override def update(b: Buf, input: InternalRow): Buf = {
     val v = value.eval(input)
     if (v != null) {
       val s = sep.eval(input)
       val sepStr = if (s == null) UTF8String.fromString(", ")
         else s.asInstanceOf[UTF8String].clone()
-      b += ((v.asInstanceOf[UTF8String].clone(), sepStr))
+      val valStr = v.asInstanceOf[UTF8String].clone()
+      grow(b, valStr.numBytes().toLong + sepStr.numBytes().toLong)
+      b += ((valStr, sepStr))
     }
     b
   }
 
-  override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+  override def merge(a: Buf, b: Buf): Buf = { grow(a, b.bytes); a ++= b; a }
 
   override def eval(b: Buf): Any = {
     if (b.isEmpty) return null
@@ -596,6 +615,7 @@ case class GroupConcatSep(
     while (i < n) {
       val vl = in.readInt(); val vb = new Array[Byte](vl); in.readFully(vb)
       val sl = in.readInt(); val sb2 = new Array[Byte](sl); in.readFully(sb2)
+      b.bytes += vl.toLong + sl.toLong
       b += ((UTF8String.fromBytes(vb), UTF8String.fromBytes(sb2)))
       i += 1
     }
@@ -610,4 +630,24 @@ case class GroupConcatSep(
       c: IndexedSeq[Expression]): GroupConcatSep =
     copy(value = c(0), sep = c(1))
   override def prettyName: String = "group_concat"
+}
+
+object GroupConcatSep {
+  /** StringVal's limit in the reference BE (1 GB of character data). */
+  val MaxBytesDefault: Long = 1L << 30
+
+  final class ConcatBuf
+      extends scala.collection.mutable.ArrayBuffer[(UTF8String, UTF8String)] {
+    /** Total accumulated value+separator bytes, maintained by the agg. */
+    var bytes: Long = 0L
+  }
+
+  /** Session override — lets tests exercise the accumulation cap without
+    * a literal gigabyte of input.
+    */
+  def confMaxBytes: Long =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.group_concat.max_bytes", MaxBytesDefault.toString)
+      .toLong
+    catch { case _: NumberFormatException => MaxBytesDefault }
 }
