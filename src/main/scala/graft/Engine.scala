@@ -126,6 +126,9 @@ object Engine {
     tableNames.foreach { t =>
       table(spark, dir, t).createOrReplaceTempView(t)
     }
+    // the reference's UDF/UDA sample-library surface (QueryTest/udf.test,
+    // uda.test) — installed like a user library at session setup
+    graft.functions.UdfCorpus.register(spark)
     mounted.put(spark, dir)
   }
 

@@ -56,8 +56,9 @@ object GoldenRunner {
               results = lines.tail.map(_.trim).filter(_.nonEmpty)
                 .filterNot(_.startsWith("#"))
             case "TYPES" =>
+              // split on commas NOT inside parens: DECIMAL(9,0) is one type
               types = Some(lines.tail.filterNot(_.trim.startsWith("#"))
-                .mkString(",").split(",").map(_.trim)
+                .mkString(",").split(",(?![^(]*\\))").map(_.trim)
                 .filter(_.nonEmpty).toSeq)
             case "OPTIONS" =>
               ordered = lines.tail.exists(_.contains("order_sensitive"))
