@@ -220,8 +220,14 @@ object DedupOps {
     * round and unpersisted after use.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // pre-partition the edge set on the probe key: the per-round
+    // neighbor join requires hashpartitioning(b), so the cached layout
+    // satisfies it and edges never re-shuffle across rounds (the
+    // reference's exchange-once-then-iterate shape; only the small
+    // labels side moves each round)
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .cache()
     // localCheckpoint each round: materializes the working set (same role
     // as cache) AND breaks lineage, so round N+1's self-referential joins
@@ -233,15 +239,22 @@ object DedupOps {
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      // smallest label among self + neighbors
+      // smallest label among self + neighbors; the self branch also
+      // carries the previous label forward (flagged), so the fixpoint
+      // test is a scan of the materialized round output instead of an
+      // extra shuffle join against the previous labels
+      val self = labels.select(col("id"), col("cluster_id").as("cand"),
+        lit(true).as("is_self"))
       val viaNeighbor = edges
         .join(labels.select(col("id").as("nid"),
           col("cluster_id").as("nlabel")), col("b") === col("nid"))
-        .select(col("a").as("id"), col("nlabel").as("cand"))
-      val minned = labels.select(col("id"), col("cluster_id").as("cand"))
-        .union(viaNeighbor)
+        .select(col("a").as("id"), col("nlabel").as("cand"),
+          lit(false).as("is_self"))
+      val minned = self.union(viaNeighbor)
         .groupBy(col("id"))
-        .agg(min(col("cand")).as("cluster_id"))
+        .agg(min(col("cand")).as("cluster_id"),
+          // exactly one self row per id — min-over-flagged recovers it
+          min(when(col("is_self"), col("cand"))).as("old"))
       // pointer jumps (label-of-label): each halves the remaining path
       // length, so chains converge in O(log n) rounds, not O(diameter) —
       // every label is itself a member id, so the self-lookup always
@@ -252,12 +265,11 @@ object DedupOps {
         .join(labels.select(col("id").as("jid"),
           col("cluster_id").as("jlabel")), col("cluster_id") === col("jid"))
         .select(p("id"), least(col("cluster_id"), col("jlabel"))
-          .as("cluster_id"))
+          .as("cluster_id"), p("old"))
       val next = jump(jump(minned)).localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      // no join: `old` rode along through the round
+      val changed = next.filter(col("cluster_id") =!= col("old")).count()
+      labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
     }
     edges.unpersist()
