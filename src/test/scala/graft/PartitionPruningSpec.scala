@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-pruning parity with the reference's
+  * QueryTest/partition-col-types.test EXPLAIN expectations
+  * (`partitions=X/Y` from HdfsPartitionPruner.java over
+  * HdfsScanNode): every partition-key type — tinyint through string,
+  * float/double, boolean, decimal — must prune by value predicate at
+  * PLAN time, reading only the matching partition directories. The
+  * VALUE conformance for the same tables lives in
+  * golden/reference-partition-cols.test; this spec pins the reference's
+  * exact pruned-partition counts against Spark's file-source partition
+  * selection (the 100 TB property: a scan of a 10k-partition table with
+  * a key predicate must touch X directories, not all of them).
+  */
+class PartitionPruningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def clearStale(names: String*): Unit = names.foreach { t =>
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  private def setup(): Unit = synchronized {
+    if (!spark.catalog.tableExists("prune_all_insert")) {
+      Engine.configure(spark)
+      clearStale("prune_all_insert", "prune_bool", "prune_dec")
+      spark.sql(
+        """create table prune_all_insert (
+          |  id int, tinyint_col tinyint, smallint_col smallint,
+          |  int_col int, bigint_col bigint, float_col float,
+          |  double_col double, string_col string)
+          |using parquet
+          |partitioned by (tinyint_col, smallint_col, int_col, bigint_col,
+          |  float_col, double_col, string_col)""".stripMargin)
+      spark.sql(
+        """insert overwrite table prune_all_insert
+          |partition (tinyint_col, smallint_col, int_col, bigint_col,
+          |  float_col, double_col, string_col)
+          |select id, cast(id as tinyint), cast(id as smallint), id,
+          |  cast(id * 10 as bigint), cast(0.0 as float), 1.1d,
+          |  cast(id as string)
+          |from (select explode(sequence(0, 9)) id)""".stripMargin)
+      spark.sql(
+        """insert overwrite table prune_all_insert
+          |partition (tinyint_col=11, smallint_col=11, int_col=11,
+          |  bigint_col=110, float_col=2, double_col=3.1, string_col='11')
+          |select 11""".stripMargin)
+      spark.sql(
+        """create table prune_bool (id int, bool_col boolean)
+          |using parquet partitioned by (bool_col)""".stripMargin)
+      spark.sql("insert into prune_bool partition (bool_col=false) select 1")
+      spark.sql("insert into prune_bool partition (bool_col=true) select 2")
+      spark.sql(
+        """create table prune_dec (id int, dec decimal(5,4),
+          |  decimal_col decimal(5,4))
+          |using parquet partitioned by (decimal_col)""".stripMargin)
+      spark.sql(
+        "insert into prune_dec partition (decimal_col=4.34) values (1, 3.14)")
+      spark.sql(
+        """insert into prune_dec partition (decimal_col)
+          |values (2, 6.28, 8.68), (0, 1.23, 8.68), (3, 4.56, 1.0)""".stripMargin)
+    }
+  }
+
+  /** Partitions selected at plan time for the scan in `df` — the
+    * Spark-side value of the reference's EXPLAIN `partitions=X/...`.
+    */
+  private def partitionsRead(df: DataFrame): Int = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    scans.map(_.selectedPartitions.partitionCount).sum
+  }
+
+  private def prunes(sql: String, want: Int): Unit = {
+    setup()
+    assert(partitionsRead(spark.sql(sql)) === want, sql)
+  }
+
+  test("partition-col-types.test: typed partition keys all prune (partitions=X/11 parity)") {
+    prunes("select * from prune_all_insert", 11)
+    // partitions=3/11
+    prunes(
+      """select * from prune_all_insert
+        |where tinyint_col < 7 and smallint_col < 6 and int_col < 5
+        |  and bigint_col < 40 and string_col in ('1', '2', '3')""".stripMargin, 3)
+    prunes("select * from prune_all_insert where tinyint_col < 7", 7)
+    prunes("select * from prune_all_insert where smallint_col < 6", 6)
+    prunes("select * from prune_all_insert where int_col < 5", 5)
+    prunes("select * from prune_all_insert where bigint_col < 40", 4)
+    prunes("select * from prune_all_insert where string_col in ('1', '2', '3')", 3)
+    prunes("select * from prune_all_insert where double_col = 1.1", 10)
+    prunes("select * from prune_all_insert where float_col = 2", 1)
+  }
+
+  test("boolean partition key prunes (partitions=1/2 parity)") {
+    prunes("select * from prune_bool where bool_col = false", 1)
+  }
+
+  test("IMPALA-1026: decimal partition keys prune, any literal scale") {
+    prunes("select * from prune_dec where decimal_col = 4.34", 1)
+    prunes("select * from prune_dec where decimal_col = 04.340", 1)
+    prunes("select * from prune_dec where decimal_col = 4.35", 0)
+    prunes("select * from prune_dec where decimal_col = 8.68", 1)
+  }
+}
