@@ -95,5 +95,40 @@ object Formats {
       |WHERE id >= 1000 AND id < 2000
       |GROUP BY 1 ORDER BY tag""".stripMargin))
 
-  val defs: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, avroRoundtrip, dsv2Scan)
+  /** Escape-aware delimited text scan (delimited-text.test's
+    * comma/backslash fixture, `delimited-text-parser.cc`): the Spark
+    * side parses the reference's own escaped fixture file through
+    * [[DelimitedText.read]]; the oracle is the reference's expected
+    * decoded VALUES as constants (DuckDB's CSV reader cannot parse
+    * unquoted escapes — the expected rows ARE the published fixture
+    * semantics, QueryTest/delimited-text.test:5-15).
+    */
+  val delimitedScan: Q = Q("scan_delimited",
+    (s, _) => {
+      Engine.configure(s)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("f2",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("f3",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("f4",
+          org.apache.spark.sql.types.IntegerType)))
+      DelimitedText.read(s,
+        "/root/reference/testdata/data/text-comma-backslash-newline.txt",
+        schema, sep = ',', esc = '\\')
+        .orderBy(col("f1"))
+    },
+    Some("""SELECT f1, f2, CAST(f3 AS INT) AS f3, CAST(f4 AS INT) AS f4
+      |FROM (VALUES
+      |  ('one', 'two', 3, 4),
+      |  ('one,one', 'two', 3, 4),
+      |  ('one\', 'two', 3, 4),
+      |  ('one\,one', 'two', 3, 4),
+      |  ('one\\', 'two', 3, 4)) t(f1, f2, f3, f4)
+      |ORDER BY f1""".stripMargin))
+
+  val defs: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, avroRoundtrip, dsv2Scan,
+    delimitedScan)
 }
