@@ -414,6 +414,13 @@ object ImpalaFunctions {
     // timestamps, dates sampled verbatim — no lossy numeric cast);
     // nondeterministic output by design.
     temp("sample") { case Seq(e) => SampleAgg(e).toAggregateExpression() }
+    // bloom_build / bloom_find: the reference's runtime-filter split
+    // block Bloom filter (be/src/util/bloom-filter.h) as a user-callable
+    // build-aggregate + probe pair — see BlockBloom.
+    temp("bloom_build") { case Seq(e, Literal(logSpace: Int, IntegerType)) =>
+      BloomBuildAgg(e, logSpace).toAggregateExpression()
+    }
+    temp("bloom_find") { case Seq(bloom, h) => BloomFind(bloom, h) }
   }
 
   private def isStringLit(e: Expression): Boolean = e match {

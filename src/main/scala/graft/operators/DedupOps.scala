@@ -308,6 +308,51 @@ object DedupOps {
       |FROM documents d JOIN g USING (source, lang)
       |ORDER BY d.doc_id""".stripMargin))
 
+  /** Incremental dedup of a new batch against an existing snapshot — the
+    * standard shape for deduping a fresh crawl against a 100 TB corpus
+    * without joining the full corpus: (1) aggregate the snapshot's
+    * 32-bit content hashes into a split block Bloom filter (the
+    * reference's runtime-filter structure, be/src/util/bloom-filter.h;
+    * distributed build, OR-merge partials, ~1 MB result), (2) broadcast
+    * the filter and probe it map-side over the batch — rows the filter
+    * rejects are DEFINITELY new (no false negatives) and never reach a
+    * shuffle, (3) only bloom-positive rows (true dups + the ~0.1% false
+    * positives) enter the exact verify join on the full content hash.
+    * The one shuffle join is sized by the dup rate, not the batch size.
+    * Result is exact, so it oracle-checks against a plain join.
+    */
+  val bloomIncremental: Q = Q("dedup_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def h32 = crc32(col("text")).cast("int") // low 32 bits as the probe key
+      val snap = docs.filter(col("doc_id") % 10 < 7)
+      val batch = docs.filter(col("doc_id") % 10 >= 7)
+        .select(col("doc_id"), col("text"), h32.as("h"))
+      val bf = snap.agg(
+        call_function("bloom_build", h32, lit(20)).as("bf"))
+      val probed = batch.join(broadcast(bf)) // 1-row build side
+      val hit = call_function("bloom_find", col("bf"), col("h"))
+      val definiteNew = probed.filter(!hit)
+        .select(col("doc_id"), lit(false).as("is_dup"))
+      val candidates = probed.filter(hit)
+        .select(col("doc_id"), md5(col("text")).as("ch"))
+      val snapHashes = snap.select(md5(col("text")).as("sch")).distinct()
+      val confirmedDup = candidates
+        .join(snapHashes, col("ch") === col("sch"), "left_semi")
+        .select(col("doc_id"), lit(true).as("is_dup"))
+      val falsePositive = candidates
+        .join(snapHashes, col("ch") === col("sch"), "left_anti")
+        .select(col("doc_id"), lit(false).as("is_dup"))
+      definiteNew.union(confirmedDup).union(falsePositive)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT b.doc_id, (s.h IS NOT NULL) AS is_dup
+      |FROM (SELECT doc_id, MD5(text) AS h FROM documents
+      |      WHERE doc_id % 10 >= 7) b
+      |LEFT JOIN (SELECT DISTINCT MD5(text) AS h FROM documents
+      |           WHERE doc_id % 10 < 7) s ON b.h = s.h
+      |ORDER BY b.doc_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
-    embeddingCosine, clusterAssign)
+    embeddingCosine, clusterAssign, bloomIncremental)
 }
