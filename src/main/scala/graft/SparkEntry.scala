@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, WindowQueries}
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{CorpusOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.functions.Udx
 import graft.sources.{Formats, MixedFormat, TableSink}
 
@@ -18,7 +18,7 @@ object SparkEntry {
     TpchQueries.defs ++ Tpch2Queries.defs ++ Tpch3Queries.defs ++
       RelationalQueries.defs ++ JoinQueries.defs ++
       WindowQueries.defs ++ NestedQueries.defs ++ PredicateQueries.defs ++
-      TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
+      TextOps.defs ++ CorpusOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
       MultimodalOps.defs ++ Udx.defs ++ TableSink.defs ++ Formats.defs ++
       MixedFormat.defs
 

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators a large-scale training-data pipeline
+  * runs after cleaning/dedup: benchmark decontamination, context-window
+  * sequence packing, stratified mixture sampling, and distinctive-term
+  * statistics. All four are deterministic (no RNG — sampling and
+  * variant choices are pure hash functions of the key) so every one is
+  * DuckDB-oracle-checked end to end.
+  *
+  * The reference engine stops at SQL; these extend the same declarative
+  * style (single DataFrame plans, Catalyst-optimized) to the pipeline
+  * stages an LLM corpus build needs at 100 TB.
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = {
+    Engine.configure(s)
+    Engine.table(s, d, n)
+  }
+
+  private def toks(c: Column, pat: String = "\\s+"): Column =
+    filter(split(c, pat), x => x =!= "")
+
+  /** Test-set decontamination, the GPT-3/PaLM recipe: flag every corpus
+    * document sharing an 8-gram (whitespace tokens, lowercased) with a
+    * held-out benchmark set. Benchmark = `doc_id % 97 = 0` (a ~1%
+    * subset standing in for an eval suite); the remaining 99% is the
+    * corpus under test.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to the
+    * corpus (eval suites are MBs, corpora are TBs), so it broadcasts;
+    * the corpus side explodes to shingles map-side, the broadcast
+    * semi-join filters virtually everything before the only shuffle
+    * (the per-doc hit count). Nothing driver-side; the explode fan-out
+    * (~tokens per doc) is the same order as the scan.
+    *
+    * The synthetic corpus has no organic cross-doc 8-grams, so
+    * deterministic sentinel sentences (8 repetitions of a
+    * `sentinel<v>` token — one distinct 8-gram per variant v) exercise
+    * the overlap path in BOTH engines: benchmark docs carry variants
+    * 0..6, corpus docs with `doc_id % 13 = 0` carry their own variant
+    * `doc_id % 9`, so seeded docs with variant 7 or 8 stay clean at
+    * every scale factor — the flag discriminates, it isn't constant.
+    */
+  val decontaminate: Q = Q("decontaminate",
+    (s, d) => {
+      val raw = t(s, d, "documents")
+      val seeded = raw.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          concat(col("text"), lit(" "), expr(
+            "concat_ws(' ', transform(sequence(0, 6), " +
+              "v -> repeat(concat('sentinel', cast(v as string), ' '), 8)))")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" "),
+              expr("repeat(concat('sentinel', cast(doc_id % 9 as string), ' '), 8)")))
+          .otherwise(col("text")).as("text"))
+      val tk = toks(lower(col("text")))
+      val shingles = seeded
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), explode(
+          when(size(col("tk")) >= 8,
+            transform(sequence(lit(1), size(col("tk")) - 7),
+              i => array_join(slice(col("tk"), i, lit(8)), " ")))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      val bench = shingles.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      val hits = shingles.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"))
+      raw.filter(col("doc_id") % 97 =!= 0)
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0
+      |         THEN text || ' ' ||
+      |              ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 7),
+      |                v -> REPEAT('sentinel' || CAST(v AS VARCHAR) || ' ', 8)), ' ')
+      |         WHEN doc_id % 13 = 0
+      |         THEN text || ' ' ||
+      |              REPEAT('sentinel' || CAST(doc_id % 9 AS VARCHAR) || ' ', 8)
+      |         ELSE text END AS text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |                x -> x <> '') AS tk
+      |  FROM seeded),
+      |sh AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 6, 1)),
+      |      i -> ARRAY_TO_STRING(tk[i:i+7], ' '))) AS g
+      |  FROM tok),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT s.doc_id, CAST(COUNT(DISTINCT s.g) AS BIGINT) AS n_hits
+      |  FROM sh s JOIN bench b ON s.g = b.g
+      |  WHERE s.doc_id % 97 <> 0
+      |  GROUP BY s.doc_id)
+      |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |       (COALESCE(h.n_hits, 0) > 0) AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 97 <> 0
+      |ORDER BY d.doc_id""".stripMargin))
+
+  /** Context-window sequence packing: documents are laid into
+    * fixed-token-budget bins (2048 here) greedily in `doc_id` order
+    * within each `source` shard — `bin_id = tokens-before-me div
+    * budget`, a pure prefix-sum, so a document straddling a boundary
+    * starts a packing position deterministically and the whole layout
+    * is a window function (one shuffle on the shard key, linear scan
+    * within).
+    *
+    * Scale shape: at 100 TB the partition key is the shard/file, so
+    * window state is per-shard and bounded; no global sort, no driver
+    * state. The per-bin aggregation underneath is the manifest a
+    * packed-sequence writer consumes.
+    */
+  val packSequences: Q = Q("pack_sequences",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = doc
+        .select(col("source"), col("doc_id"),
+          size(toks(col("text"))).as("n_tokens"))
+        .withColumn("bin_id",
+          expr("cast((sum(n_tokens) over (partition by source order by doc_id " +
+            "rows between unbounded preceding and current row) - n_tokens) " +
+            "div 2048 as bigint)"))
+      packed.groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |         x -> x <> '')) AS INT) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS bin_id
+      |  FROM toks)
+      |SELECT source, bin_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM packed GROUP BY source, bin_id
+      |ORDER BY source, bin_id""".stripMargin))
+
+  /** Stratified mixture sampling — "30% of web, 80% of books, all of
+    * code": per-language keep-rates applied via the md5 hash bucket of
+    * the key (first two hex chars, 256 buckets), NOT an RNG. The
+    * assignment is a pure map-side function of `doc_id`: reproducible
+    * across engines, reruns, cluster sizes and row order, and any
+    * engine re-derives which rows were kept. This is the only sampling
+    * shape that is auditable at 100 TB — `rand()` sampling can never be
+    * re-verified. Rates: en 25%, es 50%, de 80%, fr 100%, zh 12.5%
+    * (hex thresholds 40/80/cc/ff/20).
+    */
+  val sampleStratified: Q = Q("sample_stratified",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val threshold = when(col("lang") === "en", "40")
+        .when(col("lang") === "es", "80")
+        .when(col("lang") === "de", "cc")
+        .when(col("lang") === "fr", "ff")
+        .otherwise("20")
+      doc.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < threshold)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang,
+      |  SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents
+      |WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE lang WHEN 'en' THEN '40' WHEN 'es' THEN '80'
+      |            WHEN 'de' THEN 'cc' WHEN 'fr' THEN 'ff' ELSE '20' END
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Distinctive-term statistics per language: term frequency, document
+    * frequency, and an integer-exact tf-idf surrogate
+    * (`tf * (N*1e6 div df)` — the N/df ratio in ppm instead of
+    * `ln(N/df)`, keeping every value integral so the cross-engine hash
+    * check is exact; the ranking it induces is idf-monotone). Top 15
+    * per language with a total tiebreak order.
+    *
+    * Scale shape: explode to (lang, token, doc) then two hash
+    * aggregations — both get map-side partial aggregation, and the
+    * vocabulary (not the corpus) sizes the shuffle. The per-lang doc
+    * counts are a tiny aggregate joined back by lang (broadcast).
+    */
+  val termStats: Q = Q("text_tfidf",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val tok = doc.select(col("doc_id"), col("lang"),
+        explode(toks(lower(col("text")), "[^a-z0-9]+")).as("token"))
+      val perLang = tok.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val stats = tok.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val scored = stats.join(broadcast(perLang), "lang")
+        .withColumn("tfidf_ppm", expr("tf * ((n_docs * 1000000) div df)"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("tfidf_ppm").desc, col("token"))))
+        .filter(col("rk") <= 15)
+        .select(col("lang"), col("token"), col("tf"), col("df"),
+          col("tfidf_ppm"))
+        .orderBy(col("lang"), col("tfidf_ppm").desc, col("token"))
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+      |      x -> x <> '')) AS token
+      |  FROM documents),
+      |per_lang AS (
+      |  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM tok GROUP BY lang),
+      |stats AS (
+      |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf,
+      |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tok GROUP BY lang, token),
+      |scored AS (
+      |  SELECT s.lang, s.token, s.tf, s.df,
+      |    s.tf * ((p.n_docs * 1000000) // s.df) AS tfidf_ppm
+      |  FROM stats s JOIN per_lang p USING (lang)),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY tfidf_ppm DESC, token) AS rk
+      |  FROM scored)
+      |SELECT lang, token, tf, df, tfidf_ppm FROM ranked WHERE rk <= 15
+      |ORDER BY lang, tfidf_ppm DESC, token""".stripMargin))
+
+  val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
+    termStats)
+}

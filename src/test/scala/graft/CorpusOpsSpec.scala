@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-construction operators: decontamination, packing, stratified
+  * sampling, term stats. Oracle equivalence is the t2 gate's job; these
+  * pin the semantic invariants the oracle can't express.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+
+  test("decontaminate: sentinel-seeded docs flagged, variant-1 clean") {
+    val rows = run("decontaminate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val byId = rows.toMap
+    // benchmark docs (doc_id % 97 == 0) are excluded from the output
+    assert(rows.forall(_._1 % 97 != 0))
+    // seeded docs (% 13 == 0) with variant doc_id % 9 in 0..6 share a
+    // sentinel 8-gram with every benchmark doc; variants 7 and 8 don't
+    val seeded = rows.map(_._1).filter(id => id % 13 == 0)
+    assert(seeded.nonEmpty)
+    seeded.foreach { id =>
+      val (hits, flagged) = byId(id)
+      if (id % 9 <= 6) {
+        assert(flagged && hits >= 1, s"doc $id variant ${id % 9} should hit")
+      } else {
+        assert(!flagged, s"doc $id variant ${id % 9} has no benchmark twin")
+      }
+    }
+    // unseeded flagged docs must have a GENUINE 8-gram overlap with a
+    // benchmark doc (the corpus plants duplicate texts) — re-derive the
+    // shingle sets independently in plain Scala and cross-check
+    def grams(text: String): Set[String] = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 8) Set.empty
+      else tk.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val texts = Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchGrams = texts.collect {
+      case (id, tx) if id % 97 == 0 => grams(tx)
+    }.fold(Set.empty)(_ ++ _)
+    rows.foreach { case (id, (_, flagged)) =>
+      if (id % 13 != 0) {
+        val organic = grams(texts(id)).intersect(benchGrams).nonEmpty
+        assert(flagged === organic, s"doc $id organic=$organic")
+      }
+    }
+  }
+
+  test("pack_sequences: bins cover every doc exactly once, in order") {
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+    val n = docs.count()
+    val bins = run("pack_sequences").collect()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum === n)
+    // per source: bin ids contiguous from 0, doc ranges non-overlapping
+    bins.groupBy(_.getString(0)).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_.getAs[Long]("bin_id"))
+      assert(sorted.map(_.getAs[Long]("bin_id")).toSeq ===
+        (0L until sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+      // every bin but the last was closed because it reached the budget:
+      // its tokens plus the next doc's first token count would overflow —
+      // equivalently each non-final bin's cumulative start is bin_id*2048
+      // and bin_tokens straddles into the next multiple
+      val cum = sorted.scanLeft(0L)(_ + _.getAs[Long]("bin_tokens")).tail
+      sorted.init.zip(cum.init).foreach { case (bin, cumEnd) =>
+        assert(cumEnd > (bin.getAs[Long]("bin_id") + 1) * 2048 - 1,
+          s"non-final bin ${bin.getAs[Long]("bin_id")} closed early")
+      }
+    }
+  }
+
+  test("sample_stratified: exact hash population per stratum") {
+    val doc = Engine.table(spark, TestSpark.sf, "documents")
+    val kept = run("sample_stratified").collect()
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val thresholds = Map("en" -> "40", "es" -> "80", "de" -> "cc",
+      "fr" -> "ff", "zh" -> "20")
+    // membership is exactly the hash rule — re-derive it independently
+    doc.select(col("doc_id"), col("lang")).collect().foreach { r =>
+      val id = r.getLong(0); val lang = r.getString(1)
+      val bucket = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      val expected = bucket < thresholds.getOrElse(lang, "20")
+      assert(keptIds.contains(id) === expected, s"doc $id lang $lang")
+    }
+    // fr keeps everything ('ff' threshold only drops bucket "ff")
+    val frTotal = doc.filter(col("lang") === "fr").count()
+    val frKept = kept.count(_.getString(1) == "fr")
+    assert(frKept >= frTotal - frTotal / 8)
+  }
+
+  test("text_tfidf: 15 rows per lang, idf-monotone, deterministic") {
+    val rows = run("text_tfidf").collect()
+    val langs = rows.map(_.getString(0)).distinct
+    assert(langs.length >= 3)
+    langs.foreach { l =>
+      val lr = rows.filter(_.getString(0) == l)
+      assert(lr.length === 15)
+      // tfidf_ppm = tf * (n_docs*1e6 div df): rarer terms (smaller df)
+      // score higher at equal tf
+      lr.groupBy(_.getAs[Long]("tf")).values.foreach { g =>
+        val byDf = g.sortBy(_.getAs[Long]("df"))
+        assert(byDf.map(_.getAs[Long]("tfidf_ppm")).reverse.sorted.sameElements(
+          byDf.map(_.getAs[Long]("tfidf_ppm")).reverse))
+      }
+    }
+    // stable across runs (pure function of the data)
+    val again = run("text_tfidf").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+}
