@@ -247,6 +247,86 @@ object TextOps {
       |FROM deduped
       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin))
 
+  /** Repetition-based quality metrics (the Gopher rules, Rae et al.
+    * 2021 "Scaling Language Models", table A1: duplicate-line fraction,
+    * duplicate-line CHARACTER fraction, top word-n-gram fraction) —
+    * the standard removal filters for boilerplate/spam before dedup.
+    *
+    * All ratios are single IEEE divisions of exact integer counts, so
+    * the DuckDB oracle is bit-identical; line/bigram counting shuffles
+    * on (doc_id, line/bigram) — fully distributed, no per-executor
+    * state, scales with splits at 100 TB.
+    */
+  val repetition: Q = Q("text_repetition",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val lines = doc.select(col("doc_id"),
+        explode(split(col("text"), "\n")).as("line"))
+      val lineCounts = lines.groupBy(col("doc_id"), col("line"))
+        .agg(count(lit(1)).as("c"), max(length(col("line"))).as("len"))
+      val lineAgg = lineCounts.groupBy("doc_id").agg(
+        sum("c").as("n_lines"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("len")).as("chars"),
+        sum(when(col("c") > 1, col("c") * col("len")).otherwise(0L))
+          .as("dupchars"))
+      val bigrams = doc
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+          expr("transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+          .otherwise(expr("array()").cast("array<string>"))).as("bg"))
+      val bigramCounts = bigrams.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+      val bigramAgg = bigramCounts.groupBy("doc_id")
+        .agg(max("c").as("top"), sum("c").as("totalbg"))
+      lineAgg.join(bigramAgg, Seq("doc_id"), "left").select(
+        col("doc_id"),
+        col("n_lines").cast("bigint").as("n_lines"),
+        ((col("n_lines") - col("n_distinct")).cast("double") /
+          col("n_lines").cast("double")).as("dup_line_frac"),
+        when(col("chars") > 0,
+          col("dupchars").cast("double") / col("chars").cast("double"))
+          .otherwise(0.0).as("dup_line_char_frac"),
+        when(col("totalbg").isNotNull,
+          col("top").cast("double") / col("totalbg").cast("double"))
+          .otherwise(0.0).as("top_bigram_frac"))
+    },
+    Some("""WITH l AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      |  FROM documents),
+      |lc AS (
+      |  SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS len
+      |  FROM l GROUP BY doc_id, line),
+      |la AS (
+      |  SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+      |    SUM(c * len) AS chars,
+      |    SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dupchars
+      |  FROM lc GROUP BY doc_id),
+      |tok AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+      |  FROM tok, UNNEST(range(1, LEN(ts))) AS u(i)),
+      |bgc AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+      |bga AS (
+      |  SELECT doc_id, MAX(c) AS top, SUM(c) AS totalbg
+      |  FROM bgc GROUP BY doc_id)
+      |SELECT la.doc_id,
+      |  CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(n_lines - n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE)
+      |    AS dup_line_frac,
+      |  CASE WHEN chars > 0
+      |    THEN CAST(dupchars AS DOUBLE) / CAST(chars AS DOUBLE)
+      |    ELSE 0.0 END AS dup_line_char_frac,
+      |  CASE WHEN totalbg IS NOT NULL
+      |    THEN CAST(top AS DOUBLE) / CAST(totalbg AS DOUBLE)
+      |    ELSE 0.0 END AS top_bigram_frac
+      |FROM la LEFT JOIN bga ON la.doc_id = bga.doc_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount,
-    piiScrub, splitAssign, corpusPipeline)
+    piiScrub, splitAssign, corpusPipeline, repetition)
 }

@@ -129,6 +129,41 @@ object Formats {
       |  ('one\\', 'two', 3, 4)) t(f1, f2, f3, f4)
       |ORDER BY f1""".stripMargin))
 
+  /** All-types external data-source scan (SURVEY 2.1 #3): the DSv2 port
+    * of the reference's test data source
+    * (`ext-data-source/test/.../AllTypesDataSource.java`, see
+    * [[AllTypesSource]]) — deterministic generated rows across every
+    * scalar type family (int widths, float/double, timestamp, nullable
+    * string, decimals at 5 precisions). The id-range conjunct is
+    * ACCEPTED and applied by the source; the aggregate exercises
+    * decimal sums, null-string counting and timestamp max. The oracle
+    * regenerates the same rows from DuckDB's range().
+    */
+  val allTypesDs: Q = Q("scan_alltypes_ds",
+    (s, _) => {
+      Engine.configure(s)
+      s.read.format("graft.sources.AllTypesSource").load()
+        .filter(col("id") >= 100 && col("id") < 4100)
+        .groupBy(col("tinyint_col"))
+        .agg(count(lit(1)).as("n"),
+          count(col("string_col")).as("n_str"),
+          sum(col("bigint_col")).as("sum_big"),
+          sum(col("dec_col5"))
+            .cast(org.apache.spark.sql.types.DecimalType(25, 5)).as("sum_dec"),
+          max(col("timestamp_col")).as("max_ts"))
+        .orderBy(col("tinyint_col"))
+    },
+    Some("""SELECT CAST(r % 10 AS TINYINT) AS tinyint_col,
+      |  COUNT(*) AS n,
+      |  COUNT(CASE WHEN r % 5 <> 0 THEN 1 END) AS n_str,
+      |  CAST(SUM(r * 10) AS BIGINT) AS sum_big,
+      |  CAST(SUM(CAST(CASE WHEN r % 2 = 0 THEN -(10000000000 - (r + 1))
+      |                     ELSE 10000000000 - (r + 1) END AS DECIMAL(15,0))
+      |           * CAST(0.00001 AS DECIMAL(6,5))) AS DECIMAL(25,5)) AS sum_dec,
+      |  MAX(epoch_ms(r)) AS max_ts
+      |FROM range(100, 4100) t(r)
+      |GROUP BY 1 ORDER BY tinyint_col""".stripMargin))
+
   val defs: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, avroRoundtrip, dsv2Scan,
-    delimitedScan)
+    delimitedScan, allTypesDs)
 }

@@ -190,6 +190,74 @@ class PlannerSpec2 extends AnyFunSuite {
     assert(!p.contains("Exchange") || p.contains("SinglePartition"), p)
   }
 
+  test("subquery-rewrite.test: IN/EXISTS/scalar subqueries all become joins, never per-row subplans") {
+    // StmtRewriter rewrites every subquery form to a join before
+    // planning (subquery-rewrite.test pins the shapes); Catalyst's
+    // RewritePredicateSubquery must do the same — the physical plan may
+    // not contain an uncorrelated per-row subquery execution
+    val in = physical(sql(
+      """select count(*) from orders
+        |where o_custkey in (select c_custkey from customer
+        |                    where c_mktsegment = 'BUILDING')""".stripMargin))
+    assert(in.contains("LeftSemi"), in)
+    val exists = physical(sql(
+      """select count(*) from customer c
+        |where exists (select 1 from orders o
+        |              where o.o_custkey = c.c_custkey
+        |                and o.o_totalprice > 100)""".stripMargin))
+    assert(exists.contains("LeftSemi"), exists)
+    val notExists = physical(sql(
+      """select count(*) from customer c
+        |where not exists (select 1 from orders o
+        |                  where o.o_custkey = c.c_custkey)""".stripMargin))
+    assert(notExists.contains("LeftAnti"), notExists)
+    // correlated scalar aggregate: decorrelates to an aggregate joined
+    // back on the correlation key (one pass over orders, not one scan
+    // per customer row)
+    val scalar = sql(
+      """select c_custkey from customer c
+        |where c_acctbal > (select coalesce(sum(o_totalprice), 0)
+        |                   from orders o where o.o_custkey = c.c_custkey)"""
+        .stripMargin)
+    scalar.collect()
+    val sp = physical(scalar)
+    // the decorrelated shape: aggregate orders once, LEFT OUTER join it
+    // back on the correlation key; no subquery operator survives
+    assert(sp.contains("LeftOuter"), sp)
+    assert(sp.contains("HashAggregate"), sp)
+    assert(!sp.contains("InSubquery") && !sp.contains("SubqueryExec"), sp)
+  }
+
+  test("order.test: a global ORDER BY plans one range-partitioned sort (merging exchange parity)") {
+    // the reference's sorted fragments merge in a single merging
+    // exchange (DataStreamSink merge); Spark's analog decision is ONE
+    // rangepartitioning exchange feeding a global sort — never a
+    // single-partition sort of the whole table
+    val df = sql(
+      """select l_orderkey, l_extendedprice from lineitem
+        |order by l_extendedprice desc, l_orderkey""".stripMargin)
+    df.collect()
+    val p = physical(df)
+    assert(p.contains("rangepartitioning"), p)
+    // physical SortExec prints "Sort [keys], <global>, 0" — the global
+    // sort must be present, and only as the range-partitioned one
+    assert(p.linesIterator.exists(l => l.contains("Sort [") && l.contains(", true, 0")), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("topn.test: ORDER BY + LIMIT + OFFSET stays a Top-N, offset applied in the operator") {
+    // TopNNode carries the offset (topn.test offset blocks); Spark 4's
+    // TakeOrderedAndProject does the same — no global sort, no separate
+    // offset stage
+    val df = sql(
+      """select o_orderkey, o_totalprice from orders
+        |order by o_totalprice desc, o_orderkey limit 10 offset 5""".stripMargin)
+    assert(df.collect().length == 10)
+    val p = physical(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("offset=5") || p.contains("offset: 5") || !p.contains("Sort "), p)
+  }
+
   test("join-order.test: the optimizer puts the filtered small side on the build") {
     // JoinOrder costing in the reference picks the dimension as build;
     // with CBO off Spark keys off size hints/AQE — the BUILT side must
