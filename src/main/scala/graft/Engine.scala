@@ -142,20 +142,62 @@ object Engine {
     */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
-    val cleaned = likeParquet(spark, stripPlanHints(query))
+    // the reference's SET surface (TImpalaQueryOptions,
+    // QueryTest/set.test): leading dialect-option SET statements apply
+    // to the session (impala-shell submits `set k=v; select ...` as one
+    // text), a bare SET returns the option listing. Dotted keys are
+    // Spark confs and fall through to spark.sql untouched.
+    var q = query.trim
+    var m = setKvRe.findFirstMatchIn(q)
+    while (m.exists(mm => QueryOptions.isOption(mm.group(1)))) {
+      val mm = m.get
+      QueryOptions.set(spark, mm.group(1), mm.group(2))
+      q = q.substring(mm.end).trim
+      m = setKvRe.findFirstMatchIn(q)
+    }
+    // a dotless SET key that is not a dialect option is the reference's
+    // unknown-option error (set.test `set foo=bar`), not a Spark conf
+    m.foreach { mm =>
+      throw new IllegalArgumentException(
+        s"Ignoring invalid configuration option: ${mm.group(1).toLowerCase}")
+    }
+    // a lone `set k=v` returns no rows (the reference's "query option
+    // set" ack); a bare `set` returns the option listing
+    if (q.isEmpty) return spark.emptyDataFrame
+    if (q.matches("(?is)^set\\s*;?\\s*$"))
+      return QueryOptions.list(spark)
+    val cleaned = likeParquet(spark, stripPlanHints(q))
+    // APPX_COUNT_DISTINCT=1: every single-argument COUNT(DISTINCT x)
+    // becomes ndv(x) before analysis (the reference's rewrite,
+    // ImpalaService.thrift APPX_COUNT_DISTINCT)
+    val appxNdv = QueryOptions.get(spark, "APPX_COUNT_DISTINCT") == "1"
     val rewritten =
       try {
-        val parsed = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cleaned)
+        val parsed0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cleaned)
+        val parsed = if (!appxNdv) parsed0 else
+          parsed0.transformAllExpressions {
+            case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                if f.nameParts.map(_.toLowerCase) == Seq("count") &&
+                  f.isDistinct && f.arguments.size == 1 =>
+              f.copy(nameParts = Seq("ndv"), isDistinct = false)
+          }
         if (graft.plans.NestedTableRefs.mightApply(parsed)) {
           val out = graft.plans.NestedTableRefs.rewrite(spark, parsed)
           if (out ne parsed) Some(out) else None
-        } else None
+        } else if (parsed ne parsed0) Some(parsed)
+        else None
       } catch { case _: Throwable => None }
     rewritten match {
       case Some(plan) => org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
       case None => spark.sql(cleaned)
     }
   }
+
+  /** `set ident = value[;]` — dialect option names only (no dots; dotted
+    * keys are Spark confs). Value: quoted string or an unquoted token.
+    */
+  private val setKvRe =
+    "(?is)^set\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*('[^']*'|\"[^\"]*\"|[^;\\s]+)\\s*(?:;|$)".r
 
   /** `CREATE TABLE t LIKE PARQUET '<file>'` — the reference infers the
     * new table's schema from a parquet file's footer
