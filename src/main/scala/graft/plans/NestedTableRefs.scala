@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.plans._
@@ -152,9 +152,71 @@ private final class NestedRefRewriter(spark: SparkSession) {
         }
         w.copy(child = rewriteNode(w.child, outer), cteRelations = defs2)
       case f: Filter => rewriteFilter(f, outer)
+      // `SELECT * FROM view.path` exposes ONLY the final collection's
+      // columns in the reference (item for scalar arrays, the struct
+      // fields for struct arrays, key/value for maps — never the base
+      // table's columns or intermediate unnests), so a bare star over a
+      // standalone collection ref rewrites to those columns explicitly.
+      case p @ Project(Seq(star: UnresolvedStar), child)
+          if star.target.isEmpty =>
+        val (inner, cond) = child match {
+          case Filter(c, g) => (g, Some(c))
+          case g => (g, None)
+        }
+        val ref = inner match {
+          case u: UnresolvedRelation => Some((u.multipartIdentifier, None))
+          case SubqueryAlias(id, u: UnresolvedRelation) =>
+            Some((u.multipartIdentifier, Some(id.name)))
+          case _ => None
+        }
+        val rewrittenStar = for {
+          (parts, alias) <- ref
+          cols <- leafPublicCols(parts, outer)
+          expanded <- expandStandalone(parts, alias, outer)
+        } yield {
+          val q = alias.getOrElse(parts.last)
+          val base = cond.map(Filter(_, expanded)).getOrElse(expanded)
+          Project(cols.map(c =>
+            UnresolvedAttribute(Seq(q, c)): NamedExpression), base)
+        }
+        rewrittenStar.getOrElse(p.mapChildren(c => rewriteNode(c, outer)))
       case other =>
         other.mapChildren(c => rewriteNode(c, outer))
     }
+
+  /** The reference's star expansion for a collection TableRef: walk
+    * `parts` to the final collection and name its public columns.
+    */
+  private def leafPublicCols(parts: Seq[String],
+      outer: Scope): Option[Seq[String]] = {
+    if (parts.length < 2) return None
+    val rowType = outer.get(parts.head.toLowerCase)
+      .orElse(viewType(parts.head)).getOrElse(return None)
+    var cur: DataType = rowType
+    for (p <- parts.tail) {
+      val isLast = p eq parts.tail.last
+      cur match {
+        case st: StructType => field(st, p) match {
+          case None => return None
+          case Some(f) => f.dataType match {
+            case ArrayType(et, _) =>
+              if (isLast) return Some(et match {
+                case s: StructType => s.fields.map(_.name).toSeq
+                case _ => Seq("item")
+              })
+              cur = pseudoRow(et)
+            case mt: MapType =>
+              return if (isLast) Some(Seq("key", "value")) else None
+            case other =>
+              if (isLast) return None
+              cur = other
+          }
+        }
+        case _ => return None
+      }
+    }
+    None
+  }
 
   /** WHERE-clause subqueries over collection refs (scalar, [NOT] EXISTS,
     * [NOT] IN) — the reference's StmtRewriter turns these into joins

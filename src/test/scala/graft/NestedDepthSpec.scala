@@ -45,13 +45,13 @@ class NestedDepthSpec extends AnyFunSuite {
     spark.sql(s"select $lit as f").write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).createOrReplaceTempView("int_array_tbl")
     // absolute ref: FROM int_array_tbl.f.item.item... (unnest every
-    // level). Divergence from the reference's `select *` noted in
-    // NestedTableRefs: this engine's star also carries the intermediate
-    // unnest columns, so the leaf is selected explicitly — its value
-    // and the per-level Generate chain are the conformance content.
+    // level); star over a collection ref exposes ONLY the leaf item,
+    // like the reference
     val path = "int_array_tbl.f." + Seq.fill(depth - 1)("item").mkString(".")
-    val df = sql(s"select item from $path")
-    assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
+    val df = sql(s"select * from $path")
+    val rows = df.collect()
+    assert(df.columns.toSeq == Seq("item"))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(42))
   }
 
   test("max-nesting-depth.test: relative refs chain one subplan per level") {
