@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conformance with the reference's QueryTest/compute-stats.test over
+  * the partitioned alltypes dataset: COMPUTE STATS fills per-partition
+  * row counts and per-column NDVs (`ComputeStatsStmt.java`; SHOW TABLE
+  * STATS / SHOW COLUMN STATS read them back). Spark's twin surface is
+  * ANALYZE TABLE [PARTITION] COMPUTE STATISTICS [FOR COLUMNS] + the
+  * catalog. The asserted FACTS are the reference's own expected
+  * values: 24 partitions, the month-by-month row-count grid (310/280/
+  * 300..., 2010-02 = 280 — not a leap year), total 7300, and the
+  * column NDV table (small columns exact: bool 2, the mod-10 family
+  * 10, year 2, month 12; estimated columns within HLL error of the
+  * true 7300/730 like the reference's 7505/736/7554 estimates).
+  * The reference's DROP STATS block has no Spark statement analog —
+  * re-creating the table is the engine's path to statless state.
+  */
+class ComputeStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val table = "cs_alltypes"
+
+  private def setup(): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
+    // the alltypes generator (TestDataGenerator.java shape): ten rows
+    // per day of 2009-2010, int family = i mod 10
+    val days = spark.sql(
+      """select explode(sequence(cast('2009-01-01' as date),
+        |  cast('2010-12-31' as date))) day_date""".stripMargin)
+    val df = days.crossJoin(spark.sql("select explode(sequence(0, 9)) i"))
+      .select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("day_date"), col("i"))) - 1).cast("int").as("id"),
+        col("i").cast("tinyint").as("tinyint_col"),
+        (col("i") % 2 === 0).as("bool_col"),
+        col("i").cast("smallint").as("smallint_col"),
+        col("i").cast("int").as("int_col"),
+        (col("i") * 10).cast("bigint").as("bigint_col"),
+        (col("i") * 1.1).cast("float").as("float_col"),
+        (col("i") * 10.1).as("double_col"),
+        date_format(col("day_date"), "MM/dd/yy").as("date_string_col"),
+        col("i").cast("string").as("string_col"),
+        // per-row-distinct timestamps like the reference's generator
+        // (minute/ms arithmetic) — id seconds past the day's midnight
+        expr("timestampadd(SECOND, " +
+          "10 * (datediff(day_date, '2009-01-01') % 100) + i, " +
+          "cast(day_date as timestamp))").as("timestamp_col"),
+        year(col("day_date")).as("year"),
+        month(col("day_date")).as("month"))
+    df.write.mode(SaveMode.Overwrite).partitionBy("year", "month")
+      .format("parquet").saveAsTable(table)
+  }
+
+  test("compute-stats.test: per-partition row counts match the reference grid") {
+    setup()
+    spark.sql(s"ANALYZE TABLE $table PARTITION (year, month) COMPUTE STATISTICS")
+    val catalog = spark.sessionState.catalog
+    val parts = catalog.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(parts.length == 24) // 'Total',7300,24 files
+    val counts = parts.map { p =>
+      (p.spec("year").toInt, p.spec("month").toInt,
+        p.stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L))
+    }.toSet
+    val daysIn = Map(1 -> 31, 2 -> 28, 3 -> 31, 4 -> 30, 5 -> 31, 6 -> 30,
+      7 -> 31, 8 -> 31, 9 -> 30, 10 -> 31, 11 -> 30, 12 -> 31)
+    val expected = (for (y <- Seq(2009, 2010); m <- 1 to 12)
+      yield (y, m, daysIn(m) * 10L)).toSet
+    assert(counts == expected, counts.toSeq.sorted.mkString(","))
+    assert(counts.toSeq.map(_._3).sum == 7300L)
+  }
+
+  test("compute-stats.test: column NDVs match the reference's stats table") {
+    setup()
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+    val catalog = spark.sessionState.catalog
+    val stats = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).stats.get
+    val ndv = stats.colStats.map { case (c, s) =>
+      c -> s.distinctCount.map(_.toLong).getOrElse(-1L)
+    }
+    // the reference's exact small-domain NDVs
+    assert(ndv("bool_col") == 2)
+    assert(ndv("tinyint_col") == 10)
+    assert(ndv("smallint_col") == 10)
+    assert(ndv("int_col") == 10)
+    assert(ndv("bigint_col") == 10)
+    assert(ndv("float_col") == 10)
+    assert(ndv("double_col") == 10)
+    assert(ndv("string_col") == 10)
+    assert(ndv("year") == 2)
+    assert(ndv("month") == 12)
+    // estimated columns: the reference pins its HLL estimates (id 7505
+    // of 7300 true, date_string 736 of 730, timestamp 7554 — 3-4% off);
+    // this engine's estimator runs at rsd 0.05, so accept the same
+    // error class at 2 sigma
+    def within(col: String, truth: Long, pct: Double = 0.10): Unit =
+      assert(math.abs(ndv(col) - truth) <= truth * pct,
+        s"$col ndv=${ndv(col)} truth=$truth")
+    within("id", 7300)
+    within("date_string_col", 730)
+    within("timestamp_col", 7300)
+  }
+
+  test("compute-stats incremental: a single partition ANALYZE updates only it") {
+    setup()
+    // the reference's COMPUTE INCREMENTAL STATS ... PARTITION form
+    spark.sql(
+      s"ANALYZE TABLE $table PARTITION (year=2009, month=2) COMPUTE STATISTICS")
+    val catalog = spark.sessionState.catalog
+    val p = catalog.getPartition(
+      org.apache.spark.sql.catalyst.TableIdentifier(table),
+      Map("year" -> "2009", "month" -> "2"))
+    assert(p.stats.flatMap(_.rowCount).map(_.toLong).contains(280L))
+  }
+}
