@@ -166,6 +166,18 @@ object Engine {
     if (q.isEmpty) return spark.emptyDataFrame
     if (q.matches("(?is)^set\\s*;?\\s*$"))
       return QueryOptions.list(spark)
+    // EXPLAIN honors EXPLAIN_LEVEL (the reference's explain-level*.test
+    // surface): 0/1 = the plain plan, 2 = extended, 3 = formatted with
+    // per-operator detail. Explicit EXPLAIN EXTENDED/... pass through.
+    if (q.matches("(?is)^explain\\s+(?!extended|codegen|cost|formatted|analyzed)[\\s\\S]*$")) {
+      val mode = QueryOptions.get(spark, "EXPLAIN_LEVEL") match {
+        case "2" => "extended "
+        case "3" => "formatted "
+        case _ => ""
+      }
+      if (mode.nonEmpty)
+        q = q.replaceFirst("(?is)^explain\\s+", s"explain $mode")
+    }
     val cleaned = likeParquet(spark, stripPlanHints(q))
     // APPX_COUNT_DISTINCT=1: every single-argument COUNT(DISTINCT x)
     // becomes ndv(x) before analysis (the reference's rewrite,

@@ -105,6 +105,29 @@ class QueryOptionsSpec extends AnyFunSuite {
     assert(exact >= 190) // sf0.001: 200 distinct parts, estimate differs
   }
 
+  test("EXPLAIN_LEVEL drives the EXPLAIN verbosity (explain-level parity)") {
+    def explainOut(): String =
+      sql("explain select count(*) from nation")
+        .collect().map(_.getString(0)).mkString("\n")
+    try {
+      sql("set explain_level=1")
+      val l1 = explainOut()
+      assert(l1.contains("== Physical Plan =="), l1)
+      assert(!l1.contains("== Optimized Logical Plan =="), l1)
+      sql("set explain_level=2")
+      val l2 = explainOut()
+      assert(l2.contains("== Optimized Logical Plan =="), l2)
+      sql("set explain_level=3")
+      val l3 = explainOut()
+      assert(l3.contains("(1) Scan parquet") || l3.contains("Exchange"), l3)
+      // an explicit mode always wins over the option
+      sql("set explain_level=1")
+      val ext = sql("explain extended select count(*) from nation")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(ext.contains("== Optimized Logical Plan =="), ext)
+    } finally sql("set explain_level=1")
+  }
+
   test("leading SET statements compose with a trailing query") {
     val r = sql("set explain_level=2;\nset sync_ddl=1;\nselect 1 as x")
       .collect()

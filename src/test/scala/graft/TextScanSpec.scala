@@ -66,4 +66,27 @@ class TextScanSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(byYear == Seq((2010, 5L), (2015, 6L)))
   }
+
+  test("hidden-files.test: underscore/dot-prefixed files never scan") {
+    // the reference's scanners skip hidden files in a table dir
+    // (hidden-files.test: _hidden, .hidden alongside data); Spark's
+    // file index applies the same rule — prove it end to end
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_hidden_files")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(dir)
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(dir.getPath)
+    // drop garbage beside the data: must be invisible to the scan
+    for (n <- Seq("_hidden", ".hidden", "_junk.parquet", ".junk.parquet")) {
+      val w = new java.io.FileWriter(new java.io.File(dir, n))
+      w.write("not parquet at all"); w.close()
+    }
+    val back = spark.read.parquet(dir.getPath)
+    assert(back.count() == 3)
+    assert(back.select(sum(col("id"))).collect()(0).getLong(0) == 6)
+  }
 }
