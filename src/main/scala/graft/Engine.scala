@@ -186,13 +186,25 @@ object Engine {
     val rewritten =
       try {
         val parsed0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cleaned)
-        val parsed = if (!appxNdv) parsed0 else
+        val parsed1 = if (!appxNdv) parsed0 else
           parsed0.transformAllExpressions {
             case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
                 if f.nameParts.map(_.toLowerCase) == Seq("count") &&
                   f.isDistinct && f.arguments.size == 1 =>
               f.copy(nameParts = Seq("ndv"), isDistinct = false)
           }
+        // DEFAULT_ORDER_BY_LIMIT >= 0: a top-level ORDER BY without a
+        // LIMIT gets the default limit applied (ImpalaService.thrift:76-79;
+        // an explicit LIMIT parses as Limit ABOVE the Sort, so only a
+        // bare Sort root matches)
+        val dobl = QueryOptions.get(spark, "DEFAULT_ORDER_BY_LIMIT").toLong
+        val parsed = parsed1 match {
+          case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+              if dobl >= 0 =>
+            org.apache.spark.sql.catalyst.plans.logical.Limit(
+              org.apache.spark.sql.catalyst.expressions.Literal(dobl.toInt), s)
+          case other => other
+        }
         if (graft.plans.NestedTableRefs.mightApply(parsed)) {
           val out = graft.plans.NestedTableRefs.rewrite(spark, parsed)
           if (out ne parsed) Some(out) else None

@@ -128,6 +128,24 @@ class QueryOptionsSpec extends AnyFunSuite {
     } finally sql("set explain_level=1")
   }
 
+  test("DEFAULT_ORDER_BY_LIMIT caps a bare top-level ORDER BY") {
+    try {
+      sql("set default_order_by_limit=5")
+      val capped = sql("select n_nationkey from nation order by n_nationkey")
+      assert(capped.collect().length == 5)
+      // an explicit LIMIT always wins
+      val explicit = sql(
+        "select n_nationkey from nation order by n_nationkey limit 9")
+      assert(explicit.collect().length == 9)
+      // subquery ORDER BY is untouched (the option is top-level only)
+      val sub = sql("select count(*) c from " +
+        "(select n_nationkey from nation order by n_nationkey) t")
+      assert(sub.collect()(0).getLong(0) == 25)
+    } finally sql("set default_order_by_limit=-1")
+    assert(sql("select n_nationkey from nation order by n_nationkey")
+      .collect().length == 25)
+  }
+
   test("leading SET statements compose with a trailing query") {
     val r = sql("set explain_level=2;\nset sync_ddl=1;\nselect 1 as x")
       .collect()
