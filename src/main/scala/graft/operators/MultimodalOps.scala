@@ -210,5 +210,72 @@ object MultimodalOps {
     },
     None)
 
-  val defs: Seq[Q] = Seq(features, resized, frames, embedKnn)
+  /** Decoded + resized stats from the REAL codec path. */
+  final case class DecodedStats(doc_id: Long, format: String, width: Int,
+      height: Int, rw: Int, rh: Int, mean_r: Double, mean_g: Double,
+      mean_b: Double)
+
+  /** Deterministic 8x8 PPM payload for a document id: pixel channels
+    * are modular-arithmetic functions of (id, x, y), so an oracle can
+    * recompute what the decode pipeline must observe WITHOUT parsing
+    * image bytes.
+    */
+  def ppmPayload(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        rgb(i) = ((docId * 31 + x * 7 + y * 13) % 256).toByte
+        rgb(i + 1) = ((docId * 17 + x * 11 + y * 3) % 256).toByte
+        rgb(i + 2) = ((docId * 5 + x * 2 + y * 23) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    RawImage.encodePpm(RawImage.Image(w, h, rgb))
+  }
+
+  /** REAL decode pipeline, oracle-checked end to end: encode an 8x8
+    * binary PPM per document (RawImage.encodePpm), sniff + decode it
+    * back (RawImage.decodePpm — an actual byte-layout codec, not the
+    * stub), nearest-neighbor resize to 4x4, per-channel means. The
+    * DuckDB oracle recomputes the means straight from the pixel formula
+    * (resized pixel (x,y) samples source (2x,2y)), so any header-,
+    * layout- or resample-level decode bug hash-fails. Compressed
+    * formats remain behind decodeStub — the honest codec boundary.
+    */
+  val decodePpm: Q = Q("multimodal_decode_ppm",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val payload = ppmPayload(id, 8, 8)
+          val fmt = RawImage.sniff(payload)
+          val img = RawImage.decodePpm(payload)
+          val small = RawImage.resizeNearest(img, 4, 4)
+          val (mr, mg, mb) = RawImage.meanRgb(small)
+          DecodedStats(id, fmt, img.width, img.height,
+            small.width, small.height, mr, mg, mb)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id,
+      |  'image/ppm' AS format,
+      |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh,
+      |  SUM((d.doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256) / 16.0
+      |    AS mean_r,
+      |  SUM((d.doc_id * 17 + (2 * x) * 11 + (2 * y) * 3) % 256) / 16.0
+      |    AS mean_g,
+      |  SUM((d.doc_id * 5 + (2 * x) * 2 + (2 * y) * 23) % 256) / 16.0
+      |    AS mean_b
+      |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
+
+  val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm)
 }
