@@ -51,6 +51,33 @@ object MultimodalOps {
     (fmt, w, h, feat)
   }
 
+  /** Format dispatch: uncompressed layouts decode for REAL through
+    * [[RawImage]] (features = normalized 8-bin luminance histogram);
+    * everything else falls back to the stub.
+    */
+  def decodeAny(payload: Array[Byte]): (String, Int, Int, Array[Float]) =
+    RawImage.sniff(payload) match {
+      case fmt @ ("image/ppm" | "image/bmp") =>
+        val img =
+          if (fmt == "image/ppm") RawImage.decodePpm(payload)
+          else RawImage.decodeBmp(payload)
+        val feat = new Array[Float](8)
+        val n = img.width * img.height
+        var i = 0
+        while (i < n) {
+          // integer luma (BT.601-ish weights scaled by 256)
+          val l = (77 * (img.rgb(i * 3) & 0xff) +
+            150 * (img.rgb(i * 3 + 1) & 0xff) +
+            29 * (img.rgb(i * 3 + 2) & 0xff)) >> 8
+          feat(math.min(7, l >> 5)) += 1.0f
+          i += 1
+        }
+        var j = 0
+        while (j < 8) { feat(j) = if (n > 0) feat(j) / n else 0f; j += 1 }
+        (fmt, img.width, img.height, feat)
+      case _ => decodeStub(payload)
+    }
+
   /** Partition-wise decode: one pass per partition, iterator-to-iterator
     * (no materialization of the whole partition).
     */
@@ -59,7 +86,7 @@ object MultimodalOps {
     media.mapPartitions { rows =>
       // real codecs would be initialized once here, per partition
       rows.map { r =>
-        val (fmt, w, h, feat) = decodeStub(r.payload)
+        val (fmt, w, h, feat) = decodeAny(r.payload)
         MediaFeatures(r.doc_id, r.payload.length, fmt, w, h, feat)
       }
     }.toDF()
@@ -277,5 +304,61 @@ object MultimodalOps {
       |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
 
-  val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm)
+  /** Decoded audio stats from the REAL WAV codec path. */
+  final case class AudioStats(doc_id: Long, format: String,
+      sample_rate: Int, channels: Int, n_samples: Int, duration_ms: Int,
+      mean_abs: Double, sum_sq: Long)
+
+  /** Deterministic PCM16 clip for a document id (the audio twin of
+    * [[ppmPayload]]): sample_i = (id*7919 + i*31) mod 2^16 - 2^15.
+    */
+  def wavPayload(docId: Long, n: Int, rate: Int): Array[Byte] = {
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((docId * 7919 + i * 31) % 65536 - 32768).toShort
+      i += 1
+    }
+    RawAudio.encodeWav(RawAudio.Clip(rate, 1, samples))
+  }
+
+  /** REAL audio decode, oracle-checked like [[decodePpm]]: a RIFF/PCM16
+    * WAV per document, decoded back through RawAudio (header walk,
+    * little-endian samples), amplitude stats as exact integer sums. The
+    * oracle recomputes them from the sample formula.
+    */
+  val decodeWav: Q = Q("multimodal_decode_wav",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val payload = wavPayload(id, 800, 16000)
+          val fmt = RawAudio.sniff(payload)
+          val clip = RawAudio.decodeWav(payload)
+          val n = clip.samples.length
+          val (sumAbs, sumSq) = RawAudio.amplitudeStats(clip)
+          AudioStats(id, fmt, clip.sampleRate, clip.channels, n,
+            n * 1000 / clip.sampleRate, sumAbs.toDouble / n, sumSq)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id,
+      |  'audio/wav' AS format,
+      |  CAST(16000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS channels,
+      |  CAST(800 AS INT) AS n_samples,
+      |  CAST(50 AS INT) AS duration_ms,
+      |  SUM(ABS((d.doc_id * 7919 + i * 31) % 65536 - 32768)) / 800.0
+      |    AS mean_abs,
+      |  CAST(SUM(((d.doc_id * 7919 + i * 31) % 65536 - 32768)
+      |         * ((d.doc_id * 7919 + i * 31) % 65536 - 32768)) AS BIGINT)
+      |    AS sum_sq
+      |FROM documents d, range(0, 800) t(i)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
+
+  val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
+    decodeWav)
 }

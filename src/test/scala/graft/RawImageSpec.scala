@@ -73,6 +73,32 @@ class RawImageSpec extends AnyFunSuite {
     assert(b == (20 + 40) / 2.0)
   }
 
+  test("WAV roundtrip: header fields, chunk walk, sample exactness") {
+    import graft.operators.RawAudio
+    val clip = RawAudio.Clip(16000, 1,
+      Array[Short](0, 100, -100, 32767, -32768, 5))
+    val bytes = RawAudio.encodeWav(clip)
+    assert(RawAudio.sniff(bytes) == "audio/wav")
+    val back = RawAudio.decodeWav(bytes)
+    assert(back.sampleRate == 16000 && back.channels == 1)
+    assert(back.samples.toSeq == clip.samples.toSeq)
+    val (sumAbs, sumSq) = RawAudio.amplitudeStats(back)
+    assert(sumAbs == 0L + 100 + 100 + 32767 + 32768 + 5)
+    assert(sumSq == 100L * 100 + 100L * 100 + 32767L * 32767 +
+      32768L * 32768 + 5L * 5)
+  }
+
+  test("real-format dispatch routes PPM payloads off the stub path") {
+    val ppm = graft.operators.MultimodalOps.ppmPayload(7L, 8, 8)
+    val (fmt, w, h, feat) = graft.operators.MultimodalOps.decodeAny(ppm)
+    assert(fmt == "image/ppm" && w == 8 && h == 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5) // normalized histogram
+    // non-image bytes still take the stub
+    val (sfmt, _, _, _) = graft.operators.MultimodalOps.decodeAny(
+      "just some text".getBytes("UTF-8"))
+    assert(sfmt.startsWith("fake/"))
+  }
+
   test("payload builder emits a decodable PPM with the formula pixels") {
     val p = graft.operators.MultimodalOps.ppmPayload(42L, 8, 8)
     val img = RawImage.decodePpm(p)
