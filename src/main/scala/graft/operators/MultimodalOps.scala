@@ -359,6 +359,65 @@ object MultimodalOps {
       |FROM documents d, range(0, 800) t(i)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Sampled-frame stats from the REAL video codec path. */
+  final case class VideoFrameStats(doc_id: Long, frame_idx: Int,
+      ts_ms: Long, mean_luma: Double)
+
+  /** Deterministic 6-frame 8x8 Y4M clip for a document id:
+    * luma(f,x,y) = (id*13 + f*29 + x*7 + y*3) mod 256, 25 fps.
+    */
+  def y4mPayload(docId: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val lumas = (0 until nFrames).map { f =>
+      val l = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          l(y * w + x) = ((docId * 13 + f * 29 + x * 7 + y * 3) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      l
+    }
+    RawVideo.encodeY4m(w, h, 25, 1, lumas)
+  }
+
+  /** REAL video decode + frame sampling, oracle-checked: a YUV4MPEG2
+    * stream per document, decoded through RawVideo (stream-header tags,
+    * FRAME markers, planar layout), every 2nd frame sampled with its
+    * fps-derived timestamp and exact luma mean. One input row fans out
+    * to n frame rows iterator-wise — the real shape of a frame-sampling
+    * stage at 100 TB.
+    */
+  val decodeY4mQ: Q = Q("multimodal_decode_y4m",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val payload = y4mPayload(id, 6, 8, 8)
+          require(RawVideo.sniff(payload) == "video/y4m")
+          val video = RawVideo.decodeY4m(payload)
+          video.frames.iterator.filter(_.index % 2 == 0).map { f =>
+            VideoFrameStats(id, f.index,
+              f.index.toLong * 1000 * video.fpsDen / video.fpsNum,
+              RawVideo.lumaSum(f).toDouble / (video.width * video.height))
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""SELECT d.doc_id,
+      |  CAST(f AS INT) AS frame_idx,
+      |  CAST(f * 40 AS BIGINT) AS ts_ms,
+      |  SUM((d.doc_id * 13 + f * 29 + x * 7 + y * 3) % 256) / 64.0
+      |    AS mean_luma
+      |FROM documents d, (VALUES (0), (2), (4)) tf(f),
+      |  range(0, 8) tx(x), range(0, 8) ty(y)
+      |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
+
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodeWav)
+    decodeWav, decodeY4mQ)
 }

@@ -99,6 +99,25 @@ class RawImageSpec extends AnyFunSuite {
     assert(sfmt.startsWith("fake/"))
   }
 
+  test("Y4M roundtrip: stream header, frame markers, 4:2:0 plane sizes") {
+    import graft.operators.RawVideo
+    val f0 = Array.tabulate[Byte](4 * 2)(i => i.toByte)
+    val f1 = Array.tabulate[Byte](4 * 2)(i => (10 + i).toByte)
+    val bytes = RawVideo.encodeY4m(4, 2, 30, 1, Seq(f0, f1))
+    assert(RawVideo.sniff(bytes) == "video/y4m")
+    val v = RawVideo.decodeY4m(bytes)
+    assert(v.width == 4 && v.height == 2)
+    assert(v.fpsNum == 30 && v.fpsDen == 1 && v.chroma == "C420")
+    assert(v.frames.size == 2)
+    assert(v.frames(0).luma.toSeq == f0.toSeq)
+    assert(v.frames(1).luma.toSeq == f1.toSeq)
+    assert(RawVideo.lumaSum(v.frames(0)) == (0 until 8).sum)
+    // odd dimensions round chroma planes up (C420 spec)
+    val odd = RawVideo.decodeY4m(
+      RawVideo.encodeY4m(3, 3, 25, 1, Seq(new Array[Byte](9))))
+    assert(odd.width == 3 && odd.frames.size == 1)
+  }
+
   test("payload builder emits a decodable PPM with the formula pixels") {
     val p = graft.operators.MultimodalOps.ppmPayload(42L, 8, 8)
     val img = RawImage.decodePpm(p)
