@@ -206,7 +206,12 @@ private final class NestedRefRewriter(spark: SparkSession) {
               })
               cur = pseudoRow(et)
             case mt: MapType =>
-              return if (isLast) Some(Seq("key", "value")) else None
+              // struct values expand to their fields (complex types
+              // are not selectable scalars in the reference's dialect)
+              return if (isLast) Some(mt.valueType match {
+                case s: StructType => "key" +: s.fields.map(_.name).toSeq
+                case _ => Seq("key", "value")
+              }) else None
             case other =>
               if (isLast) return None
               cur = other
@@ -511,12 +516,25 @@ private final class NestedRefRewriter(spark: SparkSession) {
             })
         case mt: MapType =>
           val q = alias.getOrElse(p)
+          // struct values flatten their fields into the generator
+          // output so `m.field` resolves to the VALUE's field (without
+          // this it falls back to Spark's map-by-key extraction when
+          // the base column shares the ref's name)
+          val flatten = mt.valueType.isInstanceOf[StructType]
           val outAttrs = Seq(
             AttributeReference("key", mt.keyType, nullable = true)(),
-            AttributeReference("value", mt.valueType, nullable = true)())
-          plan = Generate(Explode(UnresolvedAttribute(path)), Nil,
-            outerGen, Some(q), outAttrs, plan)
-          lookup = lookupOf(Seq(q), mapRow(mt))
+            AttributeReference("value", mt.valueType, nullable = true)()) ++
+            (if (flatten)
+              mt.valueType.asInstanceOf[StructType].fields.toSeq.map(sf =>
+                AttributeReference(sf.name, sf.dataType, nullable = true)())
+             else Nil)
+          plan = Generate(UnnestMap(UnresolvedAttribute(path), flatten),
+            Nil, outerGen, Some(q), outAttrs, plan)
+          lookup = lookupOf(Seq(q), mapRow(mt)) ++
+            (mt.valueType match {
+              case st: StructType => lookupOf(Seq(q, "value"), st)
+              case _ => Map.empty[String, (Seq[String], DataType)]
+            })
         case st: StructType =>
           lookup = lookupOf(path, st)
         case other =>
