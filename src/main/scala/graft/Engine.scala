@@ -108,8 +108,30 @@ object Engine {
     * `fe/.../catalog/HdfsTable.java`): plain parquet with pushdown +
     * pruning handled by the file source.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The engine-wide contract for `events.ts` is int64 epoch-nanos (the
+    * reference's TimestampValue is nanosecond-resolution,
+    * `be/src/runtime/timestamp-value.h:40-65`). The driver's testdata has
+    * shipped the column both as parquet TIMESTAMP(NANOS) (read as BIGINT
+    * via `nanosAsLong`) and as TIMESTAMP_MICROS/NTZ; normalize the
+    * timestamp encodings back to epoch-nanos at mount so every consumer
+    * (window queries, sessionization, streaming) sees one type. A cast
+    * through TimestampType is wall-clock-preserving for NTZ under the
+    * session's UTC zone. Pure projection — pushdown/pruning unaffected.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+      case _ => df
+    }
 
   // last mounted sf dir per session: mounting eagerly reads 10 parquet
   // footers, which dominates per-query latency on conformance corpora if

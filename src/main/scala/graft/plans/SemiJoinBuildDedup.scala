@@ -15,18 +15,34 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * driver. Reducing the build to its distinct rows first bounds it by
   * the key cardinality instead of the row count.
   *
-  * Guarded to builds whose whole output is <= 16 bytes wide: that is the
-  * shape where row count and byte size diverge enough to fool AQE, and
-  * where the extra aggregate is provably cheap (the deduped set is at
-  * most the narrow key space). Runs in the user optimizer batch, after
-  * RewriteSubquery has produced the join form.
+  * Guarded two ways:
+  *  - builds whose whole output is <= 16 bytes wide: the shape where row
+  *    count and byte size diverge enough to fool AQE, and where the extra
+  *    aggregate is provably cheap (the deduped set is at most the narrow
+  *    key space);
+  *  - AND an estimated build cardinality of >= ~1M rows (stats rowCount
+  *    when available, else sizeInBytes / row width): a small build never
+  *    has the broadcast hazard, so taxing every narrow semi/anti join
+  *    with an aggregate would be pure regression (r5 measured up to 2.1x
+  *    on small builds before this gate).
+  *
+  * Runs in the user optimizer batch, after RewriteSubquery has produced
+  * the join form.
   */
 object SemiJoinBuildDedup extends Rule[LogicalPlan] {
+  private val HazardRows = BigInt(1L << 20)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(_, right, LeftSemi | LeftAnti, _, _)
-        if right.output.nonEmpty &&
-          right.output.map(_.dataType.defaultSize).sum <= 16 &&
-          !alreadyDeduped(right) =>
+        if right.output.nonEmpty && {
+          val width = right.output.map(_.dataType.defaultSize).sum
+          width <= 16 && {
+            val st = right.stats
+            val estRows = st.rowCount
+              .getOrElse(st.sizeInBytes / BigInt(math.max(width, 1)))
+            estRows >= HazardRows
+          }
+        } && !alreadyDeduped(right) =>
       j.copy(right = Aggregate(right.output, right.output, right))
   }
 

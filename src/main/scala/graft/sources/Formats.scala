@@ -150,7 +150,11 @@ object Formats {
           sum(col("bigint_col")).as("sum_big"),
           sum(col("dec_col5"))
             .cast(org.apache.spark.sql.types.DecimalType(25, 5)).as("sum_dec"),
-          max(col("timestamp_col")).as("max_ts"))
+          // epoch-millis BIGINT, not a raw timestamp: Spark writes
+          // TimestampType parquet as isAdjustedToUTC=true while DuckDB's
+          // epoch_ms() is naive — tz-aware vs naive stringify unequally
+          // in the driver's hasher, so compare on the integer domain
+          unix_millis(max(col("timestamp_col"))).as("max_ts"))
         .orderBy(col("tinyint_col"))
     },
     Some("""SELECT CAST(r % 10 AS TINYINT) AS tinyint_col,
@@ -160,7 +164,7 @@ object Formats {
       |  CAST(SUM(CAST(CASE WHEN r % 2 = 0 THEN -(10000000000 - (r + 1))
       |                     ELSE 10000000000 - (r + 1) END AS DECIMAL(15,0))
       |           * CAST(0.00001 AS DECIMAL(6,5))) AS DECIMAL(25,5)) AS sum_dec,
-      |  MAX(epoch_ms(r)) AS max_ts
+      |  CAST(MAX(r) AS BIGINT) AS max_ts
       |FROM range(100, 4100) t(r)
       |GROUP BY 1 ORDER BY tinyint_col""".stripMargin))
 

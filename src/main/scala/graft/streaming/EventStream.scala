@@ -22,11 +22,13 @@ object EventStream {
     */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
     Engine.configure(spark)
-    val schema = Engine.table(spark, dir, "events").schema
-    val stream = spark.readStream
+    // readStream needs the FILE's schema (ts may be timestamp-typed in
+    // newer testdata); normalizeEventTs restores the int64-nanos contract
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = Engine.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
     stream
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
       .withWatermark("event_time", "10 minutes")
@@ -52,12 +54,12 @@ object EventStream {
 
   private def eventSide(spark: SparkSession, dir: String, tpe: String,
       alias: String, streaming: Boolean): DataFrame = {
-    val schema = Engine.table(spark, dir, "events").schema
     val src =
-      if (streaming)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-      else Engine.table(spark, dir, "events")
+      if (streaming) {
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        Engine.normalizeEventTs(spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      } else Engine.table(spark, dir, "events")
     src.filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${alias}_user"),
         col("event_id").as(s"${alias}_id"),

@@ -82,9 +82,9 @@ object StatefulSessions {
     */
   def sessions(spark: SparkSession, dir: String): Dataset[SessionOut] = {
     Engine.configure(spark)
-    val schema = Engine.table(spark, dir, "events").schema
-    val evs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val evs = Engine.normalizeEventTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
       .selectExpr("user_id", "ts div 1000 AS ts_us", "value")
       .withColumn("event_time", timestamp_micros(col("ts_us")))
     pipeline(evs)
