@@ -200,6 +200,13 @@ object Engine {
       if (mode.nonEmpty)
         q = q.replaceFirst("(?is)^explain\\s+", s"explain $mode")
     }
+    // DESCRIBE <path> / SHOW TABLES|DATABASES / USE — the dialect's
+    // metadata-introspection shapes (describe.test, show.test); DESCRIBE
+    // FORMATTED/EXTENDED fall through to Spark's Hive-style output
+    graft.plans.Introspect.route(spark, q) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val cleaned = likeParquet(spark, stripPlanHints(q))
     // APPX_COUNT_DISTINCT=1: every single-argument COUNT(DISTINCT x)
     // becomes ndv(x) before analysis (the reference's rewrite,

@@ -110,6 +110,9 @@ object GoldenRunner {
         val b = new StringBuilder("'")
         s.foreach {
           case '\\' => b.append("\\\\")
+          // newlines print as the two-character escape (the reference's
+          // expected strings for pretty-printed nested types carry '\n')
+          case '\n' => b.append("\\n")
           case c if c < 0x20 => b.append(f"\\x${c.toInt}%02x")
           case c => b.append(c)
         }
