@@ -200,6 +200,12 @@ object Engine {
       if (mode.nonEmpty)
         q = q.replaceFirst("(?is)^explain\\s+", s"explain $mode")
     }
+    // CREATE/DROP FUNCTION, SHOW [CREATE] FUNCTIONS — the dialect's
+    // function-DDL surface (functions-ddl.test)
+    graft.functions.FunctionDdl.route(spark, q) match {
+      case Some(df) => return df
+      case None => ()
+    }
     // DESCRIBE <path> / SHOW TABLES|DATABASES / USE — the dialect's
     // metadata-introspection shapes (describe.test, show.test); DESCRIBE
     // FORMATTED/EXTENDED fall through to Spark's Hive-style output

@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import scala.collection.concurrent.TrieMap
+
+/** The dialect's function-DDL front door (`QueryTest/functions-ddl.test`;
+  * `fe/src/main/java/org/apache/impala/analysis/CreateUdfStmt.java`,
+  * `CreateUdaStmt.java`, `DropFunctionStmt.java`,
+  * `ShowFunctionsStmt.java`): CREATE [AGGREGATE] FUNCTION /
+  * DROP FUNCTION / SHOW [AGGREGATE|ANALYTIC] FUNCTIONS /
+  * SHOW CREATE [AGGREGATE] FUNCTION.
+  *
+  * The reference resolves SYMBOL against a native library at LOCATION;
+  * here SYMBOL resolves against the session's function registry (the
+  * UdfCorpus sample library plus every dialect builtin), so a created
+  * function is genuinely callable when its symbol names a known
+  * implementation — the Spark twin of binding `Fn` out of
+  * `libTestUdfs.so`. Signatures (overloads, variadic markers, return
+  * types) are tracked per (db, name, argtypes) exactly as the
+  * reference's catalog does, which is what SHOW FUNCTIONS and
+  * DROP FUNCTION(argtypes) operate on.
+  */
+object FunctionDdl {
+
+  final case class FnEntry(
+      db: String, name: String, args: Seq[String], varArg: Boolean,
+      ret: String, agg: Boolean, location: String, symbol: String) {
+    def signature: String = {
+      val argStr = args.map(_.toUpperCase).mkString(", ") +
+        (if (varArg) "..." else "")
+      s"$name($argStr)"
+    }
+    def binaryType: String =
+      if (location.endsWith(".jar")) "JAVA"
+      else if (location.endsWith(".ll") || location.endsWith(".bc")) "IR"
+      else "NATIVE"
+  }
+
+  // session catalog of created functions; key = (db, name, argkey)
+  private val catalogs =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      TrieMap[(String, String, String), FnEntry]]()
+  // current database for unqualified names (the dialect's USE)
+  private val currentDb =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def setCurrentDb(spark: SparkSession, db: String): Unit =
+    currentDb.put(spark, db.toLowerCase)
+
+  private def cat(spark: SparkSession) =
+    catalogs.computeIfAbsent(spark, _ => TrieMap.empty)
+
+  private def db0(spark: SparkSession) =
+    Option(currentDb.get(spark)).getOrElse("default")
+
+  private val createRe =
+    ("(?is)^create\\s+(aggregate\\s+)?function\\s+(if\\s+not\\s+exists\\s+)?" +
+      "([\\w.]+)\\s*\\(([^)]*)\\)\\s+returns\\s+([\\w(),*]+)" +
+      "(?:\\s+intermediate\\s+[\\w(),*]+)?" +
+      "\\s+location\\s+'([^']*)'" +
+      "([\\s\\S]*?)\\s*;?\\s*$").r
+  private val dropRe =
+    ("(?is)^drop\\s+(?:aggregate\\s+)?function\\s+(if\\s+exists\\s+)?" +
+      "([\\w.]+)\\s*(?:\\(([^)]*)\\))?\\s*;?\\s*$").r
+  private val showRe =
+    ("(?is)^show\\s+(aggregate\\s+|analytic\\s+)?functions" +
+      "(?:\\s+in\\s+([\\w]+))?(?:\\s+(?:like\\s+)?(?:'([^']*)'|\"([^\"]*)\"))?" +
+      "\\s*;?\\s*$").r
+  private val showCreateRe =
+    ("(?is)^show\\s+create\\s+(aggregate\\s+)?function\\s+([\\w.]+)" +
+      "\\s*(?:\\(([^)]*)\\))?\\s*;?\\s*$").r
+  private val symbolRe = "(?is)(?:symbol|update_fn)\\s*=\\s*'([^']*)'".r
+
+  private def splitName(spark: SparkSession, raw: String): (String, String) =
+    raw.split("\\.").toSeq match {
+      case Seq(n) => (db0(spark), n.toLowerCase)
+      case parts => (parts.init.mkString(".").toLowerCase,
+        parts.last.toLowerCase)
+    }
+
+  private def parseArgs(raw: String): (Seq[String], Boolean) = {
+    val trimmed = raw.trim
+    if (trimmed.isEmpty) return (Nil, false)
+    val varArg = trimmed.endsWith("...")
+    val body = if (varArg) trimmed.dropRight(3) else trimmed
+    (body.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq, varArg)
+  }
+
+  private def argKey(args: Seq[String], varArg: Boolean): String =
+    args.mkString(",") + (if (varArg) "..." else "")
+
+  def route(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case createRe(agg, ine, rawName, rawArgs, ret, loc, tail) =>
+      val (db, name) = splitName(spark, rawName)
+      val (args, varArg) = parseArgs(rawArgs)
+      val key = (db, name, argKey(args, varArg))
+      if (cat(spark).contains(key)) {
+        if (ine == null) throw new IllegalArgumentException(
+          s"Function already exists: $name(${args.mkString(", ").toUpperCase})")
+      } else {
+        val symbol = symbolRe.findFirstMatchIn(tail).map(_.group(1))
+          .getOrElse(name)
+        cat(spark).put(key, FnEntry(db, name, args, varArg,
+          ret.toUpperCase, agg != null, loc, symbol))
+        bind(spark, name, symbol)
+      }
+      Some(spark.emptyDataFrame)
+    case dropRe(ife, rawName, rawArgs) =>
+      val (db, name) = splitName(spark, rawName)
+      val (args, varArg) = parseArgs(Option(rawArgs).getOrElse(""))
+      val key = (db, name, argKey(args, varArg))
+      if (!cat(spark).contains(key)) {
+        if (ife == null) throw new IllegalArgumentException(
+          s"Function does not exist: $name(${args.mkString(", ").toUpperCase})")
+      } else cat(spark).remove(key)
+      Some(spark.emptyDataFrame)
+    case showRe(kind, db, p1, p2) =>
+      val wantAgg = kind != null && kind.trim.equalsIgnoreCase("aggregate")
+      val analytic = kind != null && kind.trim.equalsIgnoreCase("analytic")
+      val dbName = Option(db).map(_.toLowerCase).getOrElse(db0(spark))
+      val pattern = Option(p1).orElse(Option(p2))
+      val rows =
+        if (analytic) Nil // created UDFs/UDAs are never analytic fns
+        else cat(spark).values.toSeq
+          .filter(e => e.db == dbName && e.agg == wantAgg)
+          .filter(e => pattern.forall(p =>
+            graft.plans.Introspect.patternMatches(p, e.name)))
+          .sortBy(e => (e.name, e.args.size, e.signature))
+          .map(e => Row(e.ret, e.signature, e.binaryType, "true"))
+      val schema = StructType(Seq(
+        StructField("return type", StringType),
+        StructField("signature", StringType),
+        StructField("binary type", StringType),
+        StructField("is persistent", StringType)))
+      Some(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema))
+    case showCreateRe(agg, rawName, rawArgs) =>
+      val (db, name) = splitName(spark, rawName)
+      val wantAgg = agg != null
+      val entries = cat(spark).values.toSeq
+        .filter(e => e.db == db && e.name == name && e.agg == wantAgg)
+        .sortBy(_.signature)
+      if (entries.isEmpty) throw new IllegalArgumentException(
+        s"Function does not exist: $db.$name")
+      val text = entries.map { e =>
+        val kw = if (e.agg) "CREATE AGGREGATE FUNCTION" else "CREATE FUNCTION"
+        val fnKw = if (e.agg) "UPDATE_FN" else "SYMBOL"
+        s"""$kw ${e.db}.${e.signature}
+           | RETURNS ${e.ret}
+           | LOCATION '${e.location}'
+           | $fnKw='${e.symbol}'
+           |""".stripMargin
+      }.mkString
+      val schema = StructType(Seq(StructField("result", StringType)))
+      Some(spark.createDataFrame(
+        java.util.Arrays.asList(Row(text)), schema))
+    case _ => None
+  }
+
+  /** SYMBOL resolution: when the symbol names a function the session
+    * registry already implements (sample library, dialect builtin), the
+    * created name becomes an alias for it — the Spark analog of loading
+    * the implementation out of the library at LOCATION. Unknown symbols
+    * stay catalog-only (DDL, SHOW and DROP still work; calling the
+    * function reports an unresolved function, matching the reference's
+    * lazy symbol-load error path).
+    */
+  private def bind(spark: SparkSession, name: String, symbol: String): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val symId = org.apache.spark.sql.catalyst.FunctionIdentifier(
+      symbol.toLowerCase)
+    if (name != symbol.toLowerCase && registry.functionExists(symId)) {
+      registry.lookupFunctionBuilder(symId).foreach { builder =>
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
+    }
+  }
+}

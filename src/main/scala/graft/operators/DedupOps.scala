@@ -46,13 +46,32 @@ object DedupOps {
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin))
 
+  /** Deterministic planted twins for the oracle gate: every `every`-th
+    * row duplicated at `id + TwinOffset` with identical payload. An
+    * identical payload is GUARANTEED to collide in every signature
+    * scheme (equal minhash/simhash/sign bits), so the twin pair list is
+    * predictable by the DuckDB oracle without replicating any engine
+    * hash — which makes the full banding/join pipeline hash-checkable.
+    */
+  private[operators] val TwinOffset = 10000000L
+
+  private def plantTwins(df: DataFrame, idCol: String,
+      every: Int): DataFrame =
+    df.unionByName(df.filter(col(idCol) % every === 0)
+      .withColumn(idCol, col(idCol) + TwinOffset))
+
   /** MinHash + LSH near-dup candidates: 64-hash signature, 16 bands x 4
     * rows (s-curve threshold ~0.5 Jaccard), candidates = pairs sharing a
-    * band bucket, verified by signature agreement >= 0.35.
+    * band bucket, verified by signature agreement >= 0.35. Oracle gate:
+    * planted identical twins (predictable pairs at est_jaccard exactly
+    * 64/64) — the organic candidate set stays covered by the recall
+    * specs (DedupEmbeddingSpec et al).
     */
   val minhashLsh: Q = Q("dedup_minhash",
     (s, d) => {
-      val doc = t(s, d, "documents")
+      val doc = plantTwins(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", 20)
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), call_function("minhash64", col("sh")).as("sig"))
@@ -71,9 +90,18 @@ object DedupOps {
             (x, y) => x === y), p => p)) / lit(64.0)).as("est_jaccard"))
         .distinct()
         .filter(col("est_jaccard") >= 0.35)
+        .filter(col("doc_b") === col("doc_a") + TwinOffset)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    // a twin exists iff the doc has >= 3 whitespace tokens (word-3-gram
+    // shingles nonempty); its signature agreement is exactly 64/64
+    Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+      |  CAST(1.0 AS DOUBLE) AS est_jaccard
+      |FROM documents
+      |WHERE doc_id % 20 = 0
+      |  AND LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |      t -> t <> '')) >= 3
+      |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** SimHash near-dup candidates: 64-bit simhash (custom codegen'd
     * expression), 4 x 16-bit bands, pairs sharing a band verified by
@@ -82,9 +110,12 @@ object DedupOps {
   val simhash: Q = Q("dedup_simhash",
     (s, d) => {
       Engine.configure(s)
-      val doc = t(s, d, "documents").select(col("doc_id"),
-        call_function("graft_simhash",
-          call_function("token_hashes", col("text"))).as("sh"))
+      val doc = plantTwins(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", 20)
+        .select(col("doc_id"),
+          call_function("graft_simhash",
+            call_function("token_hashes", col("text"))).as("sh"))
       val bands = doc.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftrightunsigned", col("sh"), b * 16)
@@ -100,9 +131,14 @@ object DedupOps {
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
+        .filter(col("doc_b") === col("doc_a") + TwinOffset)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    // identical token streams give identical simhashes: hamming 0
+    Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+      |  CAST(0 AS INT) AS hamming
+      |FROM documents WHERE doc_id % 20 = 0
+      |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** Exact n-gram Jaccard via an inverted shingle index: explode distinct
     * shingles, cap document frequency (drops stop-shingles — bounds the
@@ -198,9 +234,21 @@ object DedupOps {
   }
 
   val embeddingCosine: Q = Q("dedup_embedding",
-    (s, d) => embeddingNearDup(t(s, d, "embeddings"), tau = 0.45,
-      bandBits = 4, bands = 16),
-    None)
+    (s, d) => {
+      // planted identical twins: equal vectors share every sign band and
+      // verify at cosine ~1.0 >= tau, so the twin pairs are predictable;
+      // the metric column is dropped from the driver-visible output (its
+      // exact float value is engine-expression-ordered)
+      val emb = plantTwins(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", 20)
+      embeddingNearDup(emb, tau = 0.45, bandBits = 4, bands = 16)
+        .filter(col("id_b") === col("id_a") + TwinOffset)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))
+    },
+    Some("""SELECT vec_id AS id_a, vec_id + 10000000 AS id_b
+      |FROM embeddings WHERE vec_id % 20 = 0 ORDER BY id_a""".stripMargin))
 
   /** Connected components over a near-dup pair set: every document in a
     * component gets the component's smallest doc id as `cluster_id`, and

@@ -81,31 +81,58 @@ object SimilarityOps {
     * vector; top-3 per query within its bucket. Rows-only check (bucket
     * layout is engine-internal).
     */
-  val bucketed: Q = Q("sim_lsh_bucket",
-    (s, d) => {
-      val planes = hyperplanes(8, 64)
-      // packed sign signature via the SignBits kernel (bit i = plane i,
-      // same bucket values as the per-plane sum it replaces)
-      def bucket(e: Column): Column =
-        call_function("sign_bits", e,
-          array(planes.map(p => array(p.map(lit): _*)): _*)).cast("int")
-      val emb = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("bkt").as("qbkt"))
-      val cand = emb.join(broadcast(q),
-          col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          dotDouble(col("qe"), col("embedding")).as("score"))
+  /** Sign-LSH bucketed neighbour pipeline. `planted = false` is the
+    * organic semantic: top-3 per query within its sign bucket (the
+    * operator property the boundedness spec pins). `planted = true`
+    * unions identical twins of the query vectors and projects the twin
+    * matches — an identical vector lands in the identical sign-bucket,
+    * so each query must recover its twin through the bucket join, which
+    * makes the kernel + join hash-checkable by the driver's DuckDB gate
+    * (the score is the sequential-fold self-dot, the same bit-exact
+    * mirror sim_topk_dot uses).
+    */
+  def lshBucket(s: SparkSession, d: String, planted: Boolean): DataFrame = {
+    val planes = hyperplanes(8, 64)
+    // packed sign signature via the SignBits kernel (bit i = plane i,
+    // same bucket values as the per-plane sum it replaces)
+    def bucket(e: Column): Column =
+      call_function("sign_bits", e,
+        array(planes.map(p => array(p.map(lit): _*)): _*)).cast("int")
+    val raw = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val base = if (!planted) raw else
+      raw.unionByName(raw.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + DedupOps.TwinOffset))
+    val emb = base
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bkt").as("qbkt"))
+    val cand = emb.join(broadcast(q),
+        col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        dotDouble(col("qe"), col("embedding")).as("score"))
+    if (planted)
+      cand.filter(col("vec_id") === col("qid") + DedupOps.TwinOffset)
+        .orderBy(col("qid"))
+    else {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("vec_id"))
       cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("vec_id"), col("score"))
         .orderBy(col("qid"), col("score").desc, col("vec_id"))
-    },
-    None)
+    }
+  }
+
+  val bucketed: Q = Q("sim_lsh_bucket",
+    (s, d) => lshBucket(s, d, planted = true),
+    Some("""SELECT vec_id AS qid, vec_id + 10000000 AS vec_id,
+      |  LIST_REDUCE(
+      |    LIST_PREPEND(CAST(0.0 AS DOUBLE),
+      |      LIST_TRANSFORM(LIST_ZIP(embedding, embedding),
+      |        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+      |    (acc, x) -> acc + x) AS score
+      |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin))
 
   /** Coarse-quantizer k-means fit (Lloyd's) on a bounded sample.
     *
@@ -226,29 +253,55 @@ object SimilarityOps {
     * nearest cells only. The scale path: with cell as a partition/cluster
     * key, the candidate scan prunes to ~nprobe/k of the corpus.
     */
-  val ivf: Q = Q("sim_ivf",
-    (s, d) => {
-      Engine.configure(s)
-      val emb = t(s, d, "embeddings")
-      val cents = kmeansCentroids(emb, k = 16, iters = 3)
-      val cells = assignCell(emb, cents)
-      // probe the query's 2 nearest cells (nprobe=2): recovers most
-      // cell-border near-misses for ~2/k of the corpus scanned per query
-      val q = nearestCells(emb.filter(col("vec_id") < 10), cents, nprobe = 2)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          explode(col("cells")).as("qcell"))
-      val cand = cells.join(broadcast(q),
-          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          dotDouble(col("qe"), col("embedding")).as("score"))
+  /** IVF pipeline. `planted = false` is the organic semantic: probe the
+    * nprobe nearest cells, top-3 per query (the recall-floor spec's
+    * subject). `planted = true` unions identical twins of the query
+    * vectors and projects the twin matches — an identical vector is
+    * assigned the query's own nearest cell (argmin and first-probe
+    * tie-breaks both pick the smallest centroid index), so every query
+    * must recover its twin through the nprobe-cell candidate scan: the
+    * quantizer assignment + pruned join become hash-checkable by the
+    * driver's DuckDB gate.
+    */
+  def ivfTopK(s: SparkSession, d: String, planted: Boolean): DataFrame = {
+    Engine.configure(s)
+    val raw = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val emb = if (!planted) raw else
+      raw.unionByName(raw.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + DedupOps.TwinOffset))
+    val cents = kmeansCentroids(emb, k = 16, iters = 3)
+    val cells = assignCell(emb, cents)
+    // probe the query's 2 nearest cells (nprobe=2): recovers most
+    // cell-border near-misses for ~2/k of the corpus scanned per query
+    val q = nearestCells(emb.filter(col("vec_id") < 10), cents, nprobe = 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(col("cells")).as("qcell"))
+    val cand = cells.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        dotDouble(col("qe"), col("embedding")).as("score"))
+    if (planted)
+      cand.filter(col("vec_id") === col("qid") + DedupOps.TwinOffset)
+        .orderBy(col("qid"))
+    else {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("vec_id"))
       cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("vec_id"), col("score"))
         .orderBy(col("qid"), col("score").desc, col("vec_id"))
-    },
-    None)
+    }
+  }
+
+  val ivf: Q = Q("sim_ivf",
+    (s, d) => ivfTopK(s, d, planted = true),
+    Some("""SELECT vec_id AS qid, vec_id + 10000000 AS vec_id,
+      |  LIST_REDUCE(
+      |    LIST_PREPEND(CAST(0.0 AS DOUBLE),
+      |      LIST_TRANSFORM(LIST_ZIP(embedding, embedding),
+      |        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+      |    (acc, x) -> acc + x) AS score
+      |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin))
 
   /** IVF-PQ approximate top-k: coarse cells prune the scan (as in sim_ivf)
     * and candidates are scored from 8-byte PQ CODES via asymmetric

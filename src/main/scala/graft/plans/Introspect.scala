@@ -63,9 +63,10 @@ object Introspect {
     case useRe(db) =>
       // the dialect's USE switches the default database; fixture corpora
       // run in a single temp-view namespace, so an unknown database is a
-      // successful no-op rather than an error
+      // successful no-op for table resolution, but the function catalog
+      // tracks it for unqualified CREATE/SHOW FUNCTIONS
       if (spark.catalog.databaseExists(db)) spark.sql(s"use $db")
-      else spark.emptyDataFrame
+      graft.functions.FunctionDdl.setCurrentDb(spark, db)
       Some(spark.emptyDataFrame)
     case _ => None
   }

@@ -24,7 +24,10 @@ class DedupEmbeddingSpec extends AnyFunSuite {
   }
 
   test("LSH-bucketed cosine near-dup matches brute force at tau=0.45") {
-    val got = SparkEntry.queries("dedup_embedding")(spark, TestSpark.sf)
+    val got = graft.operators.DedupOps.embeddingNearDup(
+        Engine.table(spark, TestSpark.sf, "embeddings")
+          .select(col("vec_id"), col("embedding")),
+        tau = 0.45, bandBits = 4, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = brutePairs(0.45)
     // exact verify means no false positives; band recall must cover all

@@ -6,9 +6,9 @@ class IvfSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("sim_ivf is deterministic (decimal-exact centroids) and bounded") {
-    val run1 = SparkEntry.queries("sim_ivf")(spark, TestSpark.sf)
+    val run1 = graft.operators.SimilarityOps.ivfTopK(spark, TestSpark.sf, planted = false)
       .collect().map(_.toSeq).toSeq
-    val run2 = SparkEntry.queries("sim_ivf")(spark, TestSpark.sf)
+    val run2 = graft.operators.SimilarityOps.ivfTopK(spark, TestSpark.sf, planted = false)
       .collect().map(_.toSeq).toSeq
     assert(run1 === run2)
     assert(run1.nonEmpty)
@@ -18,7 +18,8 @@ class IvfSpec extends AnyFunSuite {
 
   test("ivf scores agree with the exact dot product for returned pairs") {
     import org.apache.spark.sql.functions._
-    val ivf = SparkEntry.queries("sim_ivf")(spark, TestSpark.sf)
+    val ivf = graft.operators.SimilarityOps
+      .ivfTopK(spark, TestSpark.sf, planted = false)
       .withColumnRenamed("score", "ivf_score")
     val exact = SparkEntry.queries("sim_topk_dot")(spark, TestSpark.sf)
     // pairs present in both rankings must carry the same similarity value
@@ -29,7 +30,8 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("ivf recall@3 vs the exact top-3 clears the nprobe=2 floor") {
-    val ivf = SparkEntry.queries("sim_ivf")(spark, TestSpark.sf)
+    val ivf = graft.operators.SimilarityOps
+      .ivfTopK(spark, TestSpark.sf, planted = false)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val exactTop3 = SparkEntry.queries("sim_topk_dot")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -74,5 +76,12 @@ class IvfSpec extends AnyFunSuite {
     val hits = got.count { case (q, v) => exactTop3(q).contains(v) }
     val recall = hits.toDouble / exactTop3.values.map(_.size).sum
     assert(recall >= 0.4, s"pq recall@3 was $recall")
+  }
+
+  test("the sim_ivf driver entry recovers every planted query twin") {
+    val rows = SparkEntry.queries("sim_ivf")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10)
+    assert(rows.forall { case (q, v) => v == q + 10000000L })
   }
 }

@@ -273,4 +273,162 @@ class PlannerSpec2 extends AnyFunSuite {
     val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
     assert(bhj >= 2, p)
   }
+
+  // ------------------------------------------------------------------
+  // round-6 breadth: join-order.test, predicate-propagation.test,
+  // runtime-filter-propagation.test analogs (VERDICT r5 #10)
+  // ------------------------------------------------------------------
+
+  test("join-order.test: star shape — the fact table is never on a build side") {
+    // JoinOrder costing keeps the big fact as probe across every dim
+    // join (join-order.test's star blocks); here every BroadcastExchange
+    // subtree must contain only dimension scans
+    val df = sql(
+      """select count(*) from lineitem l
+        |  join supplier s on l.l_suppkey = s.s_suppkey
+        |  join nation n on s.s_nationkey = n.n_nationkey
+        |  join region r on n.n_regionkey = r.r_regionkey
+        |where r.r_name = 'ASIA'""".stripMargin)
+    // walk the static plan tree (AQE's wrapper hides children from
+    // collect, and flat text would cross its Initial/Final sections);
+    // sparkPlan predates EnsureRequirements, so inspect the joins'
+    // build sides rather than exchange nodes
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.size >= 3, df.queryExecution.sparkPlan.toString)
+    joins.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val factScans = build.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(
+              _.toString.contains("lineitem")) => s
+      }
+      assert(factScans.isEmpty, j.toString)
+    }
+  }
+
+  test("predicate-propagation.test: transitive pushdown through a 3-way chain") {
+    // the equality chain l_partkey = p_partkey with a literal on part
+    // must land the literal filter in BOTH scans (ValueTransferGraph
+    // across multiple hops)
+    val p = physical(sql(
+      """select count(*) from lineitem l
+        |  join part p on l.l_partkey = p.p_partkey
+        |  join orders o on l.l_orderkey = o.o_orderkey
+        |where p.p_partkey = 5""".stripMargin))
+    assert(p.contains("EqualTo(p_partkey,5)"), p)
+    assert(p.contains("EqualTo(l_partkey,5)"), p)
+  }
+
+  test("predicate-propagation.test: a group-key filter pushes through an aggregating view") {
+    // predicate on the view's group-by key migrates below the aggregate
+    // into the scan (the reference pushes through SELECT-list slot refs)
+    val p = physical(sql(
+      """select * from (
+        |  select o_custkey, sum(o_totalprice) t from orders group by o_custkey
+        |) v where o_custkey = 7""".stripMargin))
+    assert(p.contains("EqualTo(o_custkey,7)"), p)
+  }
+
+  test("predicate-propagation.test: a null-rejecting WHERE simplifies LEFT OUTER to INNER") {
+    // where right.col = literal rejects the null-extended rows, so the
+    // outer join must plan as an inner join (the reference's
+    // outer-join simplification; Catalyst EliminateOuterJoin)
+    val p = physical(sql(
+      """select count(*) from customer c left outer join orders o
+        |on c.c_custkey = o.o_custkey
+        |where o.o_orderstatus = 'F'""".stripMargin))
+    assert(!p.contains("LeftOuter"), p)
+  }
+
+  test("predicate-propagation.test: a preserved-side filter pushes below the LEFT OUTER join") {
+    // filter on the left (preserved) side reaches its scan while the
+    // join itself stays outer
+    val df = sql(
+      """select count(*) from customer c left outer join orders o
+        |on c.c_custkey = o.o_custkey
+        |where c.c_mktsegment = 'BUILDING'""".stripMargin)
+    val p = physical(df)
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("runtime-filter-propagation.test: no runtime filter crosses onto a LEFT OUTER probe") {
+    // the reference never assigns a runtime filter that would filter
+    // the preserved side of an outer join (it would drop rows the join
+    // must keep); Spark's bloom-filter injection obeys the same rule
+    val p = sql(
+      """select count(*) from lineitem l left outer join supplier s
+        |on l.l_suppkey = s.s_suppkey and s.s_acctbal > 9999.5"""
+        .stripMargin).queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("bloomfilter"), p)
+  }
+
+  test("runtime-filter-propagation.test: a selective dim filter reaches the fact scan two hops away") {
+    // region -> nation -> supplier -> lineitem: the filter's effect must
+    // reach the fact side as a runtime filter (bloom) or DPP-free
+    // broadcast chain — the decision pinned: the fact scan is filtered
+    // at runtime, not fully scanned into the join
+    val df = sql(
+      """select count(*) from lineitem l join supplier s
+        |on l.l_suppkey = s.s_suppkey
+        |join nation n on s.s_nationkey = n.n_nationkey
+        |where n.n_name = 'FRANCE'""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // bloom injection is size-gated; accept either the bloom filter on
+    // the fact or the whole dim chain broadcast (both keep the fact
+    // scan from shuffling unfiltered)
+    val phys = physical(df)
+    assert(opt.toLowerCase.contains("bloomfilter") ||
+      phys.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      opt + "\n" + phys)
+  }
+
+  test("exchange-reuse: a shared aggregated subtree plans one exchange (q15 shape)") {
+    // the reference's planner materializes the shared WITH subtree once
+    // per fragment tree; Spark's ReuseExchange must dedup the repeated
+    // aggregate-exchange (Tpch2Queries q15 relies on this)
+    // AQE performs exchange reuse at stage materialization: run the
+    // query, then check the final plan reused the shuffle stage of the
+    // shared per-suppkey aggregate instead of recomputing it
+    val df = sql(
+      """with rev as (
+        |  select l_suppkey, sum(l_extendedprice) r from lineitem group by l_suppkey)
+        |select a.l_suppkey from rev a
+        |join (select max(r) mr from rev) m on a.r = m.mr""".stripMargin)
+    df.collect()
+    val p = physical(df)
+    val reused = p.contains("ReusedExchange") || {
+      // final-plan shuffle stages: the shared hashpartitioning(l_suppkey)
+      // exchange must materialize once (one distinct stage id for it)
+      val stageIds = "ShuffleQueryStage (\\d+)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      stageIds.size > stageIds.distinct.size
+    }
+    assert(reused, p)
+  }
+
+  test("aggregation.test: a grand total still aggregates partial then final") {
+    // no group keys: the plan must still be 2-phase (partial per
+    // partition, final after a single-partition exchange) — the
+    // reference's merge-aggregation shape for plain count/sum
+    val p = physical(sql("select count(*), sum(l_quantity) from lineitem"))
+    assert(p.split("HashAggregate").length - 1 == 2, p)
+    assert(p.contains("SinglePartition"), p)
+  }
+
+  test("in-predicate: a long literal IN list stays a pushed scan filter, not a join") {
+    val inList = (1 to 30).map(i => i * 7).mkString(", ")
+    val p = physical(sql(
+      s"select count(*) from lineitem where l_orderkey in ($inList)"))
+    assert(p.contains("In(l_orderkey"), p)
+    assert(!p.contains("Join"), p)
+  }
 }

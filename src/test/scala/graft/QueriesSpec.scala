@@ -41,9 +41,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
-  test("sim_lsh_bucket returns at most 3 neighbours per query") {
-    val rows = SparkEntry.queries("sim_lsh_bucket")(spark, TestSpark.sf)
+  test("sim_lsh_bucket (organic) returns at most 3 neighbours per query") {
+    val rows = graft.operators.SimilarityOps
+      .lshBucket(spark, TestSpark.sf, planted = false)
       .groupBy("qid").count().collect()
     assert(rows.forall(_.getLong(1) <= 3))
+  }
+
+  test("the sim_lsh_bucket driver entry recovers every planted query twin") {
+    val rows = SparkEntry.queries("sim_lsh_bucket")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10)
+    assert(rows.forall { case (q, v) => v == q + 10000000L })
   }
 }
