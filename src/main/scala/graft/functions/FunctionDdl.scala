@@ -71,6 +71,8 @@ object FunctionDdl {
     ("(?is)^show\\s+create\\s+(aggregate\\s+)?function\\s+([\\w.]+)" +
       "\\s*(?:\\(([^)]*)\\))?\\s*;?\\s*$").r
   private val symbolRe = "(?is)(?:symbol|update_fn)\\s*=\\s*'([^']*)'".r
+  private val dropDbRe =
+    "(?is)^drop\\s+(?:database|schema)\\s+(?:if\\s+exists\\s+)?([\\w]+)\\s*(cascade|restrict)?\\s*;?\\s*$".r
 
   private def splitName(spark: SparkSession, raw: String): (String, String) =
     raw.split("\\.").toSeq match {
@@ -101,11 +103,25 @@ object FunctionDdl {
       } else {
         val symbol = symbolRe.findFirstMatchIn(tail).map(_.group(1))
           .getOrElse(name)
+        // Java-UDF locations load for real (the class must be on the
+        // classpath, the reference's executor-side contract); a symbol
+        // that cannot load is the reference's lazy binary-load error
+        // (udf-errors.test). Native .so locations resolve symbolically
+        // against the session registry instead (see bind).
+        if (loc.endsWith(".jar")) bindJavaClass(spark, name, loc, symbol)
         cat(spark).put(key, FnEntry(db, name, args, varArg,
           ret.toUpperCase, agg != null, loc, symbol))
         bind(spark, name, symbol)
       }
       Some(spark.emptyDataFrame)
+    case dropDbRe(db, _) =>
+      // dropping a database that still holds functions is the
+      // reference's catalog-consistency error (udf-errors.test)
+      val dbl = db.toLowerCase
+      if (cat(spark).values.exists(_.db == dbl))
+        throw new IllegalArgumentException(
+          s"Cannot drop non-empty database: $dbl")
+      None // database itself is Spark's to drop
     case dropRe(ife, rawName, rawArgs) =>
       val (db, name) = splitName(spark, rawName)
       val (args, varArg) = parseArgs(Option(rawArgs).getOrElse(""))
@@ -156,6 +172,29 @@ object FunctionDdl {
       Some(spark.createDataFrame(
         java.util.Arrays.asList(Row(text)), schema))
     case _ => None
+  }
+
+  /** Java-UDF binding (`CREATE FUNCTION ... LOCATION 'x.jar'
+    * SYMBOL='com.example.Udf'`): the class must load and be a Hive
+    * UDF/GenericUDF — then it registers through the HiveUdx bridge,
+    * genuinely callable. A class that cannot load is the reference's
+    * binary-load failure (`udf-errors.test`).
+    */
+  private def bindJavaClass(spark: SparkSession, name: String,
+      loc: String, symbol: String): Unit = {
+    val cls =
+      try Class.forName(symbol, false, getClass.getClassLoader)
+      catch {
+        case _: Throwable => throw new IllegalArgumentException(
+          s"Could not load binary: $loc")
+      }
+    if (classOf[org.apache.hadoop.hive.ql.exec.UDF].isAssignableFrom(cls))
+      HiveUdx.registerHiveSimpleUdf(spark, name, symbol)
+    else if (classOf[org.apache.hadoop.hive.ql.udf.generic.GenericUDF]
+        .isAssignableFrom(cls))
+      HiveUdx.registerHiveGenericUdf(spark, name, symbol)
+    else throw new IllegalArgumentException(
+      s"Could not load binary: $loc")
   }
 
   /** SYMBOL resolution: when the symbol names a function the session
