@@ -147,7 +147,9 @@ object DedupOps {
     */
   val ngramJaccard: Q = Q("dedup_ngram_jaccard",
     (s, d) => {
-      val doc = t(s, d, "documents")
+      val doc = plantTwins(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", 20)
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
       val sizes = doc.select(col("doc_id"), size(col("sh")).as("n_sh"))
@@ -174,9 +176,42 @@ object DedupOps {
           (col("shared").cast("double") /
             (col("na") + col("nb") - col("shared"))).as("jaccard"))
         .filter(col("jaccard") >= 0.3)
+        .filter(col("doc_b") === col("doc_a") + TwinOffset)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    // FULL semantic mirror, no hashes: DuckDB recomputes the word-3-gram
+    // sets as strings, the document-frequency cap over the planted
+    // corpus, the shared counts and the exact double Jaccard — shingle
+    // hashing is injective up to 64-bit collisions, so the string-set
+    // computation is the same math
+    Some("""WITH base AS (SELECT doc_id, text FROM documents),
+      |corpus AS (SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM base WHERE doc_id % 20 = 0),
+      |toks AS (SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |                t -> t <> '') tk
+      |  FROM corpus),
+      |sh AS (SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shs
+      |  FROM toks WHERE LEN(tk) >= 3),
+      |sizes AS (SELECT doc_id, LEN(shs) n_sh FROM sh),
+      |inv AS (SELECT doc_id, UNNEST(shs) shingle FROM sh),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle
+      |         HAVING COUNT(*) <= 50),
+      |capped AS (SELECT inv.doc_id, inv.shingle
+      |           FROM inv JOIN rare USING (shingle)),
+      |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) shared
+      |          FROM capped a JOIN capped b USING (shingle)
+      |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b,
+      |        CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) jaccard
+      |      FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+      |                 JOIN sizes sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM j
+      |WHERE jaccard >= 0.3 AND doc_b = doc_a + 10000000
+      |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** Embedding-cosine near-dup: sign-LSH banding over random hyperplanes,
     * candidate pairs share any band bucket, exact cosine verify.

@@ -137,9 +137,9 @@ def datediff95(col, engine):
 def v_date_dim(engine):
     return f"""select d_date_sk,
   d_date,
-  year(d_date) d_year,
-  month(d_date) d_moy,
-  day(d_date) d_dom,
+  cast(year(d_date) as int) d_year,
+  cast(month(d_date) as int) d_moy,
+  cast(day(d_date) as int) d_dom,
   cast((d_date_sk + 1) % 7 as int) d_dow,
   {case_mod('(d_date_sk + 1) % 7',
             ['Sunday', 'Monday', 'Tuesday', 'Wednesday', 'Thursday',
