@@ -171,7 +171,11 @@ object MultimodalOps {
           length(col("payload")).as("n_bytes"))
         .orderBy(col("doc_id"))
     },
-    None)
+    // the stub's byte-budget arithmetic is plain integer math on the
+    // payload's UTF-8 byte length: target = max(1, 32*32/64) = 16
+    Some("""SELECT doc_id, CAST(32 AS INT) width, CAST(32 AS INT) height,
+      |  CAST(LEAST(OCTET_LENGTH(ENCODE(text)), 16) AS INT) n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Frame-sampling stage: every 4th 256-byte "frame" per document. */
   val frames: Q = Q("multimodal_frames",
@@ -182,7 +186,15 @@ object MultimodalOps {
         .agg(count(lit(1)).as("n_frames"), max(col("ts_ms")).as("last_ts_ms"))
         .orderBy(col("doc_id"))
     },
-    None)
+    // frame counts/timestamps are integer math on the payload byte
+    // length: nf = bytes/256 whole frames, every 4th sampled, ts_ms =
+    // floor(f*1000/30.0) (identical IEEE double + truncation)
+    Some("""WITH m AS (SELECT doc_id,
+      |    OCTET_LENGTH(ENCODE(text)) // 256 AS nf FROM documents)
+      |SELECT doc_id, CAST((nf + 3) // 4 AS BIGINT) n_frames,
+      |  CAST(FLOOR((4 * ((nf + 3) // 4 - 1)) * 1000 / 30.0) AS BIGINT)
+      |    last_ts_ms
+      |FROM m WHERE nf > 0 ORDER BY doc_id""".stripMargin))
 
   /** Pipeline entry: documents' text bytes stand in for media payloads
     * (the testdata has no binary media); emits metadata + feature norms.
