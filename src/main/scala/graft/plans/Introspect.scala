@@ -42,6 +42,15 @@ object Introspect {
 
   private val describeRe =
     "(?is)^describe\\s+(?!formatted\\b|extended\\b|history\\b|detail\\b|database\\b|function\\b|query\\b)([A-Za-z_][\\w.]*)\\s*;?\\s*$".r
+  // SHOW PARTITIONS deliberately stays Spark's native single-column
+  // shape (the existing insert/alter corpus pins it); the reference's
+  // per-partition stats grid answers SHOW TABLE STATS
+  private val showStatsRe =
+    "(?is)^show\\s+table\\s+stats\\s+([\\w.]+)\\s*;?\\s*$".r
+  private val descDbRe =
+    "(?is)^describe\\s+database\\s+(extended\\s+)?([\\w]+)\\s*;?\\s*$".r
+  private val showDataSrcRe =
+    "(?is)^show\\s+data\\s+sources(?:\\s+(?:like\\s+)?'([^']*)')?\\s*;?\\s*$".r
   private val showTablesRe =
     "(?is)^show\\s+tables(?:\\s+in\\s+([\\w.]+))?(?:\\s+(?:like\\s+)?(?:'([^']*)'|\"([^\"]*)\"))?\\s*;?\\s*$".r
   private val showDbsRe =
@@ -53,6 +62,10 @@ object Introspect {
     * Hive-style output serves).
     */
   def route(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case showStatsRe(table) => Some(tableStats(spark, table))
+    case descDbRe(_, db) => Some(describeDatabase(spark, db))
+    case showDataSrcRe(pattern) =>
+      Some(dataSources(spark, Option(pattern)))
     case describeRe(path) => Some(describe(spark, path))
     case showTablesRe(db, p1, p2) =>
       Some(showNames(spark, tableNames(spark, Option(db)),
@@ -105,6 +118,119 @@ object Introspect {
     val schema = StructType(Seq(StructField("name", StringType)))
     spark.createDataFrame(
       java.util.Arrays.asList(kept.map(Row(_)): _*), schema)
+  }
+
+  /** Impala's byte pretty-printer (`PrettyPrinter.java`): two decimals
+    * at the largest fitting unit, whole bytes as `<n>B`.
+    */
+  def prettyBytes(b: Long): String =
+    if (b < 1024) s"${b}B"
+    else if (b < 1024L * 1024) f"${b / 1024.0}%.2fKB"
+    else if (b < 1024L * 1024 * 1024) f"${b / 1024.0 / 1024.0}%.2fMB"
+    else f"${b / 1024.0 / 1024.0 / 1024.0}%.2fGB"
+
+  /** Per-location file stats: (#files, bytes, rows). Rows come from the
+    * parquet FOOTERS — a metadata-only read, the same place the
+    * reference's loaded-table stats live (`HdfsTable.java` per-partition
+    * file descriptors); no data pages are scanned.
+    */
+  private def locStats(spark: SparkSession,
+      location: java.net.URI): (Long, Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(location)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) return (0L, 0L, 0L)
+    val files = fs.listStatus(path).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val bytes = files.map(_.getLen).sum
+    val rows = files.collect {
+      case f if f.getPath.getName.endsWith(".parquet") =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        try reader.getRecordCount finally reader.close()
+    }.sum
+    (files.length.toLong, bytes, rows)
+  }
+
+  /** SHOW TABLE STATS / SHOW PARTITIONS: the reference's per-partition
+    * stats grid (`show-stats.test` — keys, #Rows, #Files, Size, format,
+    * location, plus a Total row). Row counts are real (parquet footer
+    * metadata), not scans; cache columns are NOT CACHED (no HDFS cache
+    * here).
+    */
+  def tableStats(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    val parts = table.split("\\.")
+    val ident =
+      if (parts.length >= 2) TableIdentifier(parts.last, Some(parts.head))
+      else TableIdentifier(parts.head)
+    val meta = catalog.getTableMetadata(ident)
+    val partCols = meta.partitionColumnNames
+    val fmt = meta.provider.getOrElse("parquet").toUpperCase
+    val fixed = Seq("#Rows", "#Files", "Size", "Bytes Cached",
+      "Cache Replication", "Format", "Incremental stats", "Location")
+    val schema = StructType(
+      partCols.map(c => StructField(c, StringType)) ++ fixed.map {
+        case c @ ("#Rows" | "#Files") => StructField(c, LongType)
+        case c => StructField(c, StringType)
+      })
+    def statRow(keys: Seq[String], loc: Option[java.net.URI]): Row = {
+      val (nf, bytes, rows) = loc.map(locStats(spark, _)).getOrElse((0L, 0L, 0L))
+      Row.fromSeq(keys ++ Seq(rows, nf, prettyBytes(bytes), "NOT CACHED",
+        "NOT CACHED", fmt, "false", loc.map(_.toString).getOrElse("")))
+    }
+    val rows =
+      if (partCols.isEmpty) Seq(statRow(Nil, meta.storage.locationUri))
+      else {
+        val partRows = catalog.listPartitions(ident).map { p =>
+          statRow(partCols.map(c => p.spec.getOrElse(c, "")),
+            p.storage.locationUri)
+        }
+        val totRows = partRows.map(_.getLong(partCols.size)).sum
+        val totFiles = partRows.map(_.getLong(partCols.size + 1)).sum
+        // Size columns are pretty-printed, so total bytes recompute
+        // from the partition locations
+        val totalBytes = catalog.listPartitions(ident).map(p =>
+          p.storage.locationUri.map(locStats(spark, _)._2).getOrElse(0L)).sum
+        partRows :+ Row.fromSeq(
+          Seq("Total") ++ Seq.fill(partCols.size - 1)("") ++
+            Seq(totRows, totFiles, prettyBytes(totalBytes), "0B", "", "",
+              "", ""))
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** DESCRIBE DATABASE [EXTENDED] (`describedb.test`): one
+    * name/location/comment row from the session catalog.
+    */
+  def describeDatabase(spark: SparkSession, db: String): DataFrame = {
+    val d = spark.sessionState.catalog.getDatabaseMetadata(db)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("location", StringType),
+      StructField("comment", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(d.name, d.locationUri.toString, d.description)), schema)
+  }
+
+  /** SHOW DATA SOURCES [LIKE 'pat'] (`show-data-sources.test`): the
+    * engine's registered external data sources — its DSv2 classes, the
+    * analog of the reference's ExternalDataSource registry.
+    */
+  def dataSources(spark: SparkSession, pattern: Option[String]): DataFrame = {
+    val sources = Seq(
+      ("alltypes", "builtin", "graft.sources.AllTypesSource", "V2"),
+      ("kv_range", "builtin", "graft.sources.KvRangeSource", "V2"),
+      ("kv_store", "builtin", "graft.sources.KvStoreSink", "V2"))
+    val kept = sources.filter(s =>
+      pattern.forall(p => patternMatches(p, s._1)))
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("location", StringType),
+      StructField("class name", StringType),
+      StructField("api version", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      kept.map(s => Row(s._1, s._2, s._3, s._4)): _*), schema)
   }
 
   /** DESCRIBE <table>[.<col or field path>...]: the three-string-column
