@@ -272,7 +272,12 @@ object Engine {
       case likeParquetRe(ifNotExists, table, file) =>
         val schema = spark.read.parquet(file).schema
         val ine = if (ifNotExists == null) "" else "if not exists "
-        s"create table $ine$table (${schema.toDDL}) using parquet"
+        // each inferred column carries the reference's provenance comment
+        // (CreateTableLikeFileStmt.java: "Inferred from Parquet file.")
+        val cols = schema.fields.map(f =>
+          s"`${f.name}` ${f.dataType.sql} COMMENT 'Inferred from Parquet file.'")
+          .mkString(", ")
+        s"create table $ine$table ($cols) using parquet"
       case _ => query
     }
 
