@@ -113,6 +113,13 @@ object QueryOptions {
     Map("NONE" -> "uncompressed", "DEFAULT" -> "snappy",
       "SNAPPY" -> "snappy", "GZIP" -> "gzip")
 
+  /** Valid THdfsCompression enum values the parquet writer nevertheless
+    * rejects (the reference errors at write time —
+    * `hdfs-parquet-table-writer.cc` codec switch,
+    * `insert_parquet_invalid_codec.test`).
+    */
+  private val hdfsOnlyCodecs = Set("BZIP2", "DEFLATE", "LZO")
+
   /** SET key=value with the reference's validation + the Spark-session
     * side effect where one exists.
     */
@@ -126,6 +133,9 @@ object QueryOptions {
     val stored: String = k match {
       case "COMPRESSION_CODEC" =>
         val up = v.toUpperCase
+        if (hdfsOnlyCodecs.contains(up))
+          throw new IllegalArgumentException(
+            s"Invalid parquet compression codec ${v.toLowerCase}")
         val codec = parquetCodecs.getOrElse(up, throw
           new IllegalArgumentException(s"Invalid compression codec: $v"))
         // hdfs-parquet-table-writer codec selection -> Spark's writer conf
