@@ -431,4 +431,62 @@ class PlannerSpec2 extends AnyFunSuite {
     assert(p.contains("In(l_orderkey"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("inline-view.test: a partition-key filter pushes below the view's window") {
+    // the reference pushes predicates into inline views only when safe;
+    // a filter on the analytic PARTITION key prunes before the window
+    val p = physical(sql(
+      """select * from (
+        |  select o_custkey, o_totalprice,
+        |         rank() over (partition by o_custkey order by o_totalprice) r
+        |  from orders) v
+        |where o_custkey = 7""".stripMargin))
+    assert(p.contains("EqualTo(o_custkey,7)"), p)
+  }
+
+  test("inline-view.test: a non-partition filter stays above the window") {
+    // pushing it below would change which rows rank sees
+    val df = sql(
+      """select * from (
+        |  select o_custkey, o_totalprice,
+        |         rank() over (partition by o_custkey order by o_totalprice) r
+        |  from orders) v
+        |where r = 1""".stripMargin)
+    val p = physical(df)
+    // the rank filter must NOT reach the scan
+    assert(!p.contains("PushedFilters: [IsNotNull(r"), p)
+    assert(p.contains("Window"), p)
+    // and the orders scan is unfiltered on data columns
+    assert(p.linesIterator.exists(l =>
+      l.contains("orders.parquet") && l.contains("PushedFilters: []")), p)
+  }
+
+  test("values.test: VALUES plans as a local relation — no scan, no exchange") {
+    val p = physical(sql(
+      "select * from (values (1, 'a'), (2, 'b')) t(id, name) where id > 0"))
+    assert(p.contains("LocalTableScan") || p.contains("EmptyRelation"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("joins.test: null-safe equality (<=>) keys still take the hash-join path") {
+    // the reference plans IS NOT DISTINCT FROM as a hash join predicate
+    // (not a nested loop); Spark's EqualNullSafe is a valid hash key
+    val p = physical(sql(
+      """select count(*) from orders o join customer c
+        |on o.o_custkey <=> c.c_custkey""".stripMargin))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("outer-joins.test: FULL OUTER equi-join plans as a shuffled merge join") {
+    // neither side of a full outer can be the broadcast build (both
+    // sides produce null-extended rows) — the reference partitions both
+    val df = sql(
+      """select count(*) from orders o full outer join customer c
+        |on o.o_custkey = c.c_custkey""".stripMargin)
+    val p = physical(df)
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
 }
