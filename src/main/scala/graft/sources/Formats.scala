@@ -148,8 +148,14 @@ object Formats {
         .agg(count(lit(1)).as("n"),
           count(col("string_col")).as("n_str"),
           sum(col("bigint_col")).as("sum_big"),
+          // exact decimal sum, then one cast to DOUBLE: the group sums all
+          // carry trailing zeros at scale 5 (e.g. -39999991.61600), the one
+          // rendering class where DECIMAL stringification diverges between
+          // engines while comparing numerically equal (Det policy, NOTES.md
+          // rule 1 — same treatment as the tpcds money sums)
           sum(col("dec_col5"))
-            .cast(org.apache.spark.sql.types.DecimalType(25, 5)).as("sum_dec"),
+            .cast(org.apache.spark.sql.types.DecimalType(25, 5))
+            .cast("double").as("sum_dec"),
           // epoch-millis BIGINT, not a raw timestamp: Spark writes
           // TimestampType parquet as isAdjustedToUTC=true while DuckDB's
           // epoch_ms() is naive — tz-aware vs naive stringify unequally
@@ -161,9 +167,9 @@ object Formats {
       |  COUNT(*) AS n,
       |  COUNT(CASE WHEN r % 5 <> 0 THEN 1 END) AS n_str,
       |  CAST(SUM(r * 10) AS BIGINT) AS sum_big,
-      |  CAST(SUM(CAST(CASE WHEN r % 2 = 0 THEN -(10000000000 - (r + 1))
+      |  CAST(CAST(SUM(CAST(CASE WHEN r % 2 = 0 THEN -(10000000000 - (r + 1))
       |                     ELSE 10000000000 - (r + 1) END AS DECIMAL(15,0))
-      |           * CAST(0.00001 AS DECIMAL(6,5))) AS DECIMAL(25,5)) AS sum_dec,
+      |           * CAST(0.00001 AS DECIMAL(6,5))) AS DECIMAL(25,5)) AS DOUBLE) AS sum_dec,
       |  CAST(MAX(r) AS BIGINT) AS max_ts
       |FROM range(100, 4100) t(r)
       |GROUP BY 1 ORDER BY tinyint_col""".stripMargin))
