@@ -319,11 +319,24 @@ object SimilarityOps {
     * re-rank refines the ADC top-24 shortlist per query — the only rows
     * whose original vectors are ever read.
     */
-  val pq: Q = Q("sim_pq",
-    (s, d) => {
+  /** IVF-PQ pipeline. `planted = false` is the organic semantic: ADC
+    * shortlist from codes, exact re-rank, top-3 per query (IvfSpec pins
+    * determinism, boundedness and the recall floor). `planted = true`
+    * unions identical twins of the query vectors and projects the twin
+    * matches: an identical vector gets the identical cell AND identical
+    * PQ codes, its ADC score is the query's self-ADC (the max-dot
+    * approximation), so every query must recover its twin through the
+    * quantized top-24 shortlist — and the FINAL value is the exact
+    * re-ranked sequential-fold self-dot, the bit-exact mirror the
+    * sim_ivf oracle already uses.
+    */
+  def pqTopK(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       Engine.configure(s)
       val M = 8; val Ksub = 32; val SubDim = 8
-      val emb = t(s, d, "embeddings")
+      val raw = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = if (!planted) raw else
+        raw.unionByName(raw.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + DedupOps.TwinOffset))
       val sample = fitSample(emb)
       val cents = lloyd(sample, 16, 3)
       val books = pqCodebooks(sample, M, Ksub, 3)
@@ -369,14 +382,28 @@ object SimilarityOps {
         .join(broadcast(qv), "qid")
         .select(col("qid"), col("vec_id"),
           dotDouble(col("qe"), col("embedding")).as("score"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("vec_id"))
-      exact.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("vec_id"), col("score"))
-        .orderBy(col("qid"), col("score").desc, col("vec_id"))
-    },
-    None)
+      if (planted)
+        exact.filter(col("vec_id") === col("qid") + DedupOps.TwinOffset)
+          .orderBy(col("qid"))
+      else {
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        exact.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"), col("score"))
+          .orderBy(col("qid"), col("score").desc, col("vec_id"))
+      }
+  }
+
+  val pq: Q = Q("sim_pq",
+    (s, d) => pqTopK(s, d, planted = true),
+    Some("""SELECT vec_id AS qid, vec_id + 10000000 AS vec_id,
+      |  LIST_REDUCE(
+      |    LIST_PREPEND(CAST(0.0 AS DOUBLE),
+      |      LIST_TRANSFORM(LIST_ZIP(embedding, embedding),
+      |        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+      |    (acc, x) -> acc + x) AS score
+      |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin))
 
   val defs: Seq[Q] = Seq(bruteForce, bucketed, ivf, pq)
 }

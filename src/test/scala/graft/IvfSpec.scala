@@ -45,9 +45,11 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("pq is deterministic and bounded per query") {
-    val run1 = SparkEntry.queries("sim_pq")(spark, TestSpark.sf)
+    val run1 = graft.operators.SimilarityOps
+      .pqTopK(spark, TestSpark.sf, planted = false)
       .collect().map(_.toSeq).toSeq
-    val run2 = SparkEntry.queries("sim_pq")(spark, TestSpark.sf)
+    val run2 = graft.operators.SimilarityOps
+      .pqTopK(spark, TestSpark.sf, planted = false)
       .collect().map(_.toSeq).toSeq
     assert(run1 === run2)
     assert(run1.nonEmpty)
@@ -56,7 +58,8 @@ class IvfSpec extends AnyFunSuite {
 
   test("pq re-ranked scores are exact dots and recall clears a floor") {
     import org.apache.spark.sql.functions._
-    val pq = SparkEntry.queries("sim_pq")(spark, TestSpark.sf)
+    val pq = graft.operators.SimilarityOps
+      .pqTopK(spark, TestSpark.sf, planted = false)
       .withColumnRenamed("score", "pq_score")
     val exactAll = SparkEntry.queries("sim_topk_dot")(spark, TestSpark.sf)
     // the refine step re-scores with the exact kernel, so shared pairs
@@ -80,6 +83,13 @@ class IvfSpec extends AnyFunSuite {
 
   test("the sim_ivf driver entry recovers every planted query twin") {
     val rows = SparkEntry.queries("sim_ivf")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10)
+    assert(rows.forall { case (q, v) => v == q + 10000000L })
+  }
+
+  test("the sim_pq driver entry recovers every planted twin through ADC") {
+    val rows = SparkEntry.queries("sim_pq")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.length == 10)
     assert(rows.forall { case (q, v) => v == q + 10000000L })
