@@ -213,6 +213,13 @@ object Engine {
       case Some(df) => return df
       case None => ()
     }
+    // COMPUTE/DROP STATS, SHOW COLUMN STATS, LOAD DATA, REFRESH,
+    // INVALIDATE METADATA — the dialect's catalog-operation statements
+    // (compute-stats.test, load.test)
+    graft.plans.CatalogOps.route(spark, q) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val cleaned = likeParquet(spark, stripPlanHints(q))
     // APPX_COUNT_DISTINCT=1: every single-argument COUNT(DISTINCT x)
     // becomes ndv(x) before analysis (the reference's rewrite,

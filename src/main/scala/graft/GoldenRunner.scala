@@ -164,7 +164,14 @@ object GoldenRunner {
       got.matches(want.stripPrefix("row_regex:").trim)
     } else got == want
 
-  def run(spark: SparkSession, sfDir: String, c: GoldenCase): Option[String] = {
+  def run(spark: SparkSession, sfDir: String, c0: GoldenCase): Option[String] = {
+    // the reference's corpus substitutes $FILESYSTEM_PREFIX into its
+    // queries; this runner's analog is $WAREHOUSE (the session's
+    // warehouse dir), used by the load.test port to address staged files
+    val c =
+      if (!c0.query.contains("$WAREHOUSE")) c0
+      else c0.copy(query = c0.query.replace("$WAREHOUSE",
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")))
     c.catchError match {
       case Some(fragment) =>
         try {
