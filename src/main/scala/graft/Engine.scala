@@ -227,6 +227,8 @@ object Engine {
     val appxNdv = QueryOptions.get(spark, "APPX_COUNT_DISTINCT") == "1"
     val rewritten =
       try {
+        if (injectRewriteFault)
+          throw new IllegalStateException("injected rewrite fault")
         val parsed0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cleaned)
         val parsed1 = if (!appxNdv) parsed0 else
           parsed0.transformAllExpressions {
@@ -252,12 +254,32 @@ object Engine {
           if (out ne parsed) Some(out) else None
         } else if (parsed ne parsed0) Some(parsed)
         else None
-      } catch { case _: Throwable => None }
+      } catch {
+        // parse/analysis failures fall back to plain spark.sql, which
+        // reproduces the same (better-rendered) error or serves syntax
+        // this pre-pass doesn't model; anything else is an engine bug in
+        // the rewrite itself and must SURFACE, not silently degrade the
+        // plan (a broken NestedTableRefs would otherwise run the query
+        // wrong-but-successfully)
+        case e @ (_: org.apache.spark.sql.catalyst.parser.ParseException |
+                  _: org.apache.spark.sql.AnalysisException) =>
+          log.debug(s"dialect pre-pass fell back to spark.sql: ${e.getMessage}")
+          None
+      }
     rewritten match {
       case Some(plan) => org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
       case None => spark.sql(cleaned)
     }
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Test seam: forces the rewrite pre-pass to throw a non-parse
+    * exception, pinning that engine bugs in the rewrite surface to the
+    * caller instead of silently degrading to plain spark.sql
+    * (SqlFallbackSpec).
+    */
+  private[graft] var injectRewriteFault: Boolean = false
 
   /** `set ident = value[;]` — dialect option names only (no dots; dotted
     * keys are Spark confs). Value: quoted string or an unquoted token.
