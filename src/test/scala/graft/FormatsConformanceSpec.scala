@@ -88,4 +88,42 @@ class FormatsConformanceSpec extends AnyFunSuite {
       assert(back === src.sorted.toArray, codec)
     }
   }
+
+  /** parquet-continue-on-error.test's mixed-directory shape: a scan over
+    * a location holding both a good and a truncated parquet file keeps
+    * the good file's rows under ABORT_ON_ERROR=0 (ignoreCorruptFiles)
+    * and fails the query under ABORT_ON_ERROR=1 — the golden port covers
+    * the single-file bad-metadata fixture through the SQL front door.
+    */
+  test("parquet-continue-on-error: mixed good/corrupt directory") {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_mixed_corrupt_spec")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val good = java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet")
+    java.nio.file.Files.copy(good,
+      new java.io.File(dir, "good.parquet").toPath)
+    // a truncated copy: valid magic, unreadable footer
+    val bytes = java.nio.file.Files.readAllBytes(good)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "bad.parquet").toPath,
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2))
+    val schema = spark.read.parquet(good.toString).schema
+    val goodRows = spark.read.parquet(good.toString).count()
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val kept = spark.read.schema(schema).parquet(dir.getPath).count()
+      assert(kept == goodRows, s"continue-on-error kept $kept rows")
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.schema(schema).parquet(dir.getPath).collect()
+      }
+      assert(e.getMessage.contains("FAILED_READ_FILE") ||
+        Option(e.getCause).exists(_.toString.contains("Parquet")))
+    } finally {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
 }
