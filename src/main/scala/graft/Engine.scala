@@ -101,8 +101,7 @@ object Engine {
     }
   }
 
-  private val fnRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private val fnRegistered = PerSession.set()
 
   /** Read one table from an sf directory (HdfsTable analog,
     * `fe/.../catalog/HdfsTable.java`): plain parquet with pushdown +
@@ -136,8 +135,7 @@ object Engine {
   // last mounted sf dir per session: mounting eagerly reads 10 parquet
   // footers, which dominates per-query latency on conformance corpora if
   // repeated, so register() is a no-op until the dir changes
-  private val mounted =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val mounted = PerSession.map[String]()
 
   /** Mount every table as a temp view so `spark.sql` works like the
     * reference's SQL front door. Idempotent and cached per (session, dir).
@@ -220,6 +218,16 @@ object Engine {
       case Some(df) => return df
       case None => ()
     }
+    // deferred writer-codec rejection: SET COMPRESSION_CODEC=BZIP2 (a
+    // valid HDFS codec the parquet writer can't use) is accepted at SET
+    // time; the error fires when a parquet WRITE executes, exactly like
+    // the reference's hdfs-parquet-table-writer
+    // (insert_parquet_invalid_codec.test)
+    QueryOptions.parquetWriterCodecError(spark).foreach { codec =>
+      if (writesParquet(spark, q))
+        throw new IllegalArgumentException(
+          s"Invalid parquet compression codec $codec")
+    }
     val cleaned = likeParquet(spark, stripPlanHints(q))
     // APPX_COUNT_DISTINCT=1: every single-argument COUNT(DISTINCT x)
     // becomes ndv(x) before analysis (the reference's rewrite,
@@ -273,6 +281,34 @@ object Engine {
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private val insertTargetRe =
+    "(?is)^insert\\s+(?:overwrite\\s+)?(?:into\\s+)?(?:table\\s+)?([\\w.]+)[\\s\\S]*".r
+
+  /** Is this statement a data WRITE whose files the parquet writer
+    * produces? INSERTs resolve the target table's provider from the
+    * catalog (unknown targets default to parquet, the engine's storage
+    * default); CREATE TABLE only writes when it's a CTAS, with its
+    * format read from the USING/STORED AS clause.
+    */
+  private def writesParquet(spark: SparkSession, q: String): Boolean = q match {
+    case insertTargetRe(t) =>
+      try {
+        val parts = t.split("\\.")
+        val ident =
+          if (parts.length >= 2)
+            org.apache.spark.sql.catalyst.TableIdentifier(
+              parts.last, Some(parts.head))
+          else org.apache.spark.sql.catalyst.TableIdentifier(parts.head)
+        spark.sessionState.catalog.getTableMetadata(ident)
+          .provider.forall(_.equalsIgnoreCase("parquet"))
+      } catch { case _: Exception => true }
+    case _ if q.matches("(?is)^create\\s+table\\b[\\s\\S]*\\bas\\s+select[\\s\\S]*") =>
+      val using = "(?is)\\b(?:using|stored\\s+as)\\s+([\\w.]+)".r
+        .findFirstMatchIn(q)
+      using.forall(_.group(1).equalsIgnoreCase("parquet"))
+    case _ => false
+  }
 
   /** Test seam: forces the rewrite pre-pass to throw a non-parse
     * exception, pinning that engine bugs in the rewrite surface to the

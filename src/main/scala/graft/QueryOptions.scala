@@ -62,12 +62,21 @@ object QueryOptions {
   private val known = defaults.map(_._1).toSet
 
   private val state =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]]()
+    PerSession.map[scala.collection.concurrent.TrieMap[String, String]]()
 
   private def sessionState(spark: SparkSession) =
     state.computeIfAbsent(spark,
       _ => scala.collection.concurrent.TrieMap(defaults: _*))
+
+  /** The deferred writer-codec rejection: Some(codec) when the session's
+    * COMPRESSION_CODEC is a valid HDFS codec the parquet writer cannot
+    * use (bzip2/deflate/lzo) — the error the reference raises when a
+    * parquet write executes, not at SET time.
+    */
+  def parquetWriterCodecError(spark: SparkSession): Option[String] = {
+    val c = get(spark, "COMPRESSION_CODEC")
+    if (hdfsOnlyCodecs.contains(c)) Some(c.toLowerCase) else None
+  }
 
   def isOption(key: String): Boolean = {
     val k = key.toUpperCase
@@ -133,14 +142,19 @@ object QueryOptions {
     val stored: String = k match {
       case "COMPRESSION_CODEC" =>
         val up = v.toUpperCase
-        if (hdfsOnlyCodecs.contains(up))
-          throw new IllegalArgumentException(
-            s"Invalid parquet compression codec ${v.toLowerCase}")
-        val codec = parquetCodecs.getOrElse(up, throw
-          new IllegalArgumentException(s"Invalid compression codec: $v"))
-        // hdfs-parquet-table-writer codec selection -> Spark's writer conf
-        spark.conf.set("spark.sql.parquet.compression.codec", codec)
-        up
+        if (hdfsOnlyCodecs.contains(up)) {
+          // a valid THdfsCompression value the parquet writer cannot
+          // use: the reference ACCEPTS the SET and errors only when an
+          // insert reaches the writer (insert_parquet_invalid_codec
+          // .test) — store it; Engine raises from the write path
+          up
+        } else {
+          val codec = parquetCodecs.getOrElse(up, throw
+            new IllegalArgumentException(s"Invalid compression codec: $v"))
+          // hdfs-parquet-table-writer codec selection -> Spark's writer conf
+          spark.conf.set("spark.sql.parquet.compression.codec", codec)
+          up
+        }
       case "PARQUET_FILE_SIZE" =>
         val bytes = parseBytes(k, v)
         // the reference caps the row-group size below 2GB (IMPALA-1906)

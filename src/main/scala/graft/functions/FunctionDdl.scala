@@ -37,13 +37,12 @@ object FunctionDdl {
       else "NATIVE"
   }
 
-  // session catalog of created functions; key = (db, name, argkey)
+  // session catalog of created functions; key = (db, name, argkey).
+  // Weak session keys: catalogs die with their session (ADVICE r6).
   private val catalogs =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      TrieMap[(String, String, String), FnEntry]]()
+    graft.PerSession.map[TrieMap[(String, String, String), FnEntry]]()
   // current database for unqualified names (the dialect's USE)
-  private val currentDb =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val currentDb = graft.PerSession.map[String]()
 
   def setCurrentDb(spark: SparkSession, db: String): Unit =
     currentDb.put(spark, db.toLowerCase)
@@ -114,23 +113,42 @@ object FunctionDdl {
         bind(spark, name, symbol)
       }
       Some(spark.emptyDataFrame)
-    case dropDbRe(db, _) =>
+    case dropDbRe(db, mode) =>
       // dropping a database that still holds functions is the
-      // reference's catalog-consistency error (udf-errors.test)
+      // reference's catalog-consistency error (udf-errors.test) —
+      // unless CASCADE, which drops the functions with the database
       val dbl = db.toLowerCase
-      if (cat(spark).values.exists(_.db == dbl))
-        throw new IllegalArgumentException(
-          s"Cannot drop non-empty database: $dbl")
+      val held = cat(spark).keys.filter(_._1 == dbl).toSeq
+      if (held.nonEmpty) {
+        if (mode == null || !mode.equalsIgnoreCase("cascade"))
+          throw new IllegalArgumentException(
+            s"Cannot drop non-empty database: $dbl")
+        held.foreach(cat(spark).remove)
+      }
       None // database itself is Spark's to drop
     case dropRe(ife, rawName, rawArgs) =>
       val (db, name) = splitName(spark, rawName)
-      val (args, varArg) = parseArgs(Option(rawArgs).getOrElse(""))
-      val key = (db, name, argKey(args, varArg))
-      if (!cat(spark).contains(key)) {
-        if (ife == null) throw new IllegalArgumentException(
-          s"Function does not exist: $name(${args.mkString(", ").toUpperCase})")
-      } else cat(spark).remove(key)
-      Some(spark.emptyDataFrame)
+      Option(rawArgs) match {
+        case Some(ra) =>
+          val (args, varArg) = parseArgs(ra)
+          val key = (db, name, argKey(args, varArg))
+          if (!cat(spark).contains(key)) {
+            if (ife == null) throw new IllegalArgumentException(
+              s"Function does not exist: " +
+                s"$name(${args.mkString(", ").toUpperCase})")
+          } else cat(spark).remove(key)
+          Some(spark.emptyDataFrame)
+        case None =>
+          // no parenthesized signature: the reference's Java-UDF drop
+          // removes EVERY overload of (db, name); names not in this
+          // catalog fall through to Spark's own DROP FUNCTION
+          val keys = cat(spark).keys
+            .filter(k => k._1 == db && k._2 == name).toSeq
+          if (keys.nonEmpty) {
+            keys.foreach(cat(spark).remove)
+            Some(spark.emptyDataFrame)
+          } else None
+      }
     case showRe(kind, db, p1, p2) =>
       val wantAgg = kind != null && kind.trim.equalsIgnoreCase("aggregate")
       val analytic = kind != null && kind.trim.equalsIgnoreCase("analytic")

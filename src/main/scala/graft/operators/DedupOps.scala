@@ -62,16 +62,18 @@ object DedupOps {
 
   /** MinHash + LSH near-dup candidates: 64-hash signature, 16 bands x 4
     * rows (s-curve threshold ~0.5 Jaccard), candidates = pairs sharing a
-    * band bucket, verified by signature agreement >= 0.35. Oracle gate:
-    * planted identical twins (predictable pairs at est_jaccard exactly
-    * 64/64) — the organic candidate set stays covered by the recall
-    * specs (DedupEmbeddingSpec et al).
+    * band bucket, verified by signature agreement >= 0.35.
+    *
+    * `planted = false` is the organic semantic — every banded pair over
+    * the real corpus at the 0.35 threshold (DedupOrganicSpec pins it
+    * end-to-end). `planted = true` (the driver entry) unions identical
+    * twins and projects the twin pairs, making the full
+    * shingle->signature->band-join pipeline hash-checkable: an identical
+    * payload collides in every band with agreement exactly 64/64.
     */
-  val minhashLsh: Q = Q("dedup_minhash",
-    (s, d) => {
-      val doc = plantTwins(
-          t(s, d, "documents").select(col("doc_id"), col("text")),
-          "doc_id", 20)
+  def minhashPairs(s: SparkSession, d: String, planted: Boolean): DataFrame = {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), call_function("minhash64", col("sh")).as("sig"))
@@ -83,16 +85,21 @@ object DedupOps {
         col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = bands.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band_idx", "band_hash"))
+      val verified = a.join(b, Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (size(filter(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => x === y), p => p)) / lit(64.0)).as("est_jaccard"))
         .distinct()
         .filter(col("est_jaccard") >= 0.35)
-        .filter(col("doc_b") === col("doc_a") + TwinOffset)
+      (if (planted)
+        verified.filter(col("doc_b") === col("doc_a") + TwinOffset)
+      else verified)
         .orderBy(col("doc_a"), col("doc_b"))
-    },
+  }
+
+  val minhashLsh: Q = Q("dedup_minhash",
+    (s, d) => minhashPairs(s, d, planted = true),
     // a twin exists iff the doc has >= 3 whitespace tokens (word-3-gram
     // shingles nonempty); its signature agreement is exactly 64/64
     Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
@@ -105,14 +112,15 @@ object DedupOps {
 
   /** SimHash near-dup candidates: 64-bit simhash (custom codegen'd
     * expression), 4 x 16-bit bands, pairs sharing a band verified by
-    * Hamming distance <= 6.
+    * Hamming distance <= 6. `planted` as in [[minhashPairs]]: false =
+    * the organic banded pairs at the Hamming threshold, true = the
+    * twin-projected driver entry (identical token streams -> identical
+    * simhash -> Hamming 0).
     */
-  val simhash: Q = Q("dedup_simhash",
-    (s, d) => {
+  def simhashPairs(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       Engine.configure(s)
-      val doc = plantTwins(
-          t(s, d, "documents").select(col("doc_id"), col("text")),
-          "doc_id", 20)
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
         .select(col("doc_id"),
           call_function("graft_simhash",
             call_function("token_hashes", col("text"))).as("sh"))
@@ -125,15 +133,20 @@ object DedupOps {
         col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = bands.select(col("band_idx"), col("band_val"),
         col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("band_idx", "band_val"))
+      val verified = a.join(b, Seq("band_idx", "band_val"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
-        .filter(col("doc_b") === col("doc_a") + TwinOffset)
+      (if (planted)
+        verified.filter(col("doc_b") === col("doc_a") + TwinOffset)
+      else verified)
         .orderBy(col("doc_a"), col("doc_b"))
-    },
+  }
+
+  val simhash: Q = Q("dedup_simhash",
+    (s, d) => simhashPairs(s, d, planted = true),
     // identical token streams give identical simhashes: hamming 0
     Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
       |  CAST(0 AS INT) AS hamming
@@ -145,11 +158,10 @@ object DedupOps {
     * self-join fan-out at scale), count shared shingles per pair, Jaccard
     * >= 0.3. No approximation: this is the verifier MinHash approximates.
     */
-  val ngramJaccard: Q = Q("dedup_ngram_jaccard",
-    (s, d) => {
-      val doc = plantTwins(
-          t(s, d, "documents").select(col("doc_id"), col("text")),
-          "doc_id", 20)
+  def ngramJaccardPairs(s: SparkSession, d: String,
+      planted: Boolean): DataFrame = {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
       val sizes = doc.select(col("doc_id"), size(col("sh")).as("n_sh"))
@@ -167,7 +179,7 @@ object DedupOps {
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("shared"))
-      pairs
+      val verified = pairs
         .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
           Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
@@ -176,9 +188,17 @@ object DedupOps {
           (col("shared").cast("double") /
             (col("na") + col("nb") - col("shared"))).as("jaccard"))
         .filter(col("jaccard") >= 0.3)
-        .filter(col("doc_b") === col("doc_a") + TwinOffset)
+      (if (planted)
+        verified.filter(col("doc_b") === col("doc_a") + TwinOffset)
+      else verified)
         .orderBy(col("doc_a"), col("doc_b"))
-    },
+  }
+
+  /** Exact n-gram Jaccard driver entry (planted twins; see
+    * [[ngramJaccardPairs]]).
+    */
+  val ngramJaccard: Q = Q("dedup_ngram_jaccard",
+    (s, d) => ngramJaccardPairs(s, d, planted = true),
     // FULL semantic mirror, no hashes: DuckDB recomputes the word-3-gram
     // sets as strings, the document-frequency cap over the planted
     // corpus, the shared counts and the exact double Jaccard — shingle
