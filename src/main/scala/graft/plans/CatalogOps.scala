@@ -45,9 +45,10 @@ object CatalogOps {
     "(?is)^invalidate\\s+metadata(?:\\s+([\\w.]+))?\\s*;?\\s*$".r
 
   def route(spark: SparkSession, q: String): Option[DataFrame] = q match {
-    case computeStatsRe(t) => Some(computeStats(spark, t, None))
+    case computeStatsRe(t) =>
+      Some(computeStats(spark, t, None, incremental = false))
     case computeIncrRe(t, spec) =>
-      Some(computeStats(spark, t, Option(spec)))
+      Some(computeStats(spark, t, Option(spec), incremental = true))
     case dropStatsRe(t, spec) => Some(dropStats(spark, t, Option(spec)))
     case showColStatsRe(t) => Some(columnStats(spark, t))
     case loadDataRe(path, ow, t, spec) =>
@@ -86,9 +87,16 @@ object CatalogOps {
     * reference's summary row (`CatalogOpExecutor.java:593`). The
     * updated-column count is the data-column count, as in the reference
     * (partition keys are metadata-derived there, not scanned).
+    *
+    * The INCREMENTAL form without a partition spec recomputes ONLY the
+    * partitions missing incremental stats (the reference's
+    * `compute-stats-incremental.test` contract: after a fresh compute,
+    * dropping one partition's stats and re-running reports "Updated 1
+    * partition(s)"); a partition's "has incremental stats" state is its
+    * catalog stats presence, which SHOW TABLE STATS reads back.
     */
   private def computeStats(spark: SparkSession, table: String,
-      partSpec: Option[String]): DataFrame = {
+      partSpec: Option[String], incremental: Boolean): DataFrame = {
     val catalog = spark.sessionState.catalog
     if (catalog.getTempView(table).isDefined)
       throw new IllegalArgumentException(
@@ -96,13 +104,23 @@ object CatalogOps {
     val meta = catalog.getTableMetadata(ident(table))
     val partCols = meta.partitionColumnNames
     val nDataCols = meta.schema.fields.length - partCols.size
+    def summary(n: Long): DataFrame = oneStringRow(spark, "summary",
+      s"Updated $n partition(s) and $nDataCols column(s).")
     partSpec match {
       case Some(spec) =>
-        // the incremental per-partition form: only that partition's
-        // stats recompute
+        // the per-partition form: only that partition's stats recompute
         spark.sql(s"ANALYZE TABLE $table PARTITION ($spec) COMPUTE STATISTICS")
-        oneStringRow(spark, "summary",
-          s"Updated 1 partition(s) and $nDataCols column(s).")
+        summary(1)
+      case None if incremental && partCols.nonEmpty =>
+        val missing = catalog.listPartitions(ident(table))
+          .filter(_.stats.isEmpty)
+        missing.foreach { p =>
+          val spec = partCols.map(c => s"$c='${p.spec(c)}'").mkString(", ")
+          spark.sql(s"ANALYZE TABLE $table PARTITION ($spec) COMPUTE STATISTICS")
+        }
+        spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+        spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+        summary(missing.size.toLong)
       case None =>
         if (partCols.nonEmpty)
           spark.sql(s"ANALYZE TABLE $table PARTITION " +
@@ -110,10 +128,9 @@ object CatalogOps {
         spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
         spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
         val nParts =
-          if (partCols.isEmpty) 1
-          else catalog.listPartitions(ident(table)).size
-        oneStringRow(spark, "summary",
-          s"Updated $nParts partition(s) and $nDataCols column(s).")
+          if (partCols.isEmpty) 1L
+          else catalog.listPartitions(ident(table)).size.toLong
+        summary(nParts)
     }
   }
 

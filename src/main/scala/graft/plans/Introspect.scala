@@ -176,17 +176,22 @@ object Introspect {
         case c @ ("#Rows" | "#Files") => StructField(c, LongType)
         case c => StructField(c, StringType)
       })
-    def statRow(keys: Seq[String], loc: Option[java.net.URI]): Row = {
+    // "Incremental stats" reads back per-partition catalog-stats
+    // presence — the state COMPUTE INCREMENTAL STATS maintains and
+    // DROP [INCREMENTAL] STATS clears (compute-stats-incremental.test)
+    def statRow(keys: Seq[String], loc: Option[java.net.URI],
+        incr: Boolean): Row = {
       val (nf, bytes, rows) = loc.map(locStats(spark, _)).getOrElse((0L, 0L, 0L))
       Row.fromSeq(keys ++ Seq(rows, nf, prettyBytes(bytes), "NOT CACHED",
-        "NOT CACHED", fmt, "false", loc.map(_.toString).getOrElse("")))
+        "NOT CACHED", fmt, incr.toString, loc.map(_.toString).getOrElse("")))
     }
     val rows =
-      if (partCols.isEmpty) Seq(statRow(Nil, meta.storage.locationUri))
+      if (partCols.isEmpty)
+        Seq(statRow(Nil, meta.storage.locationUri, meta.stats.isDefined))
       else {
         val partRows = catalog.listPartitions(ident).map { p =>
           statRow(partCols.map(c => p.spec.getOrElse(c, "")),
-            p.storage.locationUri)
+            p.storage.locationUri, p.stats.isDefined)
         }
         val totRows = partRows.map(_.getLong(partCols.size)).sum
         val totFiles = partRows.map(_.getLong(partCols.size + 1)).sum

@@ -110,4 +110,27 @@ class DelimitedTextSpec extends AnyFunSuite {
     }
     assert(written === ref)
   }
+
+  test("overflow.test: out-of-range text values saturate, never null") {
+    // the reference's text scanner clamps integer overflow to the type's
+    // min/max and float overflow to +/-Infinity (string-parser.h;
+    // QueryTest/overflow.test over testdata/data/overflow.txt)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ByteType), StructField("b", ShortType),
+      StructField("c", IntegerType), StructField("d", LongType),
+      StructField("e", FloatType), StructField("f", DoubleType)))
+    val rows = DelimitedText.read(spark,
+        s"$data/overflow.txt", schema, sep = ',', esc = '\\')
+      .collect()
+      .map(r => (r.getByte(0), r.getShort(1), r.getInt(2), r.getLong(3),
+        r.getFloat(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (Byte.MinValue, Short.MinValue, Int.MinValue, Long.MinValue,
+        Float.NegativeInfinity, Double.NegativeInfinity),
+      (1.toByte, 2.toShort, 3, 4L, 5.5f, 6.6),
+      (Byte.MaxValue, Short.MaxValue, Int.MaxValue, Long.MaxValue,
+        Float.PositiveInfinity, Double.PositiveInfinity)))
+  }
 }
