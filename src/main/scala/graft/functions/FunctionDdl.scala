@@ -195,16 +195,30 @@ object FunctionDdl {
   /** Java-UDF binding (`CREATE FUNCTION ... LOCATION 'x.jar'
     * SYMBOL='com.example.Udf'`): the class must load and be a Hive
     * UDF/GenericUDF — then it registers through the HiveUdx bridge,
-    * genuinely callable. A class that cannot load is the reference's
+    * genuinely callable. When LOCATION names a real jar file it is
+    * added to the session (Spark's ADD JAR — driver and executor
+    * classloaders), so classes shipped only in the jar load exactly as
+    * the reference loads them out of the library at LOCATION
+    * (`load-java-udfs.test` / `java-udf.test` with
+    * impala-hive-udfs.jar). A class that cannot load is the reference's
     * binary-load failure (`udf-errors.test`).
     */
   private def bindJavaClass(spark: SparkSession, name: String,
       loc: String, symbol: String): Unit = {
+    if (new java.io.File(loc).isFile)
+      try spark.sql(s"ADD JAR '$loc'")
+      catch { case _: Exception => () } // fall through to the load check
     val cls =
-      try Class.forName(symbol, false, getClass.getClassLoader)
+      try Class.forName(symbol, false,
+        Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader))
       catch {
-        case _: Throwable => throw new IllegalArgumentException(
-          s"Could not load binary: $loc")
+        case _: Throwable =>
+          try Class.forName(symbol, false, getClass.getClassLoader)
+          catch {
+            case _: Throwable => throw new IllegalArgumentException(
+              s"Could not load binary: $loc")
+          }
       }
     if (classOf[org.apache.hadoop.hive.ql.exec.UDF].isAssignableFrom(cls))
       HiveUdx.registerHiveSimpleUdf(spark, name, symbol)
