@@ -112,9 +112,15 @@ object CatalogOps {
         spark.sql(s"ANALYZE TABLE $table PARTITION ($spec) COMPUTE STATISTICS")
         summary(1)
       case None if incremental && partCols.nonEmpty =>
-        val missing = catalog.listPartitions(ident(table))
-          .filter(_.stats.isEmpty)
-        missing.foreach { p =>
+        val all = catalog.listPartitions(ident(table))
+        val missing = all.filter(_.stats.isEmpty)
+        if (missing.size == all.size && all.nonEmpty)
+          // everything is stale: ONE batched scan over the table (the
+          // reference's many-partitions case — 1234 partitions must not
+          // become 1234 jobs, compute-stats-many-partitions.test)
+          spark.sql(s"ANALYZE TABLE $table PARTITION " +
+            s"(${partCols.mkString(", ")}) COMPUTE STATISTICS")
+        else missing.foreach { p =>
           val spec = partCols.map(c => s"$c='${p.spec(c)}'").mkString(", ")
           spark.sql(s"ANALYZE TABLE $table PARTITION ($spec) COMPUTE STATISTICS")
         }

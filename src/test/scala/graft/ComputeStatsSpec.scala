@@ -125,4 +125,36 @@ class ComputeStatsSpec extends AnyFunSuite {
       Map("year" -> "2009", "month" -> "2"))
     assert(p.stats.flatMap(_.rowCount).map(_.toLong).contains(280L))
   }
+
+  test("compute-stats-many-partitions.test: hundreds of partitions, one scan") {
+    // the reference's scale variant (1234 partitions, updated in 500-
+    // partition RPC batches); here the contract is that a fresh COMPUTE
+    // [INCREMENTAL] STATS over a many-partition table is ONE batched
+    // table scan, not a job per partition, and every row count lands
+    val t = "cs_many_parts"
+    if (!spark.catalog.tableExists(t)) {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+      spark.range(300)
+        .selectExpr("cast(id as int) v", "cast(id as int) j")
+        .write.partitionBy("j").format("parquet").saveAsTable(t)
+    }
+    val msg = Engine.sql(spark, TestSpark.sf, s"compute incremental stats $t")
+      .collect()(0).getString(0)
+    assert(msg == "Updated 300 partition(s) and 1 column(s).")
+    // fresh table: everything analyzed, a re-run touches nothing
+    val again = Engine.sql(spark, TestSpark.sf, s"compute incremental stats $t")
+      .collect()(0).getString(0)
+    assert(again == "Updated 0 partition(s) and 1 column(s).")
+    val catalog = spark.sessionState.catalog
+    val parts = catalog.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    assert(parts.length == 300)
+    assert(parts.forall(_.stats.flatMap(_.rowCount).map(_.toLong).contains(1L)))
+    spark.sql(s"drop table $t")
+  }
 }
