@@ -297,6 +297,10 @@ object ImpalaFunctions {
     temp("dot_vec") { case Seq(a, b) => DotVec(a, b) }
     // packed hyperplane-sign signature (see SignBits) — LSH kernel
     temp("sign_bits") { case Seq(v, p) => SignBits(v, p) }
+    // product-quantization kernels (see PqKernels) — IVF-PQ hot path
+    temp("pq_encode") { case Seq(v, b) => PqEncode(v, b) }
+    temp("pq_adc") { case Seq(q, c, b) => PqAdc(q, c, b) }
+    temp("cell_dists") { case Seq(v, c) => CellDists(v, c) }
 
     // ---- aggregates (aggregate-functions.h) -----------------------------
     // avg over TIMESTAMP (aggregate-functions.cc TimestampAvgUpdate);

@@ -218,15 +218,14 @@ object SimilarityOps {
   /** Per-centroid comparison keys for nearest-centroid selection:
     * c.c - 2 x.c, which orders identically to the squared distance
     * ||x-c||^2 = x.x - 2 x.c + c.c (x.x is constant across centroids).
-    * Each term runs on the codegen'd DotVec kernel; c.c folds at plan
-    * time. Callers only argmin / rank these, never read them as true
-    * distances.
+    * Runs on the CellDists kernel — one loop nest over the broadcast
+    * centroid matrix instead of a k-wide literal expression tree (the
+    * SignBits lesson at quantizer scale). Callers only argmin / rank
+    * these, never read them as true distances.
     */
   private def centroidDists(cents: Array[Array[Double]]): Column =
-    array(cents.map { c =>
-      val cc = c.map(x => x * x).sum
-      lit(cc) - lit(2.0) * dotDouble(col("embedding"), array(c.map(lit): _*))
-    }: _*)
+    call_function("cell_dists", col("embedding"),
+      array(cents.map(c => array(c.map(lit): _*)): _*))
 
   /** Squared distance to each centroid, argmin -> cell id. */
   private def assignCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
@@ -341,28 +340,25 @@ object SimilarityOps {
       val cents = lloyd(sample, 16, 3)
       val books = pqCodebooks(sample, M, Ksub, 3)
 
-      // encode: per subspace, argmin ||x_m - c||^2 == argmax (x_m.c - |c|^2/2)
-      def code(mi: Int): Column = {
-        val sub = slice(col("embedding"), mi * SubDim + 1, SubDim)
-        val scores = array(books(mi).map { c =>
-          dotDouble(sub, array(c.map(lit): _*)) - lit(c.map(x => x * x).sum / 2)
-        }: _*)
-        (array_position(scores, array_max(scores)) - 1).cast("int")
-      }
+      // encode: per subspace, argmin ||x_m - c||^2 == argmax
+      // (x_m.c - |c|^2/2) — the PqEncode kernel runs every subspace's
+      // first-argmax in one loop nest over the broadcast codebooks
+      // (the M*K-literal expression tree it replaces took seconds to
+      // JIT and evaluated interpreted)
+      val booksLit = array(books.map(book =>
+        array(book.map(c => array(c.map(lit): _*)): _*)): _*)
       val codes = assignCell(emb, cents).select(
         col("vec_id"), col("cell"),
-        array((0 until M).map(code): _*).as("codes"))
+        call_function("pq_encode", col("embedding"), booksLit).as("codes"))
 
       val q = nearestCells(emb.filter(col("vec_id") < 10), cents, nprobe = 2)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           explode(col("cells")).as("qcell"))
 
-      // ADC: dot approximated from codes alone
-      val adc = (0 until M).map { mi =>
-        val bookLit = array(books(mi).map(c => array(c.map(lit): _*)): _*)
-        dotDouble(slice(col("qe"), mi * SubDim + 1, SubDim),
-          element_at(bookLit, element_at(col("codes"), mi + 1) + 1))
-      }.reduce(_ + _)
+      // ADC: dot approximated from codes alone (PqAdc kernel — the
+      // query sub-vectors against the code-selected centroids, summed
+      // in subspace order)
+      val adc = call_function("pq_adc", col("qe"), col("codes"), booksLit)
 
       // ADC shortlist from codes only, then exact re-rank of the
       // shortlist (the standard IVFPQ refine step: original vectors are
