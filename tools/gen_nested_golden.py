@@ -765,6 +765,32 @@ RIGHT JOIN (SELECT r.r_name, r.r_regionkey
             WHERE r.r_name = 'AFRICA') t1
   ON t1.r_regionkey = t2.p_partkey"""))
 
+block("nested-types-tpch.test",
+      "IMPALA-2338 shape: outer relational join mixed with a two-level "
+      "correlated unnest, grouped with HAVING. (adapted: the p_partkey "
+      "< 100 conjunct makes the LEFT JOIN effectively inner, so the "
+      "COALESCE always resolves to p_size — as in the reference.)",
+      """SELECT COALESCE(t2.p_size, t4.pos, o_orderkey) AS int_col,
+  COUNT(*) AS cnt
+FROM customer_nested t1
+LEFT JOIN part t2 ON t1.c_custkey = t2.p_partkey,
+t1.c_orders t3,
+t3.o_lineitems t4
+WHERE t1.c_custkey < 100 AND t2.p_partkey < 100
+GROUP BY 1
+HAVING int_col <= 5
+ORDER BY 1""",
+      duck("""SELECT t2.p_size AS int_col, COUNT(*) AS cnt
+FROM customer_n t1
+JOIN part t2 ON t1.c_custkey = t2.p_partkey
+JOIN orders_n o ON o.o_custkey = t1.c_custkey
+JOIN lineitem_n l ON l.l_orderkey = o.o_orderkey
+WHERE t1.c_custkey < 100 AND t2.p_partkey < 100
+GROUP BY 1
+HAVING int_col <= 5
+ORDER BY 1"""),
+      ordered=True)
+
 
 def emit():
     parts = [FIXTURE.rstrip()]
