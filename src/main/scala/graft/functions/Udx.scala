@@ -42,7 +42,7 @@ object Udx {
     spark.udf.register("title_case",
       (s: String) => if (s == null) null
         else s.split(' ').map(w =>
-          if (w.isEmpty) w else w.head.toUpper + w.tail).mkString(" "))
+          if (w.isEmpty) w else s"${w.head.toUpper}${w.tail}").mkString(" "))
     spark.udf.register("weighted_avg", udaf(new WeightedAvg()))
   }
 

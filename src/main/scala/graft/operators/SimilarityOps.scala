@@ -225,7 +225,7 @@ object SimilarityOps {
     */
   private def centroidDists(cents: Array[Array[Double]]): Column =
     call_function("cell_dists", col("embedding"),
-      array(cents.map(c => array(c.map(lit): _*)): _*))
+      array(cents.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*))
 
   /** Squared distance to each centroid, argmin -> cell id. */
   private def assignCell(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
@@ -345,8 +345,9 @@ object SimilarityOps {
       // first-argmax in one loop nest over the broadcast codebooks
       // (the M*K-literal expression tree it replaces took seconds to
       // JIT and evaluated interpreted)
-      val booksLit = array(books.map(book =>
-        array(book.map(c => array(c.map(lit): _*)): _*)): _*)
+      val booksLit = array(books.toIndexedSeq.map(book =>
+        array(book.toIndexedSeq.map(c =>
+          array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
       val codes = assignCell(emb, cents).select(
         col("vec_id"), col("cell"),
         call_function("pq_encode", col("embedding"), booksLit).as("codes"))

@@ -285,7 +285,7 @@ object CatalogOps {
       s".tmp_load_${java.util.UUID.randomUUID().toString}")
     fs.mkdirs(tmp)
     val sources =
-      if (srcFs.isDirectory(src)) visible(src).toSeq else {
+      if (srcFs.getFileStatus(src).isDirectory) visible(src).toSeq else {
         Seq(srcFs.getFileStatus(src))
       }
     sources.foreach(f =>
