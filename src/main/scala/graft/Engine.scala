@@ -218,6 +218,14 @@ object Engine {
       case Some(df) => return df
       case None => ()
     }
+    // CREATE/DROP DATA SOURCE; CREATE TABLE ... PRODUCED BY DATA SOURCE
+    // rewrites to USING <provider> (create-data-source-table.sql)
+    graft.sources.DataSourceDdl.route(spark, q) match {
+      case Some(df) => return df
+      case None => ()
+    }
+    if (q.toLowerCase.contains("produced by"))
+      q = graft.sources.DataSourceDdl.rewriteProducedBy(spark, q)
     // deferred writer-codec rejection: SET COMPRESSION_CODEC=BZIP2 (a
     // valid HDFS codec the parquet writer can't use) is accepted at SET
     // time; the error fires when a parquet WRITE executes, exactly like

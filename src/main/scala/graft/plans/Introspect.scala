@@ -51,6 +51,9 @@ object Introspect {
     "(?is)^describe\\s+database\\s+(extended\\s+)?([\\w]+)\\s*;?\\s*$".r
   private val showDataSrcRe =
     "(?is)^show\\s+data\\s+sources(?:\\s+(?:like\\s+)?'([^']*)')?\\s*;?\\s*$".r
+  private val showFilesRe =
+    ("(?is)^show\\s+files\\s+in\\s+([\\w.]+)" +
+      "(?:\\s+partition\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   private val showTablesRe =
     "(?is)^show\\s+tables(?:\\s+in\\s+([\\w.]+))?(?:\\s+(?:like\\s+)?(?:'([^']*)'|\"([^\"]*)\"))?\\s*;?\\s*$".r
   private val showDbsRe =
@@ -63,6 +66,8 @@ object Introspect {
     */
   def route(spark: SparkSession, q: String): Option[DataFrame] = q match {
     case showStatsRe(table) => Some(tableStats(spark, table))
+    case showFilesRe(table, spec) =>
+      Some(showFiles(spark, table, Option(spec)))
     case descDbRe(_, db) => Some(describeDatabase(spark, db))
     case showDataSrcRe(pattern) =>
       Some(dataSources(spark, Option(pattern)))
@@ -207,6 +212,60 @@ object Introspect {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** `SHOW FILES IN t [PARTITION (spec)]` — the reference's
+    * Path/Size/Partition file listing (`ShowFilesStmt.java`,
+    * `HdfsTable.getFiles`: partitions sorted, visible files per
+    * partition sorted, sizes pretty-printed; `show.test:216-259`).
+    */
+  def showFiles(spark: SparkSession, table: String,
+      partSpec: Option[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    val parts0 = table.split("\\.")
+    val ident =
+      if (parts0.length >= 2) TableIdentifier(parts0.last, Some(parts0.head))
+      else TableIdentifier(parts0.head)
+    val meta = catalog.getTableMetadata(ident)
+    val partCols = meta.partitionColumnNames
+    def specOf(raw: String): Map[String, String] =
+      raw.split(",").map { kv =>
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        val vv = v.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
+        k -> (if (vv.equalsIgnoreCase("NULL")) "__HIVE_DEFAULT_PARTITION__"
+          else vv)
+      }.toMap
+    val targets: Seq[(Option[java.net.URI], String)] =
+      if (partCols.isEmpty) Seq((meta.storage.locationUri, ""))
+      else {
+        val ps = partSpec match {
+          case Some(raw) => Seq(catalog.getPartition(ident, specOf(raw)))
+          case None => catalog.listPartitions(ident)
+            .sortBy(p => partCols.map(c => p.spec.getOrElse(c, "")).mkString("/"))
+        }
+        ps.map(p => (p.storage.locationUri,
+          partCols.map(c => s"$c=${p.spec.getOrElse(c, "")}").mkString("/")))
+      }
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = targets.flatMap { case (loc, partStr) =>
+      loc.toSeq.flatMap { uri =>
+        val path = new org.apache.hadoop.fs.Path(uri)
+        val fs = path.getFileSystem(conf)
+        if (!fs.exists(path)) Nil
+        else fs.listStatus(path).filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+          .map(f => Row(f.getPath.toString, prettyBytes(f.getLen), partStr))
+          .toSeq
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("Path", StringType), StructField("Size", StringType),
+      StructField("Partition", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** DESCRIBE DATABASE [EXTENDED] (`describedb.test`): one
     * name/location/comment row from the session catalog.
     */
@@ -227,7 +286,8 @@ object Introspect {
     val sources = Seq(
       ("alltypes", "builtin", "graft.sources.AllTypesSource", "V2"),
       ("kv_range", "builtin", "graft.sources.KvRangeSource", "V2"),
-      ("kv_store", "builtin", "graft.sources.KvStoreSink", "V2"))
+      ("kv_store", "builtin", "graft.sources.KvStoreSink", "V2")) ++
+      graft.sources.DataSourceDdl.listCreated(spark)
     val kept = sources.filter(s =>
       pattern.forall(p => patternMatches(p, s._1)))
     val schema = StructType(Seq(
