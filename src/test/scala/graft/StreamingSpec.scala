@@ -55,6 +55,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming document dedup: cross-batch duplicates collapse to one pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    input.addData(Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc")))
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamDedup.dedupExact(docs).writeStream
+      .outputMode("append").format("memory").queryName("doc_dedup").start()
+    try {
+      q.processAllAvailable()
+      // a later micro-batch re-delivers a known payload and adds a new one
+      input.addData(Seq((4L, "beta doc"), (5L, "gamma doc")))
+      q.processAllAvailable()
+      val texts = spark.table("doc_dedup").collect().map(_.getString(1)).sorted
+      assert(texts.toSeq == Seq("alpha doc", "beta doc", "gamma doc"))
+    } finally q.stop()
+  }
+
+  test("streaming document dedup over the static table matches batch distinct") {
+    val q = graft.streaming.StreamDedup
+      .dedupDocumentsOnce(spark, TestSpark.sf).writeStream
+      .outputMode("append").format("memory").queryName("doc_dedup_once").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("doc_dedup_once").count()
+      val batch = Engine.table(spark, TestSpark.sf, "documents")
+        .select(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text"))).distinct().count()
+      assert(streamed == batch)
+      assert(streamed > 0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within a watermark horizon bounds its state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val input = MemoryStream[(Long, String, Long)]
+    input.addData(Seq(
+      (1L, "dup doc", hourUs * 24),
+      (2L, "dup doc", hourUs * 24 + 1000000L), // within horizon: dropped
+      (3L, "solo doc", hourUs * 24)))
+    val docs = input.toDF().toDF("doc_id", "text", "ts_us")
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val q = graft.streaming.StreamDedup
+      .dedupWithinWatermark(docs, "1 hour").writeStream
+      .outputMode("append").format("memory").queryName("doc_dedup_wm").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("doc_dedup_wm").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventStream.attributionJoin(spark, TestSpark.sf).writeStream
       .outputMode("append").format("memory").queryName("attr_test").start()
