@@ -440,6 +440,23 @@ object RelationalQueries {
     // under the 20k reservoir cap at every SF, so the result is the
     // EXACT rank-floor(n/2) element and DuckDB can reproduce it with a
     // row_number over the sorted group).
+    // histogram() is exact below the 20k reservoir cap (the full
+    // sorted sample IS the state), so the equi-height boundary string
+    // — sorted[(b+1)*spb - 1] per bucket, HistogramFinalize's exact
+    // arithmetic — is deterministic and DuckDB-mirrorable over an
+    // integer column at the driver SFs
+    Q("agg_histogram",
+      (s, d) => {
+        Engine.configure(s)
+        Engine.register(s, d)
+        s.sql("select histogram(o_custkey) as hist from orders")
+      },
+      Some("""WITH o AS (SELECT o_custkey v,
+        |    ROW_NUMBER() OVER (ORDER BY o_custkey) rn,
+        |    COUNT(*) OVER () n FROM orders)
+        |SELECT STRING_AGG(CAST(v AS VARCHAR), ', ' ORDER BY rn) AS hist
+        |FROM o WHERE rn % GREATEST(n // 100, 1) = 0
+        |  AND rn / GREATEST(n // 100, 1) <= LEAST(n, 100)""".stripMargin)),
     Q("agg_appx_median",
       (s, d) => t(s, d, "documents")
         .groupBy(col("source"))
