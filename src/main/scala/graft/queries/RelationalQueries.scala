@@ -457,6 +457,19 @@ object RelationalQueries {
         |SELECT STRING_AGG(CAST(v AS VARCHAR), ', ' ORDER BY rn) AS hist
         |FROM o WHERE rn % GREATEST(n // 100, 1) = 0
         |  AND rn / GREATEST(n // 100, 1) <= LEAST(n, 100)""".stripMargin)),
+    // sample() emits its reservoir in arrival order (unspecified, as in
+    // the reference); below the cap the CONTENT is the full column, so
+    // sorting the rendered list makes the collection semantics
+    // driver-checkable without constraining the order the agg emits
+    Q("agg_sample",
+      (s, d) => {
+        Engine.configure(s)
+        Engine.register(s, d)
+        s.sql("""select array_join(array_sort(split(sample(lang), ', ')), ', ')
+          |  as langs from documents""".stripMargin)
+      },
+      Some("""SELECT STRING_AGG(lang, ', ' ORDER BY lang) AS langs
+        |FROM documents""".stripMargin)),
     Q("agg_appx_median",
       (s, d) => t(s, d, "documents")
         .groupBy(col("source"))
