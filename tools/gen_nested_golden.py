@@ -792,6 +792,25 @@ ORDER BY 1"""),
       ordered=True)
 
 
+block("nested-types-tpch.test",
+      "IMPALA-2357: analytic with order by on top of a collection "
+      "self-join on pos — stresses the sort above many subplan rows.",
+      """SELECT o_orderkey, r FROM
+  (SELECT o2.o_orderkey, COUNT(o1.pos) OVER (ORDER BY o2.o_orderkey DESC) r
+   FROM customer_nested c
+   JOIN c.c_orders o1
+   JOIN c.c_orders o2 ON (o1.pos = o2.pos)) v
+ORDER BY o_orderkey LIMIT 1""",
+      duck("""WITH po AS (SELECT o_custkey, o_orderkey,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 pos
+  FROM orders_n),
+j AS (SELECT o2.o_orderkey FROM po o1 JOIN po o2
+      ON o1.o_custkey = o2.o_custkey AND o1.pos = o2.pos),
+w AS (SELECT o_orderkey, COUNT(*) OVER (ORDER BY o_orderkey DESC) r FROM j)
+SELECT o_orderkey, r FROM w ORDER BY o_orderkey LIMIT 1"""),
+      ordered=True)
+
+
 def emit():
     parts = [FIXTURE.rstrip()]
     for ref, comment, sql, expected, ordered, catch in BLOCKS:
