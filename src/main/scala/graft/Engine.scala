@@ -236,6 +236,16 @@ object Engine {
         throw new IllegalArgumentException(
           s"Invalid parquet compression codec $codec")
     }
+    // compressed-text write rejection (text-writer.test): a session
+    // codec other than NONE rejects inserts into text tables at write
+    // time unless ALLOW_UNSUPPORTED_FORMATS=1 overrides
+    // (hdfs-table-sink.cc:377-384)
+    if (QueryOptions.get(spark, "COMPRESSION_CODEC") != "NONE" &&
+        QueryOptions.get(spark, "ALLOW_UNSUPPORTED_FORMATS") != "1" &&
+        writesText(spark, q))
+      throw new IllegalArgumentException(
+        "Writing to compressed text table is not supported. " +
+          "Use query option ALLOW_UNSUPPORTED_FORMATS to override.")
     val cleaned = likeParquet(spark, stripPlanHints(q))
     // APPX_COUNT_DISTINCT=1: every single-argument COUNT(DISTINCT x)
     // becomes ndv(x) before analysis (the reference's rewrite,
@@ -301,22 +311,40 @@ object Engine {
     */
   private def writesParquet(spark: SparkSession, q: String): Boolean = q match {
     case insertTargetRe(t) =>
-      try {
-        val parts = t.split("\\.")
-        val ident =
-          if (parts.length >= 2)
-            org.apache.spark.sql.catalyst.TableIdentifier(
-              parts.last, Some(parts.head))
-          else org.apache.spark.sql.catalyst.TableIdentifier(parts.head)
-        spark.sessionState.catalog.getTableMetadata(ident)
-          .provider.forall(_.equalsIgnoreCase("parquet"))
-      } catch { case _: Exception => true }
+      insertTargetProvider(spark, t).forall(_.equalsIgnoreCase("parquet"))
     case _ if q.matches("(?is)^create\\s+table\\b[\\s\\S]*\\bas\\s+select[\\s\\S]*") =>
       val using = "(?is)\\b(?:using|stored\\s+as)\\s+([\\w.]+)".r
         .findFirstMatchIn(q)
       using.forall(_.group(1).equalsIgnoreCase("parquet"))
     case _ => false
   }
+
+  /** Is this statement an INSERT into a text-format (CSV) table? The
+    * reference rejects compressed-text writes at sink open
+    * (`be/src/exec/hdfs-table-sink.cc:377-384`) unless
+    * ALLOW_UNSUPPORTED_FORMATS overrides.
+    */
+  private def writesText(spark: SparkSession, q: String): Boolean = q match {
+    case insertTargetRe(t) =>
+      insertTargetProvider(spark, t).exists(p =>
+        p.equalsIgnoreCase("csv") || p.equalsIgnoreCase("text"))
+    case _ => false
+  }
+
+  /** The catalog provider of an INSERT's target table; None when the
+    * table can't be resolved (the write will fail in analysis anyway).
+    */
+  private def insertTargetProvider(
+      spark: SparkSession, t: String): Option[String] =
+    try {
+      val parts = t.split("\\.")
+      val ident =
+        if (parts.length >= 2)
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            parts.last, Some(parts.head))
+        else org.apache.spark.sql.catalyst.TableIdentifier(parts.head)
+      spark.sessionState.catalog.getTableMetadata(ident).provider
+    } catch { case _: Exception => None }
 
   /** Test seam: forces the rewrite pre-pass to throw a non-parse
     * exception, pinning that engine bugs in the rewrite surface to the
