@@ -489,4 +489,44 @@ class PlannerSpec2 extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("tpcds-all.test: dim constraints reach the fact scan through the derivation CTE; every dim broadcasts") {
+    // the round-6 audited star-plan property, pinned: tpcds_q19 filters
+    // item on i_manager_id, and because ss_item_sk derives from
+    // l_partkey, constraint propagation must rewrite the equality onto
+    // the fact side as arithmetic over l_partkey SITTING ON THE SCAN —
+    // at 100 TB that filter is the difference between scanning the fact
+    // once pre-filtered and carrying every row to the first join. Dims
+    // are generated/small, so no shuffled join may appear (the one
+    // BroadcastNestedLoopJoin is the intentional broadcast-scalar ccnt
+    // cross).
+    val df = SparkEntry.queries("tpcds_q19")(spark, TestSpark.sf)
+    df.collect()
+    val p = physical(df)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val factFilter = p.linesIterator.filter(l =>
+      l.contains("Filter") && l.contains("l_partkey") && l.contains("FLOOR"))
+    assert(factFilter.nonEmpty,
+      s"i_manager_id constraint did not propagate onto the fact scan:\n$p")
+  }
+
+  test("insert.test (planner): a dynamic-partition insert sorts by the partition keys before writing") {
+    // the reference clusters partitioned inserts so each writer holds
+    // one open partition at a time (HdfsTableSink's clustered insert);
+    // Spark's V1Writes plans the same property as a Sort on the static
+    // +dynamic partition columns above the write — without it every
+    // task writes a file per partition it touches (the 100 TB
+    // small-files explosion).
+    spark.sql("drop table if exists gplan_ins")
+    spark.sql(
+      "create table gplan_ins (id bigint, v string) using parquet partitioned by (p int)")
+    try {
+      val df = spark.sql(
+        "insert into gplan_ins partition(p) select l_orderkey, 'x', cast(l_orderkey % 7 as int) from lineitem")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Sort") && p.contains("p#"),
+        s"partitioned insert did not sort by partition key:\n$p")
+    } finally spark.sql("drop table gplan_ins")
+  }
 }
