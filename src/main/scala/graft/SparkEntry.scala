@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, TpcdsQueries, WindowQueries}
+import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, PrimitiveQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, TpcdsQueries, WindowQueries}
 import graft.operators.{CorpusOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.functions.Udx
 import graft.sources.{Formats, MixedFormat, TableSink}
@@ -16,7 +16,7 @@ object SparkEntry {
 
   val all: Seq[Q] =
     TpchQueries.defs ++ Tpch2Queries.defs ++ Tpch3Queries.defs ++
-      TpcdsQueries.defs ++
+      TpcdsQueries.defs ++ PrimitiveQueries.defs ++
       RelationalQueries.defs ++ JoinQueries.defs ++
       WindowQueries.defs ++ NestedQueries.defs ++ PredicateQueries.defs ++
       TextOps.defs ++ CorpusOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
