@@ -192,6 +192,57 @@ object CorpusOps {
       |            WHEN 'de' THEN 'cc' WHEN 'fr' THEN 'ff' ELSE '20' END
       |ORDER BY doc_id""".stripMargin))
 
+  /** Temperature-based mixture sampling, the multilingual-corpus
+    * balancing recipe (sample source s with probability proportional to
+    * p_s^alpha, alpha < 1, so dominant sources downsample toward parity
+    * while rare sources keep everything): per-source keep-rates are
+    * DERIVED FROM THE DATA — rate_s = sqrt(n_min / n_s) at the
+    * alpha = 0.5 default — then applied via the same md5 hash-bucket
+    * rule as [[sampleStratified]] (256 buckets, a pure function of
+    * `doc_id`, no RNG).
+    *
+    * Determinism: the threshold is floor(256 * sqrt(n_min / n_s)) —
+    * division and IEEE sqrt are correctly rounded, the *256 is an exact
+    * exponent shift, so both engines compute the identical bucket count
+    * (the reason alpha is pinned at the sqrt point for the oracle:
+    * pow(x, a) for general a is a transcendental the Det policy keeps
+    * out of checked values). Rendered to two lowercase hex chars for
+    * the same string-compare keep rule both engines share.
+    *
+    * Scale shape: one tiny per-source aggregate (sources number in the
+    * dozens), broadcast back onto the corpus, then a pure map-side
+    * filter — the corpus is scanned ONCE and never shuffled. The
+    * keep-decision stays re-derivable from doc_id at 100 TB, which is
+    * what makes the sample auditable.
+    */
+  val mixtureSample: Q = Q("sample_mixture",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val counts = doc.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      val nMin = counts.agg(min(col("n_s")).as("n_min"))
+      val thr = counts.crossJoin(broadcast(nMin))
+        .select(col("lang"),
+          floor(lit(256) * sqrt(col("n_min").cast("double") / col("n_s")))
+            .cast("int").as("thr"))
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      doc.join(broadcast(thr), "lang")
+        .select(col("doc_id"), col("lang"), col("thr"), bucket.as("bucket"))
+        .filter(col("thr") >= 256 ||
+          col("bucket") < format_string("%02x", col("thr")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(n_s) AS n_min FROM c),
+      |t AS (SELECT lang,
+      |        CAST(FLOOR(256 * SQRT(CAST(n_min AS DOUBLE) / n_s)) AS INT) AS thr
+      |      FROM c, m)
+      |SELECT d.doc_id, d.lang, t.thr,
+      |  SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents d JOIN t ON d.lang = t.lang
+      |WHERE t.thr >= 256
+      |   OR SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 2) < PRINTF('%02x', t.thr)
+      |ORDER BY d.doc_id""".stripMargin))
+
   /** Distinctive-term statistics per language: term frequency, document
     * frequency, and an integer-exact tf-idf surrogate
     * (`tf * (N*1e6 div df)` — the N/df ratio in ppm instead of
@@ -248,5 +299,5 @@ object CorpusOps {
       |ORDER BY lang, tfidf_ppm DESC, token""".stripMargin))
 
   val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
-    termStats)
+    mixtureSample, termStats)
 }

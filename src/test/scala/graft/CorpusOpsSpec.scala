@@ -101,6 +101,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(frKept >= frTotal - frTotal / 8)
   }
 
+  test("sample_mixture: data-derived thresholds, rarest source keeps all, corpus never shuffles") {
+    val doc = Engine.table(spark, TestSpark.sf, "documents")
+    val counts = doc.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    // thresholds re-derived independently: floor(256 * sqrt(n_min/n_s))
+    val thr = counts.map { case (l, n) =>
+      l -> math.floor(256 * math.sqrt(nMin.toDouble / n)).toInt
+    }
+    val df = SparkEntry.queries("sample_mixture")(spark, TestSpark.sf)
+    val kept = df.collect()
+    kept.foreach { r =>
+      assert(r.getInt(2) === thr(r.getString(1)),
+        s"threshold mismatch for ${r.getString(1)}")
+    }
+    // the rarest source's threshold is 256: nothing of it is dropped
+    val rarest = counts.minBy(_._2)._1
+    assert(thr(rarest) === 256)
+    assert(kept.count(_.getString(1) == rarest) === counts(rarest))
+    // dominant sources downsample: at least one threshold < 256
+    assert(thr.values.min < 256)
+    // membership is exactly the hash rule, re-derived independently
+    val keptIds = kept.map(_.getLong(0)).toSet
+    doc.select(col("doc_id"), col("lang")).collect().foreach { r =>
+      val id = r.getLong(0); val t = thr(r.getString(1))
+      val bucket = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      val expected = t >= 256 || bucket < "%02x".format(t)
+      assert(keptIds.contains(id) === expected, s"doc $id")
+    }
+    // scale shape: the corpus-side plan has exactly the tiny count agg's
+    // exchanges — the keep-filter joins via broadcast, never a corpus
+    // shuffle (AQE final plan after execution)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("text_tfidf: 15 rows per lang, idf-monotone, deterministic") {
     val rows = run("text_tfidf").collect()
     val langs = rows.map(_.getString(0)).distinct
