@@ -243,6 +243,64 @@ object CorpusOps {
       |   OR SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 2) < PRINTF('%02x', t.thr)
       |ORDER BY d.doc_id""".stripMargin))
 
+  /** Token-budget sampling: keep documents per source until a token
+    * budget is met (the "N billion tokens per domain" corpus spec),
+    * WITHOUT a per-source global sort. Two passes:
+    *
+    *  1. Histogram pass — per (source, hash-bucket) token totals: a
+    *     tiny aggregate (sources x 256 buckets), then a running sum
+    *     over the 256-row-per-source histogram finds the highest
+    *     bucket whose cumulative tokens fit the budget.
+    *  2. Filter pass — map-side `bucket <= cutoff` keep rule against
+    *     the broadcast cutoffs.
+    *
+    * The naive form (ORDER BY hash, cumulative-sum, cut at budget)
+    * sorts the whole corpus per source; this bucket-quantile form
+    * scans the corpus twice, shuffles only the 256-row histograms, and
+    * lands within one bucket (~1/256) of the exact budget — the shape
+    * that holds at 100 TB. Fully deterministic: token counts are
+    * integers, bucket hex strings order lexicographically =
+    * numerically at fixed width, so cutoffs are exact on both engines.
+    * A source whose first bucket alone exceeds the budget keeps
+    * nothing (no partial-bucket split — splitting would need the
+    * in-bucket order the design avoids).
+    */
+  val tokenBudgetSample: Q = Q("sample_token_budget",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val budget = 2000L
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val tok = doc.select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        size(toks(col("text"))).as("ntok"))
+      val hist = tok.groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("ntok")).as("btok"))
+      val cum = hist.withColumn("cumtok",
+        sum(col("btok")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("bucket"))))
+      val cut = cum.filter(col("cumtok") <= budget)
+        .groupBy(col("lang")).agg(max(col("bucket")).as("cutoff"))
+        .withColumnRenamed("lang", "cut_lang")
+      tok.join(broadcast(cut),
+          col("lang") === col("cut_lang") && col("bucket") <= col("cutoff"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("ntok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang,
+      |    SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |         t -> t <> '')) AS INT) AS ntok
+      |  FROM documents),
+      |hist AS (SELECT lang, bucket, SUM(ntok) AS btok
+      |  FROM tok GROUP BY lang, bucket),
+      |cum AS (SELECT lang, bucket,
+      |    SUM(btok) OVER (PARTITION BY lang ORDER BY bucket) AS cumtok
+      |  FROM hist),
+      |cut AS (SELECT lang, MAX(bucket) AS cutoff
+      |  FROM cum WHERE cumtok <= 2000 GROUP BY lang)
+      |SELECT t.doc_id, t.lang, t.bucket, t.ntok
+      |FROM tok t JOIN cut c ON t.lang = c.lang AND t.bucket <= c.cutoff
+      |ORDER BY t.doc_id""".stripMargin))
+
   /** Distinctive-term statistics per language: term frequency, document
     * frequency, and an integer-exact tf-idf surrogate
     * (`tf * (N*1e6 div df)` — the N/df ratio in ppm instead of
@@ -299,5 +357,5 @@ object CorpusOps {
       |ORDER BY lang, tfidf_ppm DESC, token""".stripMargin))
 
   val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
-    mixtureSample, termStats)
+    mixtureSample, tokenBudgetSample, termStats)
 }

@@ -139,6 +139,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("sample_token_budget: kept tokens fit the budget maximally, bucket-granular") {
+    val budget = 2000L
+    val rows = SparkEntry.queries("sample_token_budget")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_._2)
+    // full corpus histogram re-derived independently
+    val doc = Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).as("ntok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val hist = doc.groupBy(d => (d._2,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d._1.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString))
+      .view.mapValues(_.map(_._3.toLong).sum).toMap
+    byLang.foreach { case (lang, kept) =>
+      val total = kept.map(_._4.toLong).sum
+      assert(total <= budget, s"$lang kept $total > $budget")
+      // maximality: the next bucket would have burst the budget
+      val cutoff = kept.map(_._3).max
+      val next = hist.keys.filter(k => k._1 == lang && k._2 > cutoff)
+        .toSeq.sortBy(_._2).headOption
+      next.foreach { nb =>
+        assert(total + hist(nb) > budget,
+          s"$lang cutoff $cutoff not maximal: next bucket ${nb._2} fits")
+      }
+    }
+  }
+
   test("text_tfidf: 15 rows per lang, idf-monotone, deterministic") {
     val rows = run("text_tfidf").collect()
     val langs = rows.map(_.getString(0)).distinct
