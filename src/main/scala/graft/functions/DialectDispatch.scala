@@ -224,3 +224,101 @@ case class CMathLog(left: Expression, right: Expression)
       l: Expression, r: Expression): CMathLog = copy(left = l, right = r)
   override def prettyName: String = "log"
 }
+
+/** truncate/dtrunc (numeric): truncation toward zero
+  * (`be/src/exprs/math-functions.cc` Truncate → BIGINT for DOUBLE input;
+  * `decimal-functions.cc` Truncate/TruncateTo → DECIMAL(p-s+d, d)).
+  * Post-analysis dispatch on the resolved child type: decimals route to
+  * Spark's RoundFloor/RoundCeil by sign (identical result type either
+  * branch), doubles take the LEGACY long cast (which truncates toward
+  * zero).
+  */
+case class DialectTruncate(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+
+  override lazy val replacement: Expression = left.dataType match {
+    case d: DecimalType =>
+      val scale = right match {
+        case Literal(v, _) => Literal(v.toString.toInt)
+        case e => Cast(e, IntegerType)
+      }
+      val bySign = org.apache.spark.sql.catalyst.expressions.If(
+        org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          left, Cast(Literal(0), left.dataType)),
+        org.apache.spark.sql.catalyst.expressions.RoundFloor(left, scale),
+        org.apache.spark.sql.catalyst.expressions.RoundCeil(left, scale))
+      // the reference types TruncateTo as DECIMAL(p-s+d, d) — RoundFloor
+      // reserves a rounding-overflow digit truncation can't need, so
+      // narrow when the target scale is a known constant in range
+      scale match {
+        case Literal(v: Int, _) if v >= 0 && v <= d.scale &&
+            d.precision - d.scale + v >= 1 =>
+          Cast(bySign,
+            DecimalType(math.min(38, d.precision - d.scale + v), v))
+        case _ => bySign
+      }
+    case _ =>
+      // double/float/integer single-arg form: BIGINT truncation toward
+      // zero (LEGACY double->long cast truncates toward zero)
+      Cast(left, LongType, evalMode =
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DialectTruncate = copy(left = l, right = r)
+  override def prettyName: String = "truncate"
+}
+
+/** precision(x) / scale(x) (`be/src/exprs/decimal-functions.cc:27-33`):
+  * the DECLARED precision/scale of the argument's type — a property of
+  * the resolved type, not the value (NULL input still reports its
+  * type's precision). Integer arguments report the max precision of
+  * their width as the reference's implicit int->decimal conversion
+  * does (TINYINT 3, SMALLINT 5, INT 10, BIGINT 19). Divergence, pinned
+  * in FunctionsSpec: bare literals type wider in Spark (`1` is INT
+  * here, TINYINT in the reference), so `precision(1)` is 10, not 3 —
+  * the cast forms agree exactly.
+  */
+case class DialectTypeMeta(child: Expression, isPrecision: Boolean)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case d: DecimalType => Literal(if (isPrecision) d.precision else d.scale)
+    case ByteType => Literal(if (isPrecision) 3 else 0)
+    case ShortType => Literal(if (isPrecision) 5 else 0)
+    case IntegerType => Literal(if (isPrecision) 10 else 0)
+    case LongType => Literal(if (isPrecision) 19 else 0)
+    case t => throw new IllegalArgumentException(
+      s"${prettyName}() requires a decimal or integer argument, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DialectTypeMeta =
+    copy(child = c)
+  override def prettyName: String = if (isPrecision) "precision" else "scale"
+}
+
+/** sleep(ms) (`be/src/exprs/utility-functions.cc` Sleep): blocks the
+  * calling thread for ms milliseconds, returns true. The result is
+  * constant (only the side effect is temporal), so the expression stays
+  * "deterministic" for the planner exactly like the reference's
+  * non-constant-folded builtin; eval-only (no codegen) — it exists for
+  * timeout testing, never on a hot path.
+  */
+case class DialectSleep(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ms = child.eval(input)
+    if (ms != null) Thread.sleep(ms.asInstanceOf[Number].longValue())
+    true
+  }
+
+  override protected def withNewChildInternal(c: Expression): DialectSleep =
+    copy(child = c)
+  override def prettyName: String = "sleep"
+}

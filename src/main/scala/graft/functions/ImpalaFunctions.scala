@@ -274,6 +274,86 @@ object ImpalaFunctions {
     }
     temp("user") { case Seq() => CurrentUser() }
     temp("effective_user") { case Seq() => CurrentUser() }
+    // sleep(ms) -> true after ms milliseconds (utility-functions.cc
+    // Sleep; used by the reference's timeout tests)
+    temp("sleep") { case Seq(e) => DialectSleep(Cast(e, LongType)) }
+
+    // ---- double-math aliases (impala_functions.py:265-298: every
+    // math builtin carries a d*/f* alias from the pre-decimal era) ----
+    // the d-prefixed forms are the DOUBLE overloads specifically
+    // (impala_functions.py:265-267) — BIGINT results via the double path
+    temp("dceil") { case Seq(e) => Ceil(Cast(e, DoubleType)) }
+    temp("dfloor") { case Seq(e) => Floor(Cast(e, DoubleType)) }
+    temp("dexp") { case Seq(e) => Exp(Cast(e, DoubleType)) }
+    temp("dlog1") { case Seq(e) => Log(Cast(e, DoubleType)) }
+    temp("dlog10") { case Seq(e) => Log10(Cast(e, DoubleType)) }
+    temp("dsqrt") { case Seq(e) => Sqrt(Cast(e, DoubleType)) }
+    val powBuilder: Seq[Expression] => Expression = {
+      case Seq(a, b) => Pow(Cast(a, DoubleType), Cast(b, DoubleType))
+    }
+    temp("dpow")(powBuilder)
+    temp("fpow")(powBuilder)
+    temp("fmod") { case Seq(a, b) =>
+      Remainder(Cast(a, DoubleType), Cast(b, DoubleType), EvalMode.LEGACY)
+    }
+    temp("dround") {
+      case Seq(e) => DialectRound(Cast(e, DoubleType))
+      case Seq(e, d) => Round(Cast(e, DoubleType), d)
+    }
+    // truncate/dtrunc (numeric): toward-zero truncation, BIGINT for
+    // doubles, DECIMAL(p-s+d, d) for decimals (math-functions.cc
+    // Truncate, decimal-functions.cc TruncateTo)
+    val truncateBuilder: Seq[Expression] => Expression = {
+      case Seq(e) => DialectTruncate(e, Literal(0))
+      case Seq(e, d) => DialectTruncate(e, d)
+    }
+    temp("truncate")(truncateBuilder)
+    temp("dtrunc")(truncateBuilder)
+
+    // ---- decimal type metadata (decimal-functions.cc:27-33) ----
+    temp("precision") { case Seq(e) => DialectTypeMeta(e, isPrecision = true) }
+    temp("scale") { case Seq(e) => DialectTypeMeta(e, isPrecision = false) }
+
+    // ---- type extrema constants (udf-builtins.h MaxInt...MinBigInt) ----
+    temp("max_tinyint") { case Seq() => Literal(Byte.MaxValue) }
+    temp("min_tinyint") { case Seq() => Literal(Byte.MinValue) }
+    temp("max_smallint") { case Seq() => Literal(Short.MaxValue) }
+    temp("min_smallint") { case Seq() => Literal(Short.MinValue) }
+    temp("max_int") { case Seq() => Literal(Int.MaxValue) }
+    temp("min_int") { case Seq() => Literal(Int.MinValue) }
+    temp("max_bigint") { case Seq() => Literal(Long.MaxValue) }
+    temp("min_bigint") { case Seq() => Literal(Long.MinValue) }
+
+    // ---- operator function-forms (impala_functions.py:668-690) ----
+    temp("distinctfrom") { case Seq(a, b) => Not(EqualNullSafe(a, b)) }
+    temp("notdistinct") { case Seq(a, b) => EqualNullSafe(a, b) }
+
+    // timestamp_cmp(t1, t2) -> -1/0/1, NULL if either side is NULL
+    // (timestamp-functions.h TimestampCmp; expr-test.cc:3577-3584)
+    temp("timestamp_cmp") { case Seq(a, b) =>
+      val ta = Cast(a, TimestampNTZType)
+      val tb = Cast(b, TimestampNTZType)
+      CaseWhen(Seq(
+        (LessThan(ta, tb), Literal(-1)),
+        (GreaterThan(ta, tb), Literal(1)),
+        (EqualTo(ta, tb), Literal(0))))
+    }
+
+    // ---- UdfBuiltins test aliases (udf-builtins.h Pi/Abs/Lower) ----
+    temp("udf_pi") { case Seq() => Pi() }
+    temp("udf_abs") { case Seq(e) => Abs(Cast(e, DoubleType)) }
+    temp("udf_lower") { case Seq(e) => Lower(e) }
+
+    // ---- MADlib vector interop (udf-builtins.cc:466-560) ----
+    temp("madlib_vector") { es =>
+      MadlibVectorPack(es.map(e => Cast(e, DoubleType)))
+    }
+    temp("madlib_vector_get") { case Seq(i, v) =>
+      MadlibVectorGet(Cast(i, LongType), v)
+    }
+    temp("madlib_encode_vector") { case Seq(v) => MadlibEncodeVector(v) }
+    temp("madlib_decode_vector") { case Seq(v) => MadlibDecodeVector(v) }
+    temp("madlib_print_vector") { case Seq(v) => MadlibPrintVector(v) }
     // ---- utility (utility-functions.h:29) -------------------------------
     // fnv_hash hashes native fixed-width bytes for numeric/boolean input
     // (matching the reference's raw-slot-byte hashing) and raw bytes for
