@@ -486,6 +486,12 @@ object ImpalaFunctions {
     // ndv_hll: the Impala-formula HLL-1024 sketch itself (FNV value hash,
     // harmonic estimator) as a TypedImperativeAggregate — see NdvHll.
     temp("ndv_hll") { case Seq(e) => NdvHll(e).toAggregateExpression() }
+    // ndv_no_finalize (BuiltinsDb.java): same HLL update/merge, but the
+    // raw intermediate sketch comes back instead of the estimate — the
+    // per-partition form incremental stats stores and re-merges
+    temp("ndv_no_finalize") { case Seq(e) =>
+      NdvHll(e, finalizeEstimate = false).toAggregateExpression()
+    }
     // histogram / appx_median_rs: the reference's 20k-reservoir aggregates
     // (aggregate-functions.h:126-167) — see ReservoirAgg.
     temp("histogram") { case Seq(e) => DialectHistogram(e) }

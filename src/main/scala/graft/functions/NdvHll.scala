@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class NdvHll(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    finalizeEstimate: Boolean = true)
   extends TypedImperativeAggregate[Array[Byte]] {
 
   private val P = 10
@@ -30,7 +31,12 @@ case class NdvHll(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
+  // ndv_no_finalize (BuiltinsDb.java "ndv_no_finalize") returns the raw
+  // 1 KiB intermediate sketch instead of the estimate — the form the
+  // reference's incremental-stats child queries persist per partition
+  // and re-merge later
+  override def dataType: DataType =
+    if (finalizeEstimate) LongType else BinaryType
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
@@ -63,6 +69,7 @@ case class NdvHll(
   }
 
   override def eval(buf: Array[Byte]): Any = {
+    if (!finalizeEstimate) return buf.clone()
     // HllFinalEstimate, float-for-float: powf harmonic sum accumulated in
     // FLOAT (C `float harmonic_mean`), float alpha, int64 truncation
     var harmonic: Float = 0f
@@ -95,5 +102,6 @@ case class NdvHll(
       newChildren: IndexedSeq[Expression]): NdvHll =
     copy(child = newChildren.head)
 
-  override def prettyName: String = "ndv_hll"
+  override def prettyName: String =
+    if (finalizeEstimate) "ndv_hll" else "ndv_no_finalize"
 }

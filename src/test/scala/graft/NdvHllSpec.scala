@@ -32,4 +32,16 @@ class NdvHllSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(a === b)
   }
+
+  test("ndv_no_finalize returns the raw 1 KiB sketch whose estimate matches ndv_hll") {
+    val row = Engine.sql(spark, TestSpark.sf,
+      """SELECT ndv_no_finalize(l_partkey) sketch, ndv_hll(l_partkey) est
+        |FROM lineitem""".stripMargin).head()
+    val sketch = row.getAs[Array[Byte]](0)
+    assert(sketch.length === 1024)
+    // finalizing the returned sketch reproduces the estimate exactly
+    val est = graft.functions.NdvHll(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L)).eval(sketch)
+    assert(est === row.getLong(1))
+  }
 }
