@@ -112,6 +112,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-vs-snapshot dedup: stateless Bloom flag has no false negatives; exact join matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    Engine.configure(spark)
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+    val snapshot = docs.filter(col("doc_id") % 10 < 7)
+    // the incoming "crawl": the other 30%, so true dups are exactly the
+    // rows whose text also occurs in the snapshot (the batch oracle of
+    // dedup_incremental)
+    val organic = docs.filter(col("doc_id") % 10 >= 7)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // plant guaranteed re-crawls: two snapshot payloads re-arrive under
+    // fresh ids (organic cross-split duplicates need not exist at every SF)
+    val replayed = snapshot.select(col("text")).limit(2).collect()
+      .zipWithIndex.map { case (r, i) => (900000L + i, r.getString(0)) }.toSeq
+    val incoming = organic ++ replayed
+    val expected = {
+      val snapTexts = snapshot.select(md5(col("text"))).collect()
+        .map(_.getString(0)).toSet
+      incoming.map { case (id, t) =>
+        id -> snapTexts.contains(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }.toMap
+    }
+
+    val bloom = graft.streaming.StreamSnapshotDedup.snapshotBloom(snapshot)
+    val input = MemoryStream[(Long, String)]
+    input.addData(incoming)
+    val stream = input.toDF().toDF("doc_id", "text")
+    val qb = graft.streaming.StreamSnapshotDedup
+      .flagVsSnapshotBloom(stream, bloom)
+      .select(col("doc_id"), col("maybe_dup"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("snap_bloom").start()
+    val qe = graft.streaming.StreamSnapshotDedup
+      .flagVsSnapshotExact(stream, snapshot)
+      .select(col("doc_id"), col("is_dup"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("snap_exact").start()
+    try {
+      qb.processAllAvailable(); qe.processAllAvailable()
+      val bloomFlags = spark.table("snap_bloom").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val exactFlags = spark.table("snap_exact").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(exactFlags === expected)
+      // the Bloom may over-flag (false positives) but NEVER under-flags
+      expected.foreach { case (id, dup) =>
+        if (dup) assert(bloomFlags(id), s"doc $id: Bloom false negative")
+      }
+      assert(expected.exists(_._2), "fixture has no true duplicates")
+      // the Bloom plan is stateless: no state-store operators
+      assert(!qb.lastProgress.toString.contains("stateOperators\" : [ {"))
+    } finally { qb.stop(); qe.stop() }
+  }
+
   test("stream-stream interval join matches the batch join") {
     val q = EventStream.attributionJoin(spark, TestSpark.sf).writeStream
       .outputMode("append").format("memory").queryName("attr_test").start()
