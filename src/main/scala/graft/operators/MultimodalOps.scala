@@ -443,6 +443,54 @@ object MultimodalOps {
       |FROM documents d, range(0, 800) t(i)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
 
+  final case class AudioFrameFeatures(doc_id: Long, win_idx: Int, n: Int,
+      energy: Long, zero_crossings: Int, peak: Int)
+
+  /** Windowed audio features over the decoded PCM16 stream — the DSP
+    * stage an audio-training pipeline runs after decode (energy
+    * gating, silence trimming, speech detection all start from
+    * per-window energy/ZCR): 200-sample windows, exact-integer energy,
+    * zero-crossing count and peak per window
+    * ([[RawAudio.windowFeatures]]). Decode and feature extraction stay
+    * fused on the executors (mapPartitions over ids; the payload never
+    * shuffles) and only the small per-window feature relation comes
+    * out — the shape that holds when the audio is 100 TB. All-integer
+    * outputs, so the oracle recomputes every value from the synthetic
+    * sample formula with a window-partitioned LAG.
+    */
+  val audioFeatures: Q = Q("multimodal_audio_features",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val clip = RawAudio.decodeWav(wavPayload(id, 800, 16000))
+          RawAudio.windowFeatures(clip, 200).map(w =>
+            AudioFrameFeatures(id, w.winIdx, w.n, w.energy,
+              w.zeroCrossings, w.peak))
+        }
+      }.toDF().orderBy(col("doc_id"), col("win_idx"))
+    },
+    Some("""WITH s AS (
+      |  SELECT d.doc_id, i, CAST(i // 200 AS INT) AS win_idx,
+      |    CAST((d.doc_id * 7919 + i * 31) % 65536 - 32768 AS INT) AS v
+      |  FROM documents d, range(0, 800) t(i)),
+      |z AS (
+      |  SELECT doc_id, win_idx, v,
+      |    LAG(v) OVER (PARTITION BY doc_id, win_idx ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id, win_idx,
+      |  CAST(200 AS INT) AS n,
+      |  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+      |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+      |            THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+      |  CAST(MAX(ABS(v)) AS INT) AS peak
+      |FROM z
+      |GROUP BY doc_id, win_idx
+      |ORDER BY doc_id, win_idx""".stripMargin))
+
   /** Sampled-frame stats from the REAL video codec path. */
   final case class VideoFrameStats(doc_id: Long, frame_idx: Int,
       ts_ms: Long, mean_luma: Double)
@@ -503,5 +551,5 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodeWav, decodeY4mQ)
+    decodeWav, audioFeatures, decodeY4mQ)
 }

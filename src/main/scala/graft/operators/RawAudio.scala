@@ -95,4 +95,38 @@ object RawAudio {
     }
     (sumAbs, sumSq)
   }
+
+  /** Windowed DSP features over fixed-size sample windows (the audio
+    * analog of per-chunk token stats): per window the exact-integer
+    * energy (sum of squares), zero-crossing count (sign change between
+    * adjacent samples WITHIN the window; s >= 0 counts as positive, the
+    * convention that keeps the count a pure integer function of the
+    * samples), and peak |amplitude|. Integers only, so an oracle can
+    * recompute every value from the synthetic sample formula.
+    */
+  final case class WindowFeatures(
+      winIdx: Int, n: Int, energy: Long, zeroCrossings: Int, peak: Int)
+
+  def windowFeatures(clip: Clip, win: Int): Seq[WindowFeatures] = {
+    val out = Seq.newBuilder[WindowFeatures]
+    var start = 0
+    var idx = 0
+    while (start < clip.samples.length) {
+      val end = math.min(start + win, clip.samples.length)
+      var energy = 0L; var zc = 0; var peak = 0
+      var i = start
+      while (i < end) {
+        val s = clip.samples(i).toInt
+        energy += s.toLong * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        if (i > start && ((s >= 0) != (clip.samples(i - 1) >= 0))) zc += 1
+        i += 1
+      }
+      out += WindowFeatures(idx, end - start, energy, zc, peak)
+      start = end
+      idx += 1
+    }
+    out.result()
+  }
 }
