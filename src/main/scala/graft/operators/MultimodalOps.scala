@@ -491,6 +491,81 @@ object MultimodalOps {
       |GROUP BY doc_id, win_idx
       |ORDER BY doc_id, win_idx""".stripMargin))
 
+  final case class MotionRow(doc_id: Long, frame_idx: Int, sad: Long)
+
+  /** Frame-difference motion metric over the REAL Y4M decode path: per
+    * frame after the first, the sum of absolute luma differences
+    * against the previous frame (the SAD scene-cut / static-clip
+    * detector a video-curation pipeline thresholds on). Decode + SAD
+    * fuse on the executors; exact integers, so the oracle recomputes
+    * every value from the luma formula.
+    */
+  val motion: Q = Q("multimodal_motion",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val video = RawVideo.decodeY4m(y4mPayload(id, 6, 8, 8))
+          RawVideo.frameSad(video).map { case (f, sad) =>
+            MotionRow(id, f, sad)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""SELECT d.doc_id, CAST(f AS INT) AS frame_idx,
+      |  CAST(SUM(ABS(((d.doc_id * 13 + f * 29 + x * 7 + y * 3) % 256)
+      |       - ((d.doc_id * 13 + (f - 1) * 29 + x * 7 + y * 3) % 256)))
+      |    AS BIGINT) AS sad
+      |FROM documents d, range(1, 6) tf(f),
+      |  range(0, 8) tx(x), range(0, 8) ty(y)
+      |GROUP BY d.doc_id, f
+      |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  final case class GradientRow(doc_id: Long, gx: Long, gy: Long)
+
+  /** Edge-density metric over the REAL PPM decode path: exact
+    * horizontal/vertical gradient sums ([[RawImage.gradientSums]]) —
+    * the integer sharpness score image-quality filters threshold on.
+    * Oracle recomputes both sums from the per-channel pixel formulas.
+    */
+  val imageGradients: Q = Q("multimodal_image_gradients",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val img = RawImage.decodePpm(ppmPayload(id, 8, 8))
+          val (gx, gy) = RawImage.gradientSums(img)
+          GradientRow(id, gx, gy)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id,
+      |  CAST(SUM(CASE WHEN x > 0 THEN
+      |      ABS(((d.doc_id * 31 + x * 7 + y * 13) % 256)
+      |        - ((d.doc_id * 31 + (x - 1) * 7 + y * 13) % 256))
+      |    + ABS(((d.doc_id * 17 + x * 11 + y * 3) % 256)
+      |        - ((d.doc_id * 17 + (x - 1) * 11 + y * 3) % 256))
+      |    + ABS(((d.doc_id * 5 + x * 2 + y * 23) % 256)
+      |        - ((d.doc_id * 5 + (x - 1) * 2 + y * 23) % 256))
+      |    ELSE 0 END) AS BIGINT) AS gx,
+      |  CAST(SUM(CASE WHEN y > 0 THEN
+      |      ABS(((d.doc_id * 31 + x * 7 + y * 13) % 256)
+      |        - ((d.doc_id * 31 + x * 7 + (y - 1) * 13) % 256))
+      |    + ABS(((d.doc_id * 17 + x * 11 + y * 3) % 256)
+      |        - ((d.doc_id * 17 + x * 11 + (y - 1) * 3) % 256))
+      |    + ABS(((d.doc_id * 5 + x * 2 + y * 23) % 256)
+      |        - ((d.doc_id * 5 + x * 2 + (y - 1) * 23) % 256))
+      |    ELSE 0 END) AS BIGINT) AS gy
+      |FROM documents d, range(0, 8) tx(x), range(0, 8) ty(y)
+      |GROUP BY d.doc_id
+      |ORDER BY doc_id""".stripMargin))
+
   /** Sampled-frame stats from the REAL video codec path. */
   final case class VideoFrameStats(doc_id: Long, frame_idx: Int,
       ts_ms: Long, mean_luma: Double)
@@ -551,5 +626,5 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodeWav, audioFeatures, decodeY4mQ)
+    decodeWav, audioFeatures, decodeY4mQ, motion, imageGradients)
 }

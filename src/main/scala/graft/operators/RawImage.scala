@@ -138,4 +138,31 @@ object RawImage {
     }
     (r.toDouble / n, g.toDouble / n, b.toDouble / n)
   }
+
+  /** Exact horizontal/vertical gradient sums over all three channels —
+    * the integer edge-density metric image-quality filters threshold
+    * on (blurry/flat images score low). gx sums |c(x,y)-c(x-1,y)|, gy
+    * sums |c(x,y)-c(x,y-1)|, each over every channel.
+    */
+  def gradientSums(img: Image): (Long, Long) = {
+    var gx = 0L; var gy = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        var c = 0
+        while (c < 3) {
+          val v = img.rgb((y * img.width + x) * 3 + c) & 0xff
+          if (x > 0)
+            gx += math.abs(v - (img.rgb((y * img.width + x - 1) * 3 + c) & 0xff))
+          if (y > 0)
+            gy += math.abs(v - (img.rgb(((y - 1) * img.width + x) * 3 + c) & 0xff))
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (gx, gy)
+  }
 }

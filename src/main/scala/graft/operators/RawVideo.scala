@@ -107,4 +107,20 @@ object RawVideo {
     while (i < f.luma.length) { s += f.luma(i) & 0xff; i += 1 }
     s
   }
+
+  /** Sum of absolute luma differences against the previous frame — the
+    * classic SAD motion metric (scene-cut / static-clip detection in a
+    * video-curation pipeline). One (frame_idx, sad) pair per frame
+    * after the first; exact integers.
+    */
+  def frameSad(v: Video): Seq[(Int, Long)] =
+    v.frames.sliding(2).collect { case Seq(prev, cur) =>
+      var sad = 0L
+      var i = 0
+      while (i < cur.luma.length) {
+        sad += math.abs((cur.luma(i) & 0xff) - (prev.luma(i) & 0xff))
+        i += 1
+      }
+      (cur.index, sad)
+    }.toSeq
 }
