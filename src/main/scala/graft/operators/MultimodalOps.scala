@@ -566,6 +566,73 @@ object MultimodalOps {
       |GROUP BY d.doc_id
       |ORDER BY doc_id""".stripMargin))
 
+  /** The multimodal quality gate — the cross-modal composition a
+    * curation pipeline runs before training: per document, image
+    * sharpness (gradient sums), total audio energy, and peak video
+    * motion join on the document key and a conjunctive threshold keeps
+    * the rows. Each modality's metric relation is tiny relative to its
+    * payloads (the decodes never shuffle — only the per-doc scores
+    * do), so the joins are cheap at any scale and AQE coalesces them.
+    * All-integer scores; thresholds sit at the sf-independent medians
+    * of the synthetic formulas, so both engines keep the same rows.
+    */
+  val multimodalGate: Q = Q("pipeline_multimodal_gate",
+    (s, d) => {
+      Engine.configure(s)
+      val g = imageGradients.run(s, d)
+        .select(col("doc_id"), (col("gx") + col("gy")).as("sharpness"))
+      val a = audioFeatures.run(s, d)
+        .groupBy(col("doc_id")).agg(sum(col("energy")).as("energy"))
+      val m = motion.run(s, d)
+        .groupBy(col("doc_id")).agg(max(col("sad")).as("max_sad"))
+      g.join(a, "doc_id").join(m, "doc_id")
+        .filter(col("sharpness") >= 1200 &&
+          col("energy") >= 200000000000L && col("max_sad") >= 5000)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (
+      |  SELECT d.doc_id,
+      |    SUM(CASE WHEN x > 0 THEN
+      |        ABS(((d.doc_id * 31 + x * 7 + y * 13) % 256)
+      |          - ((d.doc_id * 31 + (x - 1) * 7 + y * 13) % 256))
+      |      + ABS(((d.doc_id * 17 + x * 11 + y * 3) % 256)
+      |          - ((d.doc_id * 17 + (x - 1) * 11 + y * 3) % 256))
+      |      + ABS(((d.doc_id * 5 + x * 2 + y * 23) % 256)
+      |          - ((d.doc_id * 5 + (x - 1) * 2 + y * 23) % 256))
+      |      ELSE 0 END) +
+      |    SUM(CASE WHEN y > 0 THEN
+      |        ABS(((d.doc_id * 31 + x * 7 + y * 13) % 256)
+      |          - ((d.doc_id * 31 + x * 7 + (y - 1) * 13) % 256))
+      |      + ABS(((d.doc_id * 17 + x * 11 + y * 3) % 256)
+      |          - ((d.doc_id * 17 + x * 11 + (y - 1) * 3) % 256))
+      |      + ABS(((d.doc_id * 5 + x * 2 + y * 23) % 256)
+      |          - ((d.doc_id * 5 + x * 2 + (y - 1) * 23) % 256))
+      |      ELSE 0 END) AS sharpness
+      |  FROM documents d, range(0, 8) tx(x), range(0, 8) ty(y)
+      |  GROUP BY d.doc_id),
+      |a AS (
+      |  SELECT d.doc_id,
+      |    SUM(CAST((d.doc_id * 7919 + i * 31) % 65536 - 32768 AS BIGINT)
+      |      * ((d.doc_id * 7919 + i * 31) % 65536 - 32768)) AS energy
+      |  FROM documents d, range(0, 800) t(i)
+      |  GROUP BY d.doc_id),
+      |m AS (
+      |  SELECT did AS doc_id, MAX(sad) AS max_sad FROM (
+      |    SELECT d2.doc_id AS did, f,
+      |      SUM(ABS(((d2.doc_id * 13 + f * 29 + x * 7 + y * 3) % 256)
+      |        - ((d2.doc_id * 13 + (f - 1) * 29 + x * 7 + y * 3) % 256))) AS sad
+      |    FROM documents d2, range(1, 6) tf(f),
+      |      range(0, 8) tx(x), range(0, 8) ty(y)
+      |    GROUP BY 1, 2) s
+      |  GROUP BY 1)
+      |SELECT g.doc_id, CAST(g.sharpness AS BIGINT) AS sharpness,
+      |  CAST(a.energy AS BIGINT) AS energy,
+      |  CAST(m.max_sad AS BIGINT) AS max_sad
+      |FROM g JOIN a ON g.doc_id = a.doc_id JOIN m ON g.doc_id = m.doc_id
+      |WHERE g.sharpness >= 1200 AND a.energy >= 200000000000
+      |  AND m.max_sad >= 5000
+      |ORDER BY g.doc_id""".stripMargin))
+
   /** Sampled-frame stats from the REAL video codec path. */
   final case class VideoFrameStats(doc_id: Long, frame_idx: Int,
       ts_ms: Long, mean_luma: Double)
@@ -626,5 +693,6 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodeWav, audioFeatures, decodeY4mQ, motion, imageGradients)
+    decodeWav, audioFeatures, decodeY4mQ, motion, imageGradients,
+    multimodalGate)
 }
