@@ -257,11 +257,19 @@ case class DialectTruncate(left: Expression, right: Expression)
             DecimalType(math.min(38, d.precision - d.scale + v), v))
         case _ => bySign
       }
-    case _ =>
+    case t =>
       // double/float/integer single-arg form: BIGINT truncation toward
-      // zero (LEGACY double->long cast truncates toward zero)
-      Cast(left, LongType, evalMode =
-        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+      // zero (LEGACY double->long cast truncates toward zero). The
+      // reference has NO (DOUBLE, scale) overload — reject instead of
+      // silently dropping the scale.
+      right match {
+        case Literal(v, _) if v != null && v.toString == "0" =>
+          Cast(left, LongType, evalMode =
+            org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+        case _ => throw new IllegalArgumentException(
+          s"No matching function with signature: truncate(${t.sql}, ...)" +
+            " — the scale form takes DECIMAL")
+      }
   }
 
   override protected def withNewChildrenInternal(

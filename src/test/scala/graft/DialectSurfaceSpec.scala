@@ -75,6 +75,16 @@ class DialectSurfaceSpec extends AnyFunSuite {
     assert(r.getDecimal(3).toString === "-123.4")
   }
 
+  test("truncate(double, scale) is rejected — the reference has no such overload") {
+    val e = intercept[Throwable] {
+      one("truncate(cast(1.5 as double), 1) t")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("No matching function")), e.toString)
+  }
+
   test("timestamp_cmp matches expr-test.cc:3577-3584") {
     val r = one(
       """timestamp_cmp('1964-05-04 15:33:45','1966-05-04 15:33:45') c1,
