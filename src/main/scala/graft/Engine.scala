@@ -328,6 +328,13 @@ object Engine {
     case insertTargetRe(t) =>
       insertTargetProvider(spark, t).exists(p =>
         p.equalsIgnoreCase("csv") || p.equalsIgnoreCase("text"))
+    case _ if q.matches("(?is)^create\\s+table\\b[\\s\\S]*\\bas\\s+select[\\s\\S]*") =>
+      // the reference's rejection fires at sink open, which covers CTAS
+      // into a text table just like INSERT
+      "(?is)\\b(?:using|stored\\s+as)\\s+([\\w.]+)".r.findFirstMatchIn(q)
+        .exists(m => m.group(1).equalsIgnoreCase("csv") ||
+          m.group(1).equalsIgnoreCase("text") ||
+          m.group(1).equalsIgnoreCase("textfile"))
     case _ => false
   }
 

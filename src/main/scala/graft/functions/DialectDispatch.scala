@@ -233,13 +233,25 @@ case class CMathLog(left: Expression, right: Expression)
   * branch), doubles take the LEGACY long cast (which truncates toward
   * zero).
   */
-case class DialectTruncate(left: Expression, right: Expression)
+case class DialectTruncate(left: Expression, right: Expression,
+    explicitScale: Boolean = true)
     extends RuntimeReplaceable with BinaryLike[Expression] {
 
   override lazy val replacement: Expression = left.dataType match {
+    // the reference returns NULL for a NULL scale argument
+    case d: DecimalType if isNullLiteral(right) =>
+      Literal(null, d)
     case d: DecimalType =>
       val scale = right match {
-        case Literal(v, _) => Literal(v.toString.toInt)
+        case Literal(v: java.lang.Number, _)
+            if v.longValue() == v.intValue() &&
+              (right.dataType match {
+                case ByteType | ShortType | IntegerType | LongType => true
+                case _ => false }) =>
+          Literal(v.intValue())
+        case Literal(_, _) => throw new IllegalArgumentException(
+          s"No matching function with signature: truncate(${d.sql}, " +
+            s"${right.dataType.sql})")
         case e => Cast(e, IntegerType)
       }
       val bySign = org.apache.spark.sql.catalyst.expressions.If(
@@ -260,16 +272,18 @@ case class DialectTruncate(left: Expression, right: Expression)
     case t =>
       // double/float/integer single-arg form: BIGINT truncation toward
       // zero (LEGACY double->long cast truncates toward zero). The
-      // reference has NO (DOUBLE, scale) overload — reject instead of
-      // silently dropping the scale.
-      right match {
-        case Literal(v, _) if v != null && v.toString == "0" =>
-          Cast(left, LongType, evalMode =
-            org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
-        case _ => throw new IllegalArgumentException(
-          s"No matching function with signature: truncate(${t.sql}, ...)" +
-            " — the scale form takes DECIMAL")
-      }
+      // reference has NO (DOUBLE, scale) overload — any explicitly
+      // written scale argument rejects, even 0.
+      if (explicitScale) throw new IllegalArgumentException(
+        s"No matching function with signature: truncate(${t.sql}, ...)" +
+          " — the scale form takes DECIMAL")
+      Cast(left, LongType, evalMode =
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+  }
+
+  private def isNullLiteral(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case _ => false
   }
 
   override protected def withNewChildrenInternal(
@@ -317,12 +331,14 @@ case class DialectSleep(child: Expression)
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def foldable: Boolean = false
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val ms = child.eval(input)
-    if (ms != null) Thread.sleep(ms.asInstanceOf[Number].longValue())
+    // the reference propagates NULL (utility-functions.cc:104-108)
+    if (ms == null) return null
+    Thread.sleep(math.max(0L, ms.asInstanceOf[Number].longValue()))
     true
   }
 

@@ -304,7 +304,7 @@ object ImpalaFunctions {
     // doubles, DECIMAL(p-s+d, d) for decimals (math-functions.cc
     // Truncate, decimal-functions.cc TruncateTo)
     val truncateBuilder: Seq[Expression] => Expression = {
-      case Seq(e) => DialectTruncate(e, Literal(0))
+      case Seq(e) => DialectTruncate(e, Literal(0), explicitScale = false)
       case Seq(e, d) => DialectTruncate(e, d)
     }
     temp("truncate")(truncateBuilder)

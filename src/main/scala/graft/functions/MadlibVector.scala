@@ -28,6 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MadlibVector {
 
+  /** The reference types vectors as STRING (raw bytes); Spark callers
+    * may hand either a BINARY or a STRING value — accept both.
+    */
+  private[functions] def asBytes(v: Any): Array[Byte] = v match {
+    case s: UTF8String => s.getBytes
+    case b: Array[Byte] => b
+    case null => null
+  }
+
   private[functions] def validate(bytes: Array[Byte]): Unit = {
     if (bytes == null)
       throw new IllegalArgumentException("MADlib vector is null")
@@ -46,17 +55,26 @@ object MadlibVector {
     * stripped, scientific form outside [1e-5, 1e6).
     */
   private[functions] def cppDouble(d: Double): String = {
-    val g = "%.6g".formatLocal(java.util.Locale.ROOT, d)
-    val (mant, exp) =
-      g.indexOf('e') match {
-        case -1 => (g, "")
-        case i => (g.substring(0, i), g.substring(i))
-      }
-    val stripped =
-      if (mant.contains('.'))
-        mant.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else mant
-    stripped + exp
+    // C++ streams print "inf"/"nan"; Java "Infinity"/"NaN"
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0" else "0"
+    // glibc %g rounds the EXACT binary value half-to-even; Java's
+    // Formatter rounds HALF_UP, which diverges on decimal-tie doubles
+    // (e.g. 1234565.0) — go through exact BigDecimal + HALF_EVEN
+    val bd = new java.math.BigDecimal(d).round(
+      new java.math.MathContext(6, java.math.RoundingMode.HALF_EVEN))
+    val exp = bd.precision - bd.scale - 1
+    def strip(x: String): String =
+      if (x.contains('.'))
+        x.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else x
+    if (exp < -4 || exp >= 6) {
+      val mant = strip(bd.movePointLeft(exp).toPlainString)
+      val es = (if (exp < 0) "-" else "+") +
+        "%02d".format(math.abs(exp))
+      mant + "e" + es
+    } else strip(bd.toPlainString)
   }
 }
 
@@ -98,7 +116,10 @@ case class MadlibVectorGet(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def eval(input: InternalRow): Any = {
-    val vec = right.eval(input).asInstanceOf[Array[Byte]]
+    // reference order (udf-builtins.cc VectorGet): validate the vector
+    // first — a malformed/NULL vector errors even when the index is
+    // NULL — then a NULL index returns NULL
+    val vec = MadlibVector.asBytes(right.eval(input))
     MadlibVector.validate(vec)
     val idx = left.eval(input)
     if (idx == null) return null
@@ -122,7 +143,7 @@ case class MadlibEncodeVector(child: Expression)
   override def dataType: DataType = StringType
 
   protected override def nullSafeEval(v: Any): Any = {
-    val vec = v.asInstanceOf[Array[Byte]]
+    val vec = MadlibVector.asBytes(v)
     MadlibVector.validate(vec)
     val n = vec.length / 8
     val out = new Array[Byte](vec.length)
@@ -190,7 +211,7 @@ case class MadlibPrintVector(child: Expression)
   override def dataType: DataType = StringType
 
   protected override def nullSafeEval(v: Any): Any = {
-    val vec = v.asInstanceOf[Array[Byte]]
+    val vec = MadlibVector.asBytes(v)
     MadlibVector.validate(vec)
     val n = vec.length / 8
     val sb = new StringBuilder("<")

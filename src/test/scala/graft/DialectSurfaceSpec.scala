@@ -76,13 +76,40 @@ class DialectSurfaceSpec extends AnyFunSuite {
   }
 
   test("truncate(double, scale) is rejected — the reference has no such overload") {
-    val e = intercept[Throwable] {
-      one("truncate(cast(1.5 as double), 1) t")
-    }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("No matching function")), e.toString)
+    for (scale <- Seq("1", "0")) {
+      val e = intercept[Throwable] {
+        one(s"truncate(cast(1.5 as double), $scale) t")
+      }
+      assert(messages(e).exists(_.contains("No matching function")), e.toString)
+    }
+    // a NULL scale on the decimal form returns NULL (reference
+    // null-propagation), and a fractional scale is a clean signature
+    // error, not a NumberFormatException
+    assert(one("truncate(cast(1.23 as decimal(4,2)), NULL) t").isNullAt(0))
+    val e2 = intercept[Throwable] {
+      one("truncate(cast(1.23 as decimal(4,2)), 1.5) t")
+    }
+    assert(messages(e2).exists(_.contains("No matching function")), e2.toString)
+  }
+
+  test("madlib functions accept STRING vectors; cppDouble ties round half-even") {
+    // ascii-encoded vectors are strings; the get/encode/print side must
+    // accept string input like the reference's StringVal convention
+    val r = one(
+      """madlib_vector_get(0,
+        |  madlib_decode_vector('aaaaaipdaaaaaaaeaaaaaeae')) g,
+        |madlib_print_vector(madlib_vector(1234565.0, 1234567.0)) p""".stripMargin)
+    assert(r.getDouble(0) === 1.0)
+    // 1234565 sits on the 6-significant-digit tie: glibc/C++ rounds
+    // half-to-even (1.23456e+06), not HALF_UP
+    assert(r.getString(1) === "<1.23456e+06, 1.23457e+06>")
+  }
+
+  test("sleep(NULL) propagates NULL like the reference") {
+    assert(one("sleep(cast(NULL as int)) s").isNullAt(0))
   }
 
   test("timestamp_cmp matches expr-test.cc:3577-3584") {
