@@ -277,6 +277,21 @@ object ImpalaFunctions {
     // sleep(ms) -> true after ms milliseconds (utility-functions.cc
     // Sleep; used by the reference's timeout tests)
     temp("sleep") { case Seq(e) => DialectSleep(Cast(e, LongType)) }
+    // from_unixtime with the reference's TimestampValue range guard:
+    // epochs outside years [1400, 9999] return NULL
+    // (timestamp-functions.cc IMPALA-2184 — Spark's native form wraps
+    // the overflow into nonsense years instead)
+    temp("from_unixtime") { args =>
+      val ts = Cast(args.head, LongType)
+      val guarded = org.apache.spark.sql.catalyst.expressions.If(
+        And(GreaterThanOrEqual(ts, Literal(-17987443200L)),
+          LessThanOrEqual(ts, Literal(253402300799L))),
+        ts, Literal(null, LongType))
+      args match {
+        case Seq(_) => FromUnixTime(guarded, Literal("yyyy-MM-dd HH:mm:ss"))
+        case Seq(_, f) => FromUnixTime(guarded, f)
+      }
+    }
 
     // ---- double-math aliases (impala_functions.py:265-298: every
     // math builtin carries a d*/f* alias from the pre-decimal era) ----
