@@ -82,12 +82,12 @@ class QueryOptionsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("Invalid compression codec: bar"))
   }
 
-  test("APPX_COUNT_DISTINCT rewrites count(distinct) to ndv") {
+  test("APPX_COUNT_DISTINCT rewrites count(distinct) to ndv_hll") {
     sql("set appx_count_distinct=1")
     try {
       val est = sql("select count(distinct l_partkey) c from lineitem")
         .collect()(0).getLong(0)
-      val direct = sql("select ndv(l_partkey) c from lineitem")
+      val direct = sql("select ndv_hll(l_partkey) c from lineitem")
         .collect()(0).getLong(0)
       assert(est == direct)
       // multi-argument count(distinct a, b) is untouched (the reference
