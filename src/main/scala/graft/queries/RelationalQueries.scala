@@ -444,16 +444,22 @@ object RelationalQueries {
     // sorted sample IS the state), so the equi-height boundary string
     // — sorted[(b+1)*spb - 1] per bucket, HistogramFinalize's exact
     // arithmetic — is deterministic and DuckDB-mirrorable over an
-    // integer column at the driver SFs
+    // integer column. The input is a deterministic 15k-row prefix
+    // (ORDER BY the unique key + LIMIT) so the exactness claim holds
+    // at EVERY SF, not just below the cap's row count.
     Q("agg_histogram",
       (s, d) => {
         Engine.configure(s)
         Engine.register(s, d)
-        s.sql("select histogram(o_custkey) as hist from orders")
+        s.sql("""select histogram(o_custkey) as hist from
+          |(select o_custkey from orders order by o_orderkey limit 15000) o
+          |""".stripMargin)
       },
-      Some("""WITH o AS (SELECT o_custkey v,
+      Some("""WITH base AS (SELECT o_custkey FROM orders
+        |    ORDER BY o_orderkey LIMIT 15000),
+        |o AS (SELECT o_custkey v,
         |    ROW_NUMBER() OVER (ORDER BY o_custkey) rn,
-        |    COUNT(*) OVER () n FROM orders)
+        |    COUNT(*) OVER () n FROM base)
         |SELECT STRING_AGG(CAST(v AS VARCHAR), ', ' ORDER BY rn) AS hist
         |FROM o WHERE rn % GREATEST(n // 100, 1) = 0
         |  AND rn / GREATEST(n // 100, 1) <= LEAST(n, 100)""".stripMargin)),
