@@ -32,10 +32,23 @@ object Bench {
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line JSON short enough to
+    // survive tail-truncating stdout captures; the full-precision copy
+    // goes to BENCH_FULL.json so round-over-round diffs are mechanical.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -243,15 +243,25 @@ case class DialectTruncate(left: Expression, right: Expression,
       Literal(null, d)
     case d: DecimalType =>
       val scale = right match {
+        // the reference registers (DECIMAL, TINYINT/SMALLINT/INT/BIGINT)
+        // overloads (decimal-functions.cc:102-121) and narrows the int64
+        // scale; any effective scale beyond the DECIMAL range saturates
+        // downstream, so clamping the literal to Int range is exact
         case Literal(v: java.lang.Number, _)
-            if v.longValue() == v.intValue() &&
-              (right.dataType match {
-                case ByteType | ShortType | IntegerType | LongType => true
-                case _ => false }) =>
-          Literal(v.intValue())
+            if (right.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false }) =>
+          Literal(math.max(Int.MinValue.toLong,
+            math.min(Int.MaxValue.toLong, v.longValue())).toInt)
         case Literal(_, _) => throw new IllegalArgumentException(
           s"No matching function with signature: truncate(${d.sql}, " +
             s"${right.dataType.sql})")
+        // RoundFloor/RoundCeil need a foldable scale (the result TYPE
+        // depends on it) — surface the dialect signature error rather
+        // than Spark's internal non-foldable analysis error
+        case e if !e.foldable => throw new IllegalArgumentException(
+          s"No matching function with signature: truncate(${d.sql}, " +
+            s"${right.dataType.sql}) — scale must be a constant")
         case e => Cast(e, IntegerType)
       }
       val bySign = org.apache.spark.sql.catalyst.expressions.If(

@@ -136,6 +136,11 @@ case class MadlibVectorGet(left: Expression, right: Expression)
 /** madlib_encode_vector(vector) -> printable ascii (STRING): each
   * double narrows to float, whose 4 bytes spread across 8 chars
   * 'a'+nibble, low nibble first (udf-builtins.cc InplaceDoubleEncode).
+  *
+  * Unlike get/length, the reference's EncodeVector
+  * (udf-builtins.cc:551-559) does NOT length-validate: it encodes
+  * floor(len/8) doubles and copies any trailing remainder bytes
+  * through raw — matched here.
   */
 case class MadlibEncodeVector(child: Expression)
     extends UnaryExpression with CodegenFallback with UnaryLike[Expression] {
@@ -144,7 +149,6 @@ case class MadlibEncodeVector(child: Expression)
 
   protected override def nullSafeEval(v: Any): Any = {
     val vec = MadlibVector.asBytes(v)
-    MadlibVector.validate(vec)
     val n = vec.length / 8
     val out = new Array[Byte](vec.length)
     var i = 0
@@ -158,6 +162,7 @@ case class MadlibEncodeVector(child: Expression)
       }
       i += 1
     }
+    System.arraycopy(vec, n * 8, out, n * 8, vec.length - n * 8)
     UTF8String.fromBytes(out)
   }
 
@@ -168,6 +173,13 @@ case class MadlibEncodeVector(child: Expression)
 
 /** madlib_decode_vector(ascii) -> vector (BINARY): the inverse of the
   * encoding; precision beyond float is lost, as in the reference.
+  *
+  * Like encode, the reference's DecodeVector (udf-builtins.cc:561-567)
+  * does not length-validate. INTENTIONAL DIVERGENCE on a non-multiple-
+  * of-8 tail: InplaceDoubleDecode there writes a full 8-byte double
+  * into the partial last group — an out-of-bounds write (C++ UB), not
+  * reproducible semantics. We decode full 8-byte groups and copy the
+  * remainder bytes through raw.
   */
 case class MadlibDecodeVector(child: Expression)
     extends UnaryExpression with CodegenFallback with UnaryLike[Expression] {
@@ -179,7 +191,6 @@ case class MadlibDecodeVector(child: Expression)
       case s: UTF8String => s.getBytes
       case b: Array[Byte] => b
     }
-    MadlibVector.validate(in)
     val n = in.length / 8
     val buf = java.nio.ByteBuffer.allocate(in.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -194,6 +205,7 @@ case class MadlibDecodeVector(child: Expression)
       buf.putDouble(java.lang.Float.intBitsToFloat(bits).toDouble)
       i += 1
     }
+    buf.put(in, n * 8, in.length - n * 8)
     buf.array()
   }
 

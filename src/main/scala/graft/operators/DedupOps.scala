@@ -440,13 +440,13 @@ object DedupOps {
       val candidates = probed.filter(hit)
         .select(col("doc_id"), md5(col("text")).as("ch"))
       val snapHashes = snap.select(md5(col("text")).as("sch")).distinct()
-      val confirmedDup = candidates
-        .join(snapHashes, col("ch") === col("sch"), "left_semi")
-        .select(col("doc_id"), lit(true).as("is_dup"))
-      val falsePositive = candidates
-        .join(snapHashes, col("ch") === col("sch"), "left_anti")
-        .select(col("doc_id"), lit(false).as("is_dup"))
-      definiteNew.union(confirmedDup).union(falsePositive)
+      // ONE left_outer join resolves both outcomes (dup vs bloom false
+      // positive) — a semi+anti pair would evaluate the probe subtree
+      // twice (r7 verdict: 2.45x regression from exactly that shape).
+      val resolved = candidates
+        .join(snapHashes, col("ch") === col("sch"), "left_outer")
+        .select(col("doc_id"), col("sch").isNotNull.as("is_dup"))
+      definiteNew.union(resolved)
         .orderBy(col("doc_id"))
     },
     Some("""SELECT b.doc_id, (s.h IS NOT NULL) AS is_dup
