@@ -56,11 +56,13 @@ object MultimodalOps {
     * everything else falls back to the stub.
     */
   def decodeAny(payload: Array[Byte]): (String, Int, Int, Array[Float]) =
-    RawImage.sniff(payload) match {
-      case fmt @ ("image/ppm" | "image/bmp") =>
-        val img =
-          if (fmt == "image/ppm") RawImage.decodePpm(payload)
-          else RawImage.decodeBmp(payload)
+    (if (RawPng.sniff(payload)) "image/png" else RawImage.sniff(payload)) match {
+      case fmt @ ("image/ppm" | "image/bmp" | "image/png") =>
+        val img = fmt match {
+          case "image/ppm" => RawImage.decodePpm(payload)
+          case "image/bmp" => RawImage.decodeBmp(payload)
+          case _ => RawPng.decode(payload)
+        }
         val feat = new Array[Float](8)
         val n = img.width * img.height
         var i = 0
@@ -388,6 +390,66 @@ object MultimodalOps {
       |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic PNG payload: the [[ppmPayload]] pixel formula run
+    * through the real zlib+filter encoder (filters cycle by row, so
+    * decoding exercises all five reconstruction paths).
+    */
+  def pngPayload(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        rgb(i) = ((docId * 31 + x * 7 + y * 13) % 256).toByte
+        rgb(i + 1) = ((docId * 17 + x * 11 + y * 3) % 256).toByte
+        rgb(i + 2) = ((docId * 5 + x * 2 + y * 23) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    RawPng.encode(RawImage.Image(w, h, rgb))
+  }
+
+  /** REAL compressed decode, oracle-checked end to end: encode an 8x8
+    * PNG per document (zlib deflate + per-row filters 0-4), sniff +
+    * decode through [[RawPng]] (Inflater + filter reconstruction + CRC
+    * verify), resize, per-channel means. The oracle recomputes the
+    * means from the pixel formula, so any chunk-, zlib-, filter- or
+    * raster-level bug hash-fails. This is the one compressed codec
+    * decodable with JDK-only parts; JPEG/WebP stay stubbed.
+    */
+  val decodePng: Q = Q("multimodal_decode_png",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val payload = pngPayload(id, 8, 8)
+          val (fmt, w, h, _) = decodeAny(payload)
+          require(fmt == "image/png", s"sniff routed $fmt")
+          val img = RawPng.decode(payload)
+          val small = RawImage.resizeNearest(img, 4, 4)
+          val (mr, mg, mb) = RawImage.meanRgb(small)
+          DecodedStats(id, fmt, w, h, small.width, small.height, mr, mg, mb)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id,
+      |  'image/png' AS format,
+      |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh,
+      |  SUM((d.doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256) / 16.0
+      |    AS mean_r,
+      |  SUM((d.doc_id * 17 + (2 * x) * 11 + (2 * y) * 3) % 256) / 16.0
+      |    AS mean_g,
+      |  SUM((d.doc_id * 5 + (2 * x) * 2 + (2 * y) * 23) % 256) / 16.0
+      |    AS mean_b
+      |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
+
   /** Decoded audio stats from the REAL WAV codec path. */
   final case class AudioStats(doc_id: Long, format: String,
       sample_rate: Int, channels: Int, n_samples: Int, duration_ms: Int,
@@ -693,6 +755,6 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodeWav, audioFeatures, decodeY4mQ, motion, imageGradients,
-    multimodalGate)
+    decodePng, decodeWav, audioFeatures, decodeY4mQ, motion,
+    imageGradients, multimodalGate)
 }

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Synthetic scale sweep: multiply the driver corpus N x with id offsets.
+
+The r7 verdict's standing gate: cap-class claims (reservoir exactness,
+DF caps, bucket-histogram cutoffs) must be exercised BEYOND their caps,
+not just at the driver SFs. This writes <out>/ as a full testdata dir
+where documents/embeddings/orders/lineitem are replicated N times:
+
+  - documents: doc_id += k*100_000_000, text IDENTICAL across replicas
+    (maximal DF-cap / dup-candidate stress; planted-twin offsets at
+    +10_000_000 stay collision-free).
+  - embeddings: vec_id += k*100_000_000, embedding[0] += k*1e-3 (breaks
+    cross-replica score ties; within-replica planted twins stay exact).
+  - orders/lineitem: orderkey += k*10_000_000 (joins preserved).
+  - everything else copied verbatim (events keeps TIMESTAMP(NANOS)).
+
+Usage: gen_scale_sweep.py <srcSfDir> <outDir> [N=10]
+"""
+import shutil, sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+COPY = ["region", "nation", "customer", "supplier", "part", "events"]
+
+
+def replicate(src, out, table, n, key_col, key_off, perturb=None):
+    t = pq.read_table(f"{src}/{table}.parquet")
+    parts = []
+    for k in range(n):
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if name == key_col:
+                col = pc.add(col, pa.scalar(k * key_off, type=col.type))
+            elif perturb is not None and name == perturb and k > 0:
+                # bump element 0 of each float-list by k*1e-3 in float32
+                vals = col.to_pylist()
+                for v in vals:
+                    if v:
+                        import struct
+                        v[0] = struct.unpack(
+                            "f", struct.pack("f", v[0] + k * 1e-3))[0]
+                col = pa.array(vals, type=col.type)
+            cols[name] = col
+        parts.append(pa.table(cols, schema=t.schema))
+    big = pa.concat_tables(parts)
+    pq.write_table(big, f"{out}/{table}.parquet")
+    print(f"{table}: {t.num_rows} -> {big.num_rows}")
+
+
+def main():
+    src, out = sys.argv[1], sys.argv[2]
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    for t in COPY:
+        shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    replicate(src, out, "documents", n, "doc_id", 100_000_000)
+    replicate(src, out, "embeddings", n, "vec_id", 100_000_000,
+              perturb="embedding")
+    replicate(src, out, "orders", n, "o_orderkey", 10_000_000)
+    replicate(src, out, "lineitem", n, "l_orderkey", 10_000_000)
+
+
+if __name__ == "__main__":
+    main()
