@@ -1,0 +1,141 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Failure-injection analog of the reference's fail-point suite
+  * (tests/test_failpoints.py, TDebugAction/TExecNodePhase,
+  * common/thrift/PlanNodes.thrift:50-64): the reference kills plan
+  * nodes at PREPARE/OPEN/GETNEXT and asserts queries fail cleanly or
+  * succeed on retry. Spark's unit of retry is the task, so the analog
+  * injects mid-query task kills (killTaskAttempt reschedules without
+  * counting toward spark.task.maxFailures, which is 1 in local mode)
+  * and asserts exactly-once sinks and unchanged query results.
+  */
+class FaultToleranceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Arm a one-shot task killer. `stage` picks the victim: "first"
+    * kills the first task to start after arming (the scan/map stage),
+    * "later" waits for a task from any LATER stage (post-shuffle).
+    * Returns the number of kills actually delivered.
+    */
+  private def withTaskKill(stage: String)(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val killed = new AtomicInteger(0)
+    val armed = new AtomicBoolean(true)
+    val firstStage = new AtomicLong(-1L)
+    val listener = new SparkListener {
+      override def onTaskStart(t: SparkListenerTaskStart): Unit = {
+        if (!armed.get()) return
+        firstStage.compareAndSet(-1L, t.stageId.toLong)
+        val isVictim = stage match {
+          case "first" => true
+          case "later" => t.stageId.toLong > firstStage.get()
+        }
+        if (isVictim && armed.compareAndSet(true, false)) {
+          // the task has started per the event; deliver the kill, with
+          // a few retries in case the executor thread isn't registered
+          // in the scheduler's running set yet
+          var ok = false
+          var tries = 0
+          while (!ok && tries < 20) {
+            ok = try {
+              sc.killTaskAttempt(t.taskInfo.taskId, interruptThread = false,
+                reason = "fault-injection: FaultToleranceSpec")
+            } catch { case _: Throwable => false }
+            if (!ok) { Thread.sleep(20); tries += 1 }
+          }
+          if (ok) killed.incrementAndGet()
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    try body finally sc.removeSparkListener(listener)
+    killed.get()
+  }
+
+  /** A deterministic dataframe whose tasks are slow enough for the kill
+    * to land mid-flight (sleep(1) blocks ~1ms per row, dialect builtin).
+    */
+  private def slowDf(n: Int, parts: Int) = {
+    Engine.configure(spark)
+    spark.range(0, n, 1, parts)
+      .filter(expr("sleep(1)"))
+      .select(col("id"), (col("id") % 97).as("k"),
+        (col("id") * 31 % 1000).as("v"))
+  }
+
+  test("task killed mid parquet INSERT OVERWRITE: exactly-once output") {
+    val dir = java.nio.file.Files.createTempDirectory("ft_sink").toString
+    val expected = (0L until 2000L).map(id => (id, id % 97, id * 31 % 1000))
+    val kills = withTaskKill("first") {
+      slowDf(2000, 8).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    assert(kills == 1, "fault was not injected")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // the killed attempt's files must not be committed: no dups, no gaps
+    assert(got == expected)
+  }
+
+  test("map task killed mid shuffle: aggregation result unchanged") {
+    val clean = slowDf(0, 1).sparkSession
+      .range(0, 2000).select((col("id") % 97).as("k"),
+        (col("id") * 31 % 1000).as("v"))
+      .groupBy("k").agg(sum("v").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    var got: Seq[(Long, Long)] = Nil
+    val kills = withTaskKill("first") {
+      got = slowDf(2000, 8).groupBy("k").agg(sum("v").as("s")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(kills == 1, "fault was not injected")
+    assert(got == clean)
+  }
+
+  test("reduce task killed post-shuffle: result unchanged on retry") {
+    val clean = spark.range(0, 2000).select((col("id") % 97).as("k"),
+        (col("id") * 31 % 1000).as("v"))
+      .groupBy("k").agg(sum("v").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    var got: Seq[(Long, Long)] = Nil
+    val kills = withTaskKill("later") {
+      // sleep on the REDUCE side so the post-shuffle task is slow
+      got = spark.range(0, 2000, 1, 8)
+        .select((col("id") % 97).as("k"), (col("id") * 31 % 1000).as("v"))
+        .groupBy("k").agg(sum("v").as("s"))
+        .filter(expr("sleep(1)"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(kills == 1, "fault was not injected")
+    assert(got == clean)
+  }
+
+  test("task killed mid KV-sink write: idempotent keyed puts converge") {
+    import graft.sources.KvStore
+    val table = "ft_kv"
+    KvStore.drop(table)
+    val kills = withTaskKill("first") {
+      slowDf(1000, 8)
+        .select(col("id").as("key"), (col("v") * 1.0).as("val"),
+          concat(lit("t"), col("k")).as("tag"))
+        .write.format("graft.sources.KvStoreSink")
+        .option("table", table).mode(SaveMode.Append).save()
+    }
+    assert(kills == 1, "fault was not injected")
+    val m = KvStore.table(table)
+    assert(m.size() == 1000)
+    for (id <- 0L until 1000L) {
+      val cell = m.get(id)
+      assert(cell != null && cell.v == (id * 31 % 1000).toDouble &&
+        cell.tag == s"t${id % 97}")
+    }
+    KvStore.drop(table)
+  }
+}
