@@ -466,31 +466,44 @@ object RelationalQueries {
     // sample() emits its reservoir in arrival order (unspecified, as in
     // the reference); below the cap the CONTENT is the full column, so
     // sorting the rendered list makes the collection semantics
-    // driver-checkable without constraining the order the agg emits
+    // driver-checkable without constraining the order the agg emits.
+    // Fed a deterministic 15k prefix (agg_histogram's recipe) so the
+    // exactness claim is SF-proof — the r8 10x sweep caught the full
+    // column exceeding the 20k cap and degrading to a true sample.
     Q("agg_sample",
       (s, d) => {
         Engine.configure(s)
         Engine.register(s, d)
         s.sql("""select array_join(array_sort(split(sample(lang), ', ')), ', ')
-          |  as langs from documents""".stripMargin)
+          |  as langs from
+          |(select lang from documents order by doc_id limit 15000) d
+          |""".stripMargin)
       },
-      Some("""SELECT STRING_AGG(lang, ', ' ORDER BY lang) AS langs
-        |FROM documents""".stripMargin)),
+      Some("""SELECT STRING_AGG(lang, ', ' ORDER BY lang) AS langs FROM
+        |(SELECT lang FROM documents ORDER BY doc_id LIMIT 15000) d"""
+        .stripMargin)),
+    // Fed the deterministic 15k prefix so every per-source group stays
+    // under the 20k reservoir cap (exact median) at EVERY SF — the r8
+    // sweep showed the full column passes at 10x only because the
+    // per-source split keeps groups ~10k; a bigger corpus would break it.
     Q("agg_appx_median",
       (s, d) => t(s, d, "documents")
+        .orderBy(col("doc_id")).limit(15000)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           expr("appx_median(lang)").as("med_lang"),
           expr("appx_median(n_chars)").as("med_chars"))
         .orderBy(col("source")),
-      Some("""WITH g AS (SELECT source, COUNT(*) c FROM documents GROUP BY source),
+      Some("""WITH documents_p AS (SELECT * FROM documents
+        |  ORDER BY doc_id LIMIT 15000),
+        |g AS (SELECT source, COUNT(*) c FROM documents_p GROUP BY source),
         |rl AS (SELECT source, lang,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang) - 1 rn
-        |  FROM documents),
+        |  FROM documents_p),
         |rc AS (SELECT source, n_chars,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) - 1 rn
-        |  FROM documents)
+        |  FROM documents_p)
         |SELECT g.source, CAST(g.c AS BIGINT) AS n_docs,
         |  (SELECT lang FROM rl WHERE rl.source = g.source AND rl.rn = g.c // 2)
         |    AS med_lang,

@@ -4,6 +4,7 @@ import graft.{Det, Engine, Q}
 import graft.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Second TPC-H batch: q7/q8/q9/q15/q17/q21 adapted to the testdata
   * schema (no partsupp; q2/q11/q16/q20 need it and stay out of scope).
@@ -18,8 +19,11 @@ object Tpch2Queries {
     Engine.table(s, d, n)
   }
 
-  private def volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-  private val oVol = "l_extendedprice * (1.0 - l_discount)"
+  // exact-decimal product chain (Det policy, r8 sweep): factors cast to
+  // decimal BEFORE multiplying so both engines compute identical exact
+  // decimals at any scale factor
+  private def volume = dmoney(col("l_extendedprice")) * oneMinus(col("l_discount"))
+  private val oVol = s"${oMoney("l_extendedprice")} * ${oOneMinus("l_discount")}"
 
   val defs: Seq[Q] = Seq(
 
@@ -44,12 +48,12 @@ object Tpch2Queries {
             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
-          .agg(dsum6(volume).as("revenue"))
+          .agg(dsumx(volume).as("revenue"))
           .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       },
       Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(YEAR(l_shipdate) AS INT) AS l_year,
-        |  ${oSum6(oVol)} AS revenue
+        |  ${oSumX(oVol)} AS revenue
         |FROM supplier
         |JOIN lineitem ON s_suppkey = l_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -83,13 +87,14 @@ object Tpch2Queries {
             lit("1996-01-01").cast("timestamp_ntz"),
             lit("1997-12-31").cast("timestamp_ntz")))
         base.groupBy(year(col("o_orderdate")).as("o_year"))
-          .agg((dsum6(when(col("supp_nation") === "NATION_3", volume)
-              .otherwise(lit(0.0))) / dsum6(volume)).as("mkt_share"))
+          .agg((dsumx(when(col("supp_nation") === "NATION_3", volume)
+              .otherwise(lit(0).cast(DecimalType(18, 4))))
+            / dsumx(volume)).as("mkt_share"))
           .orderBy(col("o_year"))
       },
       Some(s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-        |  ${oSum6(s"CASE WHEN n2.n_name = 'NATION_3' THEN $oVol ELSE 0.0 END")} /
-        |  ${oSum6(oVol)} AS mkt_share
+        |  ${oSumX(s"CASE WHEN n2.n_name = 'NATION_3' THEN $oVol ELSE CAST(0 AS DECIMAL(18,4)) END")} /
+        |  ${oSumX(oVol)} AS mkt_share
         |FROM part
         |JOIN lineitem ON p_partkey = l_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -116,12 +121,12 @@ object Tpch2Queries {
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(nat), col("s_nationkey") === col("nk"))
           .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
-          .agg(dsum6(volume).as("sum_profit"))
+          .agg(dsumx(volume).as("sum_profit"))
           .orderBy(col("nation"), col("o_year").desc)
       },
       Some(s"""SELECT n_name AS nation,
         |  CAST(YEAR(o_orderdate) AS INT) AS o_year,
-        |  ${oSum6(oVol)} AS sum_profit
+        |  ${oSumX(oVol)} AS sum_profit
         |FROM part
         |JOIN lineitem ON p_partkey = l_partkey
         |JOIN supplier ON l_suppkey = s_suppkey

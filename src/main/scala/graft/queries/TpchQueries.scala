@@ -21,6 +21,17 @@ object TpchQueries {
     Engine.table(s, d, n)
   }
 
+  // exact-decimal product chain (Det policy, r8 sweep): each 2dp factor
+  // casts to decimal BEFORE the multiply, so the products are exact and
+  // engine-identical at any scale factor (double products cast to
+  // decimal hit rounding-tie divergence at ~1e-6/row rates)
+  private def discPrice =
+    dmoney(col("l_extendedprice")) * oneMinus(col("l_discount"))
+  private def charge = discPrice * onePlus(col("l_tax"))
+  private val oDisc =
+    s"${oMoney("l_extendedprice")} * ${oOneMinus("l_discount")}"
+  private val oCharge = s"$oDisc * ${oOnePlus("l_tax")}"
+
   val defs: Seq[Q] = Seq(
 
     // Q1: pricing summary report — scan + filter + hash agg + sort.
@@ -32,10 +43,8 @@ object TpchQueries {
           .agg(
             dsum2(col("l_quantity")).as("sum_qty"),
             dsum2(col("l_extendedprice")).as("sum_base_price"),
-            dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .as("sum_disc_price"),
-            dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-              * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            dsumx(discPrice).as("sum_disc_price"),
+            dsumx(charge).as("sum_charge"),
             davg2(col("l_quantity")).as("avg_qty"),
             davg2(col("l_extendedprice")).as("avg_price"),
             davg6(col("l_discount")).as("avg_disc"),
@@ -45,8 +54,8 @@ object TpchQueries {
       Some(s"""SELECT l_returnflag, l_linestatus,
         |  ${oSum2("l_quantity")} AS sum_qty,
         |  ${oSum2("l_extendedprice")} AS sum_base_price,
-        |  ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-        |  ${oSum6("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        |  ${oSumX(oDisc)} AS sum_disc_price,
+        |  ${oSumX(oCharge)} AS sum_charge,
         |  ${oAvg2("l_quantity")} AS avg_qty,
         |  ${oAvg2("l_extendedprice")} AS avg_price,
         |  ${oAvg6("l_discount")} AS avg_disc,
@@ -67,13 +76,12 @@ object TpchQueries {
         cust.join(ord, col("c_custkey") === col("o_custkey"))
           .join(li, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+          .agg(dsumx(discPrice).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
           .limit(10)
       },
       Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |  ${oSumX(oDisc)} AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -124,12 +132,11 @@ object TpchQueries {
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+          .agg(dsumx(discPrice).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some(s"""SELECT n_name,
-        |  ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |  ${oSumX(oDisc)} AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -149,8 +156,8 @@ object TpchQueries {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
           col("l_discount").between(0.03, 0.07) &&
           col("l_quantity") < 24)
-        .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue")),
-      Some(s"""SELECT ${oSum6("l_extendedprice * l_discount")} AS revenue
+        .agg(dsumx(dmoney(col("l_extendedprice")) * drate(col("l_discount"))).as("revenue")),
+      Some(s"""SELECT ${oSumX(s"${oMoney("l_extendedprice")} * ${oRate("l_discount")}")} AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -170,13 +177,12 @@ object TpchQueries {
           .join(li, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-          .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+          .agg(dsumx(discPrice).as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
       },
       Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
-        |  ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |  ${oSumX(oDisc)} AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -242,15 +248,14 @@ object TpchQueries {
         val part = t(s, d, "part")
         li.join(part, col("l_partkey") === col("p_partkey"))
           .agg((lit(100.0) * (
-            dsum6(when(col("p_type") === "PROMO",
-              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .otherwise(lit(0.0))) /
-            dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+            dsumx(when(col("p_type") === "PROMO", discPrice)
+              .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4)))) /
+            dsumx(discPrice)))
             .as("promo_revenue"))
       },
       Some(s"""SELECT 100.0 * (
-        |  ${oSum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
-        |  ${oSum6("l_extendedprice * (1.0 - l_discount)")}) AS promo_revenue
+        |  ${oSumX(s"CASE WHEN p_type = 'PROMO' THEN $oDisc ELSE CAST(0 AS DECIMAL(18,4)) END")} /
+        |  ${oSumX(oDisc)}) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)),
@@ -296,10 +301,9 @@ object TpchQueries {
             (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
               col("l_quantity").between(10, 20)) ||
             (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30))))
-          .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+          .agg(dsumx(discPrice).as("revenue"))
       },
-      Some(s"""SELECT ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      Some(s"""SELECT ${oSumX(oDisc)} AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity BETWEEN 1 AND 11)
