@@ -95,8 +95,15 @@ object Engine {
       if (!spark.experimental.extraOptimizations
           .contains(graft.plans.SemiJoinBuildDedup)) {
         spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+
-            graft.plans.SemiJoinBuildDedup
+          spark.experimental.extraOptimizations ++ Seq(
+            graft.plans.SemiJoinBuildDedup,
+            // IN-subquery literal transfer (ValueTransferGraph parity):
+            // must run after RewriteSubquery, which is why Spark's own
+            // constraint inference misses it — see
+            // plans/SemiJoinValueTransfer. PushDownPredicates sinks the
+            // new filters into the scans within the same batch.
+            graft.plans.SemiJoinValueTransfer,
+            org.apache.spark.sql.catalyst.optimizer.PushDownPredicates)
       }
     }
   }

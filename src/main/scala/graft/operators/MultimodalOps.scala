@@ -117,13 +117,40 @@ object MultimodalOps {
     }
   }
 
+  /** REAL resize for every decodable format: PPM/BMP/PNG payloads
+    * decode, nearest-resample and re-encode in their own format
+    * (binary->binary, executor-side); opaque payloads keep the stub.
+    * BMP re-encodes as PPM (the engine has no BMP writer — the raster
+    * is what downstream stages consume).
+    */
+  def resizeReal(payload: Array[Byte], targetW: Int,
+      targetH: Int): Array[Byte] =
+    try {
+      if (RawPng.sniff(payload))
+        RawPng.encode(RawImage.resizeNearest(RawPng.decode(payload), targetW, targetH))
+      else RawImage.sniff(payload) match {
+        case "image/ppm" =>
+          RawImage.encodePpm(RawImage.resizeNearest(
+            RawImage.decodePpm(payload), targetW, targetH))
+        case "image/bmp" =>
+          RawImage.encodePpm(RawImage.resizeNearest(
+            RawImage.decodeBmp(payload), targetW, targetH))
+        case _ => resizeStub(payload, targetW, targetH)
+      }
+    } catch {
+      // a payload wearing an image magic but malformed inside falls
+      // back to the stub — the operator-level analog of the scan
+      // layer's corrupt-file continue-on-error policy
+      case _: Exception => resizeStub(payload, targetW, targetH)
+    }
+
   def resize(media: org.apache.spark.sql.Dataset[MediaRow],
       targetW: Int, targetH: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         ResizedMedia(r.doc_id, targetW, targetH,
-          resizeStub(r.payload, targetW, targetH))
+          resizeReal(r.payload, targetW, targetH))
       }
     }.toDF()
   }

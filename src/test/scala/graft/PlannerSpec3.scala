@@ -78,19 +78,21 @@ class PlannerSpec3 extends AnyFunSuite {
 
   test("runtime-filter-propagation.test:463-482 — a semi-join literal equivalence reaches the probe scan") {
     // semi joins generate runtime filters in the reference; the
-    // statically-decidable analog: a literal equivalence in a DIRECT
-    // left-semi ON clause transfers to the probe scan. (The IN-subquery
-    // spelling misses this in Spark — RewritePredicateSubquery runs
-    // after InferFiltersFromConstraints — so the dialect semi-join
-    // syntax is the shape that pins the value transfer.)
-    val p = physical(sql(
+    // statically-decidable analog is the ValueTransferGraph carrying a
+    // literal equivalence through the semi join onto the OUTER scan.
+    // Spark alone misses the IN-subquery spelling
+    // (RewritePredicateSubquery runs after InferFiltersFromConstraints)
+    // — the engine's SemiJoinValueTransfer rule closes that gap, so
+    // BOTH spellings must push the literal to the probe scan.
+    for (q <- Seq(
       """select count(*) from orders o left semi join customer c
-        |on o.o_custkey = c.c_custkey and c.c_custkey = 421""".stripMargin))
-    assert(p.contains("EqualTo(c_custkey,421)"), p)
-    if (!p.contains("EqualTo(o_custkey,421)")) {
-      // value transfer absent: the fallback decision that still keeps
-      // the probe from shuffling unfiltered is the broadcast semi join
-      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+        |on o.o_custkey = c.c_custkey and c.c_custkey = 421""".stripMargin,
+      """select count(*) from orders o
+        |where o.o_custkey in (select c_custkey from customer
+        |                      where c_custkey = 421)""".stripMargin)) {
+      val p = physical(sql(q))
+      assert(p.contains("EqualTo(c_custkey,421)"), p)
+      assert(p.contains("EqualTo(o_custkey,421)"), p)
     }
   }
 

@@ -111,4 +111,20 @@ class RawPngSpec extends AnyFunSuite {
     val b = RawImage.meanRgb(RawImage.decodePpm(MultimodalOps.ppmPayload(7L, 8, 8)))
     assert(a == b)
   }
+
+  test("pipeline resize transcodes PNG -> PNG through the real scaler") {
+    val payload = MultimodalOps.pngPayload(11L, 8, 8)
+    val out = MultimodalOps.resizeReal(payload, 4, 4)
+    assert(RawPng.sniff(out))
+    val img = RawPng.decode(out)
+    assert(img.width == 4 && img.height == 4)
+    val expect = RawImage.resizeNearest(RawPng.decode(payload), 4, 4)
+    assert(img.rgb.toSeq == expect.rgb.toSeq)
+  }
+
+  test("pipeline resize falls back to the stub on malformed image magic") {
+    val fake = "P6 garbage that is not a ppm at all".getBytes("US-ASCII")
+    val out = MultimodalOps.resizeReal(fake, 8, 8)
+    assert(out.toSeq == MultimodalOps.resizeStub(fake, 8, 8).toSeq)
+  }
 }
