@@ -162,21 +162,36 @@ object MultimodalOps {
       ts_ms: Long,
       frame: Array[Byte])
 
-  /** STUB frame sampling: treat the payload as a fixed-rate byte stream
-    * and emit every k-th "frame" slice with its timestamp. Real pipeline
-    * shape: one input row fans out to n frame rows (iterator flatMap, no
-    * buffering), codec init once per partition.
+  /** Frame sampling: Y4M payloads route through the REAL stream codec
+    * (every k-th decoded luma plane, timestamps from the header's fps);
+    * opaque payloads keep the fixed-rate byte-slice stub. One input row
+    * fans out to n frame rows (iterator flatMap, no buffering), codec
+    * init once per partition.
     */
   def sampleFrames(media: org.apache.spark.sql.Dataset[MediaRow],
       frameBytes: Int, everyNth: Int, fps: Double = 30.0): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val nFrames = r.payload.length / frameBytes
-        (0 until nFrames by everyNth).iterator.map { f =>
-          Frame(r.doc_id, f, (f * 1000 / fps).toLong,
-            java.util.Arrays.copyOfRange(
-              r.payload, f * frameBytes, (f + 1) * frameBytes))
+        if (RawVideo.sniff(r.payload) == "video/y4m") {
+          try {
+            val v = RawVideo.decodeY4m(r.payload)
+            val realFps =
+              if (v.fpsDen > 0) v.fpsNum.toDouble / v.fpsDen else fps
+            v.frames.iterator.filter(_.index % everyNth == 0).map { f =>
+              Frame(r.doc_id, f.index, (f.index * 1000 / realFps).toLong,
+                f.luma)
+            }
+          } catch {
+            case _: Exception => Iterator.empty // corrupt stream: skip row
+          }
+        } else {
+          val nFrames = r.payload.length / frameBytes
+          (0 until nFrames by everyNth).iterator.map { f =>
+            Frame(r.doc_id, f, (f * 1000 / fps).toLong,
+              java.util.Arrays.copyOfRange(
+                r.payload, f * frameBytes, (f + 1) * frameBytes))
+          }
         }
       }
     }.toDF()

@@ -44,4 +44,18 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(snap() === snap())
   }
+
+  test("Y4M payloads route through the real stream codec in sampleFrames") {
+    import spark.implicits._
+    import graft.operators.{MultimodalOps, RawVideo}
+    val payload = MultimodalOps.y4mPayload(3L, 6, 8, 8)
+    val media = Seq(MultimodalOps.MediaRow(3L, payload)).toDS()
+    val rows = MultimodalOps.sampleFrames(media, frameBytes = 256, everyNth = 2)
+      .orderBy("frame_idx").collect()
+    // 6 real frames, every 2nd -> indices 0, 2, 4 at 25 fps
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 80L, 160L))
+    val v = RawVideo.decodeY4m(payload)
+    assert(rows(1).getAs[Array[Byte]]("frame").toSeq == v.frames(2).luma.toSeq)
+  }
 }
