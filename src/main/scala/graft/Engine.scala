@@ -100,10 +100,12 @@ object Engine {
             // IN-subquery literal transfer (ValueTransferGraph parity):
             // must run after RewriteSubquery, which is why Spark's own
             // constraint inference misses it — see
-            // plans/SemiJoinValueTransfer. PushDownPredicates sinks the
-            // new filters into the scans within the same batch.
-            graft.plans.SemiJoinValueTransfer,
-            org.apache.spark.sql.catalyst.optimizer.PushDownPredicates)
+            // plans/SemiJoinValueTransfer. The filters it adds sit
+            // directly above the join inputs; PhysicalOperation folds
+            // Filter/Project chains into the scan at planning time, so
+            // no re-run of PushDownPredicates is needed (measured ~0.1 s
+            // optimizer overhead per query when it was in this batch).
+            graft.plans.SemiJoinValueTransfer)
       }
     }
   }
