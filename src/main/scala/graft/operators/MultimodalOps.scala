@@ -492,6 +492,75 @@ object MultimodalOps {
       |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Full PNG TRANSCODE loop oracle-checked: encode -> resizeReal
+    * (decode, nearest-resample, RE-ENCODE as PNG) -> decode again ->
+    * means. Exercises the encoder's filter generation on arbitrary
+    * rasters under the driver gate (decodePng alone only proves the
+    * decode half against payloads this engine built).
+    */
+  val resizePng: Q = Q("multimodal_resize_png",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val out = resizeReal(pngPayload(id, 8, 8), 4, 4)
+          require(RawPng.sniff(out), "resize did not re-encode PNG")
+          val img = RawPng.decode(out)
+          val (mr, mg, mb) = RawImage.meanRgb(img)
+          DecodedStats(id, "image/png", 8, 8, img.width, img.height,
+            mr, mg, mb)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    // identical decoded stats to multimodal_decode_png — the transcode
+    // must be lossless for the resampled raster
+    Some("""SELECT d.doc_id,
+      |  'image/png' AS format,
+      |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh,
+      |  SUM((d.doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256) / 16.0
+      |    AS mean_r,
+      |  SUM((d.doc_id * 17 + (2 * x) * 11 + (2 * y) * 3) % 256) / 16.0
+      |    AS mean_g,
+      |  SUM((d.doc_id * 5 + (2 * x) * 2 + (2 * y) * 23) % 256) / 16.0
+      |    AS mean_b
+      |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Real Y4M frame sampling under the driver gate: y4mPayload streams
+    * through [[sampleFrames]]'s codec path (every 2nd decoded luma
+    * plane, header-fps timestamps), per-frame luma sums. The oracle
+    * recomputes sums from the luma formula without parsing bytes.
+    */
+  final case class SampledFrameStats(doc_id: Long, frame_idx: Int,
+      ts_ms: Long, luma_sum: Long)
+
+  val framesY4m: Q = Q("multimodal_frames_y4m",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val media = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, y4mPayload(id, 6, 8, 8)))
+      sampleFrames(media, frameBytes = 256, everyNth = 2)
+        .as[Frame]
+        .map(f => SampledFrameStats(f.doc_id, f.frame_idx, f.ts_ms,
+          RawVideo.lumaSum(RawVideo.Frame(f.frame_idx, f.frame))))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""SELECT d.doc_id, CAST(f AS INT) AS frame_idx,
+      |  CAST(f * 40 AS BIGINT) AS ts_ms,
+      |  CAST(SUM((d.doc_id * 13 + f * 29 + x * 7 + y * 3) % 256) AS BIGINT)
+      |    AS luma_sum
+      |FROM documents d, (VALUES (0), (2), (4)) tf(f),
+      |  range(0, 8) tx(x), range(0, 8) ty(y)
+      |GROUP BY d.doc_id, f
+      |ORDER BY doc_id, frame_idx""".stripMargin))
+
   /** Decoded audio stats from the REAL WAV codec path. */
   final case class AudioStats(doc_id: Long, format: String,
       sample_rate: Int, channels: Int, n_samples: Int, duration_ms: Int,
@@ -797,6 +866,6 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodePng, decodeWav, audioFeatures, decodeY4mQ, motion,
-    imageGradients, multimodalGate)
+    decodePng, resizePng, framesY4m, decodeWav, audioFeatures,
+    decodeY4mQ, motion, imageGradients, multimodalGate)
 }
