@@ -115,4 +115,79 @@ class PartitionPruningSpec extends AnyFunSuite {
     prunes("select * from prune_dec where decimal_col = 4.35", 0)
     prunes("select * from prune_dec where decimal_col = 8.68", 1)
   }
+
+  /** PlannerTest/hdfs.test:43-300 — the reference's year/month
+    * (2009-2010 x 1-12 = 24 partitions) compound-predicate pruning
+    * battery, each `partitions=X/24` EXPLAIN claim pinned against
+    * Spark's plan-time partition selection: NOT over conjuncts and
+    * disjuncts, null-check interactions, <=> spellings, ranges,
+    * BETWEEN, IN, always-true/false conjuncts, and contradictions.
+    */
+  private def setupYm(): Unit = synchronized {
+    if (!spark.catalog.tableExists("prune_ym")) {
+      Engine.configure(spark)
+      clearStale("prune_ym")
+      spark.sql(
+        """create table prune_ym (id int)
+          |using parquet partitioned by (year int, month int)""".stripMargin)
+      spark.sql(
+        """insert into prune_ym partition (year, month)
+          |select y * 100 + m, y, m
+          |from (select explode(sequence(2009, 2010)) y)
+          |cross join (select explode(sequence(1, 12)) m)""".stripMargin)
+    }
+  }
+
+  private def prunesYm(where: String, want: Int): Unit = {
+    setupYm()
+    assert(partitionsRead(
+      spark.sql(s"select * from prune_ym where $where")) === want, where)
+  }
+
+  test("hdfs.test:43-140 — basic and NOT-compound predicates (partitions=X/24 parity)") {
+    setupYm()
+    assert(partitionsRead(spark.sql("select * from prune_ym")) === 24)
+    prunesYm("year = 2009", 12)
+    prunesYm("2009 = year", 12)
+    prunesYm("2009 <=> year", 12)
+    prunesYm("!(month > 2)", 4)
+    prunesYm("!(!(month = 1))", 2)
+    prunesYm("!(!(month <=> 1))", 2)
+    prunesYm("year = 2009 and !(month < 6)", 7)
+    prunesYm("!(year < 2009) and !(month < 6)", 14)
+  }
+
+  test("hdfs.test:150-212 — NOT over conjuncts/disjuncts and null checks") {
+    prunesYm("!(year = 2009 and month > 6)", 18)
+    prunesYm("!(year <=> 2009 and month > 6)", 18)
+    prunesYm("!(year <=> 2009) or !(month > 6)", 18)
+    prunesYm("!(month = 6 or month = 8)", 20)
+    prunesYm("!(month <=> 6 or month <=> 8)", 20)
+    prunesYm("not (year = 2009 or month is null)", 12)
+    prunesYm("not (year = 2009 or month <=> null)", 12)
+    prunesYm("not (not (month is null))", 0)
+    prunesYm("not (not (month <=> null))", 0)
+    prunesYm("not (not (month is null or year = 2009))", 12)
+  }
+
+  test("hdfs.test:213-300 — ranges, IN, BETWEEN, always-true/false, contradictions") {
+    prunesYm("month = 1", 2)
+    prunesYm("year = 2009 and month = 1", 1)
+    prunesYm("year = 2009 and month > 6", 6)
+    prunesYm("year = 2009 and month < 6", 5)
+    prunesYm("year = 2009 and month in (1, 3, 5, 7)", 4)
+    prunesYm("year <=> 2009 and month in (1, 3, 5, 7)", 4)
+    prunesYm("year = 2009 and month in (1, 3, 5, 7) and month is not null", 4)
+    prunesYm("year = 2009 and month in (1, 3, 5, 7) and month is null", 0)
+    prunesYm("year = 2009 and (month in (1, 3, 5) or month = 7)", 4)
+    prunesYm("year <= 2009 and month < 6", 5)
+    prunesYm("month < 9 and month > 6", 4)
+    prunesYm("year < 2010 and year < 2009 and month > 6", 0)
+    prunesYm("year < 2010 and (month > 6 or month = 1 or month in (3, 4))", 9)
+    prunesYm("year < 2010 and (month > 6 or month <=> 1 or month in (3, 4))", 9)
+    prunesYm("year = 2009 and month between 6 and 8", 3)
+    prunesYm("year <=> 2009 and month between 6 and 8", 3)
+    prunesYm("year between 2009 and 2009 and month between 6 and 8", 3)
+    prunesYm("year = 2009 and (month between 6 and 7 or month between 7 and 8)", 3)
+  }
 }
