@@ -327,6 +327,77 @@ object TextOps {
       |    ELSE 0.0 END AS top_bigram_frac
       |FROM la LEFT JOIN bga ON la.doc_id = bga.doc_id""".stripMargin))
 
+  /** Cross-document boilerplate-span removal (the C4 recipe: drop any
+    * span that occurs verbatim in multiple documents — nav bars,
+    * license footers, templated headers). Word-8-gram spans whose
+    * document frequency is >= 2 are "boilerplate"; every word position
+    * covered by such a span is dropped and the text reassembled from
+    * the surviving positions.
+    *
+    * 100 TB shape: the span stream shuffles ONCE (global DF agg on the
+    * span key); the frequent-span set is DF-bounded and tiny relative
+    * to the corpus, so it broadcast-joins back against the stream
+    * map-side; covered positions aggregate per doc (second shuffle,
+    * key = doc_id) and the reassembly is an index-lambda array filter
+    * — no per-executor state, no all-pairs anything.
+    */
+  val boilerplate: Q = Q("text_boilerplate",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+      val spans = doc
+        .select(col("doc_id"), col("ts"),
+          explode(when(size(col("ts")) >= 8,
+            expr("sequence(1, size(ts) - 7)"))
+            .otherwise(expr("array()").cast("array<int>"))).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr("array_join(slice(ts, i, 8), ' ')").as("span"))
+      val freq = spans.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("span"))
+      val covered = spans.join(broadcast(freq), Seq("span"))
+        .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("pos"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("pos")).as("cov"))
+      doc.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("ts")).as("n_words"),
+          when(col("cov").isNotNull, size(col("cov"))).otherwise(0)
+            .as("n_removed"),
+          when(col("cov").isNotNull,
+            expr("array_join(filter(ts, (w, i) -> " +
+              "not array_contains(cov, i + 1)), ' ')"))
+            .otherwise(expr("array_join(ts, ' ')")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), t -> t <> '') ts
+      |  FROM documents),
+      |sh AS (SELECT doc_id, CAST(i AS INT) i,
+      |    ARRAY_TO_STRING(ts[i:i+7], ' ') AS span
+      |  FROM tok, UNNEST(range(1, LEN(ts) - 6)) u(i)
+      |  WHERE LEN(ts) >= 8),
+      |freq AS (SELECT span FROM sh GROUP BY span
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT sh.doc_id, sh.i + o AS pos
+      |  FROM sh JOIN freq USING (span), UNNEST(range(0, 8)) v(o)),
+      |words AS (SELECT doc_id, UNNEST(ts) AS w,
+      |    GENERATE_SUBSCRIPTS(ts, 1) AS pos FROM tok),
+      |kept AS (SELECT w.doc_id,
+      |    STRING_AGG(w.w, ' ' ORDER BY w.pos) AS scrubbed
+      |  FROM words w LEFT JOIN cov
+      |    ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+      |  WHERE cov.pos IS NULL GROUP BY w.doc_id),
+      |covn AS (SELECT doc_id, COUNT(*) n FROM cov GROUP BY doc_id)
+      |SELECT tok.doc_id,
+      |  CAST(LEN(ts) AS INT) AS n_words,
+      |  CAST(COALESCE(covn.n, 0) AS INT) AS n_removed,
+      |  COALESCE(kept.scrubbed, '') AS scrubbed
+      |FROM tok LEFT JOIN covn ON tok.doc_id = covn.doc_id
+      |LEFT JOIN kept ON tok.doc_id = kept.doc_id
+      |ORDER BY tok.doc_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount,
-    piiScrub, splitAssign, corpusPipeline, repetition)
+    piiScrub, splitAssign, corpusPipeline, repetition, boilerplate)
 }
