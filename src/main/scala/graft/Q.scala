@@ -21,12 +21,19 @@ final case class Q(
   * associative, so raw SUM(double) is NOT hash-stable.
   *
   * Fix: cast each row's double to a DECIMAL before summing — per-row double
-  * arithmetic is IEEE-deterministic and identical in both engines, the
-  * double->decimal rounding has no representable ties (a decimal ending in 5
-  * at the rounding position has no exact binary representation), and decimal
-  * addition is exact, hence association-free. Casting the exact decimal sum
-  * back to double is correctly rounded in both engines. The same pattern in
-  * the oracle SQL (`oSum*`) yields bit-identical doubles.
+  * arithmetic is IEEE-deterministic and identical in both engines, and
+  * decimal addition is exact, hence association-free.
+  *
+  * Two refinements from the r8 scale sweep:
+  *  - The cast is tie-free only for RAW 2dp columns (stored doubles sit
+  *    within ~1e-9 of their decimal value). COMPUTED double products land
+  *    arbitrarily close to rounding ties, where the engines' conversion
+  *    methods differ — money products must use the exact-decimal factor
+  *    chain below (dmoney/drate/oneMinus/onePlus + dsumx) instead.
+  *  - DuckDB's wide-DECIMAL->DOUBLE cast double-rounds (hugeint->double
+  *    / 10^scale), drifting 1 ulp once sum*10^scale > 2^53; every oSum*
+  *    snippet routes the final cast through VARCHAR (single strtod
+  *    rounding), matching Spark's correctly-rounded Decimal.toDouble.
   */
 object Det {
   val D18_2: DecimalType = DecimalType(18, 2)
