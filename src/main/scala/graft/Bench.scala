@@ -62,8 +62,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     try {
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -71,7 +69,16 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json"),
         s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(line)
+    // full per-query map first; the LAST line is a compact summary
+    // (top-20 slowest) guaranteed to survive tail-truncating stdout
+    // captures intact — both lines are self-contained valid JSON
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"note":"top-20 of ${results.size}; full map in BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

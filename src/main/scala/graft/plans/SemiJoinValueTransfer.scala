@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, Literal, PredicateHelper}
+  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
+  LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -46,10 +47,10 @@ object SemiJoinValueTransfer extends Rule[LogicalPlan] with PredicateHelper {
       if (pairs.isEmpty) j
       else {
         val toLeft = pairs.flatMap { case (l, r) =>
-          literalFor(right, r).map(EqualTo(l, _))
+          keyPreds(right, from = r, to = l)
         }.filterNot(satisfied(left, _))
         val toRight = pairs.flatMap { case (l, r) =>
-          literalFor(left, l).map(EqualTo(r, _))
+          keyPreds(left, from = l, to = r)
         }.filterNot(satisfied(right, _))
         val newLeft =
           if (toLeft.isEmpty) left else Filter(toLeft.reduce(And), left)
@@ -60,13 +61,46 @@ object SemiJoinValueTransfer extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** The literal `a` provably equals under `p`'s constraints, if any. */
-  private def literalFor(p: LogicalPlan, a: Attribute): Option[Literal] =
-    p.constraints.collectFirst {
+  /** Single-key literal predicates `p`'s constraints prove about
+    * `from`, rewritten onto the partner key `to`. A semi join's
+    * survivors equal some row of the other side on the key, so ANY key
+    * predicate transfers (the reference's value-transfer covers the
+    * same class: =, ranges, IN). Only same-typed keys transfer —
+    * rebinding a literal comparison onto a differently-typed attribute
+    * would need a cast and loses pushdown anyway.
+    */
+  private def keyPreds(p: LogicalPlan, from: Attribute,
+      to: Attribute): Seq[Expression] =
+    if (from.dataType != to.dataType) Seq.empty
+    else p.constraints.toSeq.collect {
       case EqualTo(x: Attribute, l: Literal)
-          if x.semanticEquals(a) && l.value != null => l
+          if x.semanticEquals(from) && l.value != null => EqualTo(to, l)
       case EqualTo(l: Literal, x: Attribute)
-          if x.semanticEquals(a) && l.value != null => l
+          if x.semanticEquals(from) && l.value != null => EqualTo(to, l)
+      case GreaterThan(x: Attribute, l: Literal)
+          if x.semanticEquals(from) && l.value != null => GreaterThan(to, l)
+      case GreaterThan(l: Literal, x: Attribute)
+          if x.semanticEquals(from) && l.value != null => LessThan(to, l)
+      case GreaterThanOrEqual(x: Attribute, l: Literal)
+          if x.semanticEquals(from) && l.value != null =>
+        GreaterThanOrEqual(to, l)
+      case GreaterThanOrEqual(l: Literal, x: Attribute)
+          if x.semanticEquals(from) && l.value != null =>
+        LessThanOrEqual(to, l)
+      case LessThan(x: Attribute, l: Literal)
+          if x.semanticEquals(from) && l.value != null => LessThan(to, l)
+      case LessThan(l: Literal, x: Attribute)
+          if x.semanticEquals(from) && l.value != null => GreaterThan(to, l)
+      case LessThanOrEqual(x: Attribute, l: Literal)
+          if x.semanticEquals(from) && l.value != null =>
+        LessThanOrEqual(to, l)
+      case LessThanOrEqual(l: Literal, x: Attribute)
+          if x.semanticEquals(from) && l.value != null =>
+        GreaterThanOrEqual(to, l)
+      case In(x: Attribute, vs)
+          if x.semanticEquals(from) &&
+            vs.forall(v => v.isInstanceOf[Literal] &&
+              v.asInstanceOf[Literal].value != null) => In(to, vs)
     }
 
   /** True when `p`'s constraints already entail `pred` (fixpoint guard:

@@ -67,4 +67,27 @@ class SemiJoinValueTransferSpec extends AnyFunSuite {
         |on o.o_orderkey = l.l_orderkey and o.o_orderkey = 5""".stripMargin))
     assert(p.contains("EqualTo(l_orderkey,5)"), p)
   }
+
+  test("range and IN key predicates transfer, not just equalities") {
+    val pr = physical(sql(
+      """select count(*) from orders o
+        |where o.o_custkey in (select c_custkey from customer
+        |                      where c_custkey < 50)""".stripMargin))
+    assert(pr.contains("LessThan(o_custkey,50)"), pr)
+    val pin = physical(sql(
+      """select count(*) from orders o
+        |where o.o_custkey in (select c_custkey from customer
+        |                      where c_custkey in (3, 5, 9))""".stripMargin))
+    assert(pin.contains("In(o_custkey, [3,5,9])") ||
+      pin.contains("In(o_custkey"), pin)
+    // soundness of the range transfer
+    val viaIn = sql(
+      """select count(*) c from orders o
+        |where o.o_custkey in (select c_custkey from customer
+        |                      where c_custkey < 50)""".stripMargin)
+      .head().getLong(0)
+    val plain = sql(
+      "select count(*) c from orders where o_custkey < 50").head().getLong(0)
+    assert(viaIn == plain && plain > 0, s"viaIn=$viaIn plain=$plain")
+  }
 }
