@@ -138,4 +138,30 @@ class FaultToleranceSpec extends AnyFunSuite {
     }
     KvStore.drop(table)
   }
+
+  test("task killed mid streaming micro-batch: state stays exactly-once") {
+    // the streaming analog of the reference's fail-points: kill a task
+    // inside a stateful micro-batch; the batch's task retry must leave
+    // the aggregation state exactly-once
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    Engine.configure(spark)
+    val input = MemoryStream[Long]
+    val counts = input.toDS()
+      .filter(expr("sleep(1)"))
+      .select((col("value") % 7).as("k"))
+      .groupBy("k").count()
+    val q = counts.writeStream.format("memory")
+      .queryName("ft_stream").outputMode("complete").start()
+    try {
+      input.addData(0L until 700L: _*)
+      var kills = 0
+      kills = withTaskKill("first") { q.processAllAvailable() }
+      assert(kills == 1, "fault was not injected")
+      val got = spark.table("ft_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == (0L until 7L).map(k => (k, 100L)), got.toString)
+    } finally q.stop()
+  }
 }
