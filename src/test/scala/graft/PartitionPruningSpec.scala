@@ -190,4 +190,18 @@ class PartitionPruningSpec extends AnyFunSuite {
     prunesYm("year between 2009 and 2009 and month between 6 and 8", 3)
     prunesYm("year = 2009 and (month between 6 and 7 or month between 7 and 8)", 3)
   }
+
+  test("semi-join value transfer prunes partitions through an IN-subquery") {
+    // the 100 TB payoff of plans/SemiJoinValueTransfer: a literal (or
+    // range) on the subquery's key statically prunes the PARTITIONED
+    // probe side — before runtime filters even start
+    setupYm()
+    spark.sql("create or replace temp view prune_dim as select explode(sequence(2009, 2012)) y")
+    assert(partitionsRead(spark.sql(
+      """select * from prune_ym
+        |where year in (select y from prune_dim where y = 2009)""".stripMargin)) === 12)
+    assert(partitionsRead(spark.sql(
+      """select * from prune_ym
+        |where month in (select y from prune_dim where y < 2011 and y > 2008)""".stripMargin)) === 0)
+  }
 }
