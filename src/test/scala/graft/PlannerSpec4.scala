@@ -140,4 +140,32 @@ class PlannerSpec4 extends AnyFunSuite {
       assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("aggregation.test:495-547 — no aggregation is placed below a limited exchange") {
+    // counting a LIMIT subquery must apply the limit first; pushing a
+    // partial aggregate below it would count the wrong rows
+    val df = sql(
+      "select count(*) c from (select * from orders limit 10) v")
+    df.collect()
+    assert(df.head().getLong(0) == 10L)
+    val p = physical(df)
+    // the limit operator sits BELOW every aggregate in the plan tree
+    val lines = p.linesIterator.toSeq
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    val limitIdx = lines.indexWhere(l =>
+      l.contains("GlobalLimit") || l.contains("CollectLimit"))
+    assert(firstAgg >= 0 && limitIdx > firstAgg,
+      s"limit not below the aggregates:\n$p")
+  }
+
+  test("aggregation.test:548-570 — a limit over a non-grouping agg adds no extra exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = physical(sql("select count(*) c from lineitem limit 1"))
+      // one single-partition exchange for the merge agg; the limit
+      // rides on it rather than adding another shuffle
+      assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
