@@ -244,15 +244,16 @@ case class DialectTruncate(left: Expression, right: Expression,
     case d: DecimalType =>
       val scale = right match {
         // the reference registers (DECIMAL, TINYINT/SMALLINT/INT/BIGINT)
-        // overloads (decimal-functions.cc:102-121) and narrows the int64
-        // scale; any effective scale beyond the DECIMAL range saturates
-        // downstream, so clamping the literal to Int range is exact
+        // overloads (decimal-functions.cc:102-121) whose BigIntVal path
+        // narrows int64 -> int by two's-complement WRAP (RoundTo takes
+        // int): truncate(d, 4294967296) wraps to scale 0 and truncates
+        // all decimals. Wrap here too — it also matches the non-literal
+        // foldable path below, which goes through Cast(e, IntegerType)
         case Literal(v: java.lang.Number, _)
             if (right.dataType match {
               case ByteType | ShortType | IntegerType | LongType => true
               case _ => false }) =>
-          Literal(math.max(Int.MinValue.toLong,
-            math.min(Int.MaxValue.toLong, v.longValue())).toInt)
+          Literal(v.longValue().toInt)
         case Literal(_, _) => throw new IllegalArgumentException(
           s"No matching function with signature: truncate(${d.sql}, " +
             s"${right.dataType.sql})")

@@ -423,6 +423,12 @@ object DedupOps {
     * positives) enter the exact verify join on the full content hash.
     * The one shuffle join is sized by the dup rate, not the batch size.
     * Result is exact, so it oracle-checks against a plain join.
+    *
+    * The static plan references `probed` from both union branches, so
+    * pre-AQE it prints two bloom BroadcastExchange builds; at stage
+    * materialization AQE's exchange reuse dedups them — BlockBloomSpec
+    * pins ReusedExchange in the final adaptive plan (the build runs
+    * once at runtime; if that pin ever breaks, persist `probed`).
     */
   val bloomIncremental: Q = Q("dedup_incremental",
     (s, d) => {

@@ -55,7 +55,7 @@ object MultimodalOps {
     * [[RawImage]] (features = normalized 8-bin luminance histogram);
     * everything else falls back to the stub.
     */
-  def decodeAny(payload: Array[Byte]): (String, Int, Int, Array[Float]) =
+  def decodeAny(payload: Array[Byte]): (String, Int, Int, Array[Float]) = try {
     (if (RawPng.sniff(payload)) "image/png" else RawImage.sniff(payload)) match {
       case fmt @ ("image/ppm" | "image/bmp" | "image/png") =>
         val img = fmt match {
@@ -79,6 +79,14 @@ object MultimodalOps {
         (fmt, img.width, img.height, feat)
       case _ => decodeStub(payload)
     }
+  } catch {
+    // corrupt-payload resilience (same policy as resizeReal): a payload
+    // with a valid magic but malformed body (bad CRC, truncated IDAT,
+    // bad chunk length) degrades to the stub instead of failing the
+    // whole decode/extractFeatures query — PNG's CRC checks make this
+    // far easier to hit than the PPM/BMP paths
+    case _: Exception => decodeStub(payload)
+  }
 
   /** Partition-wise decode: one pass per partition, iterator-to-iterator
     * (no materialization of the whole partition).

@@ -44,6 +44,11 @@ object RawPng {
     var done = false
     while (!done && i + 8 <= p.length) {
       val len = be32(p, i)
+      // validate the length field BEFORE touching chunk bytes: a corrupt
+      // length must fail with a clean require, not a raw
+      // ArrayIndexOutOfBoundsException from crc.update/System.arraycopy
+      require(len >= 0 && i + 12 + len <= p.length,
+        s"PNG chunk at offset $i: bad length $len for ${p.length}-byte payload")
       val typ = new String(p, i + 4, 4, "US-ASCII")
       val crc = new CRC32()
       crc.update(p, i + 4, 4 + len)
@@ -77,8 +82,16 @@ object RawPng {
     var off = 0
     while (off < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, off, raw.length - off)
-      require(n > 0 || inf.finished() || !inf.needsInput,
-        "truncated PNG pixel stream")
+      // a stalled inflater (n == 0, not finished) must FAIL, not spin:
+      // needsDictionary (FDICT streams) and needsInput (truncation) are
+      // the two legal stall states, and anything else is a broken
+      // stream — an executor-task infinite loop is unrescuable by the
+      // callers' catch(Exception)
+      require(!inf.needsDictionary, "PNG zlib stream requires a preset " +
+        "dictionary (FDICT) — unsupported")
+      require(n > 0 || inf.finished(),
+        if (inf.needsInput) "truncated PNG pixel stream"
+        else "stalled PNG zlib stream")
       off += n
     }
     inf.end()

@@ -335,11 +335,18 @@ object TextOps {
     * the surviving positions.
     *
     * 100 TB shape: the span stream shuffles ONCE (global DF agg on the
-    * span key); the frequent-span set is DF-bounded and tiny relative
-    * to the corpus, so it broadcast-joins back against the stream
-    * map-side; covered positions aggregate per doc (second shuffle,
-    * key = doc_id) and the reassembly is an index-lambda array filter
-    * — no per-executor state, no all-pairs anything.
+    * span key); the frequent-span set is NOT bounded above — df >= 2 is
+    * a lower bound, and on a template-heavy crawl the boilerplate-span
+    * set grows with the number of distinct templates (the repo's 10x
+    * sweep has corpora where every span is duplicated) — so the
+    * span<->freq join is deliberately left size-chosen: both sides are
+    * already hash-partitioned on `span` from the DF agg, a shuffle join
+    * reuses that partitioning, and AQE still broadcasts when the set is
+    * genuinely small (it is at driver SFs). Covered positions aggregate
+    * per doc (second shuffle, key = doc_id) and the reassembly is an
+    * index-lambda array filter — no per-executor state, no all-pairs
+    * anything. BoilerplateSpec pins that no forced broadcast is in the
+    * plan.
     */
   val boilerplate: Q = Q("text_boilerplate",
     (s, d) => {
@@ -356,7 +363,7 @@ object TextOps {
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
         .select(col("span"))
-      val covered = spans.join(broadcast(freq), Seq("span"))
+      val covered = spans.join(freq, Seq("span"))
         .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("pos"))
         .groupBy(col("doc_id"))
         .agg(collect_set(col("pos")).as("cov"))

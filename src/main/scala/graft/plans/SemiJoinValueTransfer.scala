@@ -24,9 +24,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * LeftSemi equi-pair l = r where one side's constraint set proves the
   * attribute equals a literal, the matching literal filter is added to
   * the other side (sound in both directions for semi joins: a surviving
-  * probe row must match a build row and vice versa). PushDownPredicates
-  * runs after it in the same batch, sinking the new Filter into the
-  * scan where it becomes a pushed parquet filter / partition prune.
+  * probe row must match a build row and vice versa). The batch
+  * deliberately does NOT include PushDownPredicates (re-running it costs
+  * ~0.1 s/query — see the Engine.scala batch comment and NOTES.md):
+  * PhysicalOperation collects the new Filter at planning time and folds
+  * it into the scan, where it becomes a pushed parquet filter /
+  * partition prune (SemiJoinValueTransferSpec asserts PushedFilters).
   *
   * At 100 TB this is the difference between scanning a fact table and
   * pruning it: a selective IN-subquery's literal reaches the fact scan

@@ -66,6 +66,22 @@ class BlockBloomSpec extends AnyFunSuite {
     assert(r.getLong(0) === r.getLong(1)) // every inserted key found
   }
 
+  test("dedup_incremental's bloom broadcast materializes ONCE at runtime") {
+    // the static plan references `probed` (batch x broadcast(bloom))
+    // from both union branches, so pre-AQE it shows two
+    // BroadcastExchange builds; at stage materialization AQE's exchange
+    // reuse must dedup them — the final adaptive plan either contains a
+    // ReusedExchange or repeats one BroadcastQueryStage id. If this pin
+    // ever breaks, persist `probed` instead (DedupOps scaladoc).
+    val df = SparkEntry.queries("dedup_incremental")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val stageIds = "BroadcastQueryStage-?(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(p.contains("ReusedExchange") ||
+      stageIds.size > stageIds.distinct.size, p)
+  }
+
   test("dedup_incremental equals the plain exact join") {
     val got = SparkEntry.queries("dedup_incremental")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getBoolean(1)))

@@ -60,6 +60,21 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out(3L) == ((6, 0, "short doc under eight words here")))
   }
 
+  test("span<->freq join is size-chosen, never a forced broadcast") {
+    // the frequent-span set is UNBOUNDED above (df >= 2 is a lower
+    // bound; a template-heavy crawl can duplicate every span), so the
+    // plan must not carry a broadcast hint — AQE may still broadcast at
+    // small SFs, but the choice has to be size-based, not forced
+    val df = graft.operators.TextOps.boilerplate.run(spark, TestSpark.sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), analyzed)
+    assert(!analyzed.contains("UnresolvedHint"), analyzed)
+    // both join inputs derive from the same exploded span stream; the
+    // optimized plan keeps the equi-join on the span key
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("span"), opt)
+  }
+
   test("a span repeated within ONE doc only is not boilerplate (df counts docs)") {
     val out = scrub(Seq(
       1L -> s"$span middle $span",

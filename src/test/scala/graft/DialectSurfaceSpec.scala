@@ -95,6 +95,17 @@ class DialectSurfaceSpec extends AnyFunSuite {
     assert(messages(e2).exists(_.contains("No matching function")), e2.toString)
   }
 
+  test("truncate BIGINT-literal scale narrows by two's-complement wrap") {
+    // the reference's BigIntVal overload passes the int64 scale to
+    // RoundTo(int) (decimal-functions.cc:102-121), so 2^32 wraps to
+    // scale 0 and 2^32+1 wraps to scale 1 — not a saturating clamp
+    val r = one(
+      """truncate(cast(123.456 as decimal(6,3)), 4294967296) w0,
+        |truncate(cast(123.456 as decimal(6,3)), 4294967297) w1""".stripMargin)
+    assert(r.getDecimal(0).toPlainString === "123")
+    assert(r.getDecimal(1).toPlainString === "123.4")
+  }
+
   test("madlib functions accept STRING vectors; cppDouble ties round half-even") {
     // ascii-encoded vectors are strings; the get/encode/print side must
     // accept string input like the reference's StringVal convention
