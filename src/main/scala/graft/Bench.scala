@@ -49,9 +49,16 @@ object Bench {
     // (their outputs are engine-internal candidate sets)
     import graft.operators.{DedupOps, SimilarityOps}
     val organic = Seq[(String, () => Long)](
+      // the cluster-feeding default is star emission (linear in dup-
+      // clique size; r8 verdict #2) — the verified all-pairs candidate
+      // semantic keeps its own rows below for round-over-round diffing
       "organic_dedup_minhash" ->
-        (() => DedupOps.minhashPairs(spark, sfDir, planted = false).count()),
+        (() => DedupOps.minhashStarEdges(spark, sfDir).count()),
       "organic_dedup_simhash" ->
+        (() => DedupOps.simhashStarEdges(spark, sfDir).count()),
+      "organic_dedup_minhash_pairs" ->
+        (() => DedupOps.minhashPairs(spark, sfDir, planted = false).count()),
+      "organic_dedup_simhash_pairs" ->
         (() => DedupOps.simhashPairs(spark, sfDir, planted = false).count()),
       "organic_dedup_ngram" ->
         (() => DedupOps.ngramJaccardPairs(spark, sfDir, planted = false).count()),

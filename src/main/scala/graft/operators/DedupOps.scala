@@ -71,16 +71,24 @@ object DedupOps {
     * shingle->signature->band-join pipeline hash-checkable: an identical
     * payload collides in every band with agreement exactly 64/64.
     */
-  def minhashPairs(s: SparkSession, d: String, planted: Boolean): DataFrame = {
+  /** One row per (doc, band): the 64-hash MinHash signature banded into
+    * 16 x 4-row buckets. Shared by the pair path ([[minhashPairs]]) and
+    * the cluster-feeding star path ([[minhashStarEdges]]).
+    */
+  def minhashBands(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       val base = t(s, d, "documents").select(col("doc_id"), col("text"))
       val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), call_function("minhash64", col("sh")).as("sig"))
-      val bands = doc.select(col("doc_id"), col("sig"),
+      doc.select(col("doc_id"), col("sig"),
           posexplode(transform(sequence(lit(0), lit(15)),
             b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b)))
             .as(Seq("band_idx", "band_hash")))
+  }
+
+  def minhashPairs(s: SparkSession, d: String, planted: Boolean): DataFrame = {
+      val bands = minhashBands(s, d, planted)
       val a = bands.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = bands.select(col("band_idx"), col("band_hash"),
@@ -117,18 +125,25 @@ object DedupOps {
     * twin-projected driver entry (identical token streams -> identical
     * simhash -> Hamming 0).
     */
-  def simhashPairs(s: SparkSession, d: String, planted: Boolean): DataFrame = {
+  /** One row per (doc, band): the 64-bit SimHash split into 4 x 16-bit
+    * bands. Shared by [[simhashPairs]] and [[simhashStarEdges]].
+    */
+  def simhashBands(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       Engine.configure(s)
       val base = t(s, d, "documents").select(col("doc_id"), col("text"))
       val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
         .select(col("doc_id"),
           call_function("graft_simhash",
             call_function("token_hashes", col("text"))).as("sh"))
-      val bands = doc.select(col("doc_id"), col("sh"),
+      doc.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftrightunsigned", col("sh"), b * 16)
             .bitwiseAND(lit(0xffffL))))
           .as(Seq("band_idx", "band_val")))
+  }
+
+  def simhashPairs(s: SparkSession, d: String, planted: Boolean): DataFrame = {
+      val bands = simhashBands(s, d, planted)
       val a = bands.select(col("band_idx"), col("band_val"),
         col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = bands.select(col("band_idx"), col("band_val"),
@@ -152,6 +167,42 @@ object DedupOps {
       |  CAST(0 AS INT) AS hamming
       |FROM documents WHERE doc_id % 20 = 0
       |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** Min-representative ("star") edge emission over LSH band buckets —
+    * the cluster-feeding default. All-pairs emission is quadratic in
+    * clique size: a k-way dup group collides in every band and emits
+    * C(k,2) pairs per band (the 10x sweep's 100%-dup corpus ran 6.5x
+    * super-linear). For dedup the pairs are only consumed by connected
+    * components, and a star — each bucket member linked to the bucket's
+    * min doc_id — has IDENTICAL transitive closure to the bucket clique
+    * while emitting k-1 edges (ClusterSpec pins the equivalence).
+    * No signature-verify step here: banding itself is the similarity
+    * threshold (16 bands x 4 rows, s-curve ~0.5), the same
+    * bucket-is-candidate semantic production MinHash dedup pipelines
+    * use; the verified candidate-PAIR semantic (with its est_jaccard /
+    * hamming evidence) stays on [[minhashPairs]]/[[simhashPairs]].
+    *
+    * Shape at 100 TB: one shuffle for the per-bucket min, one co-
+    * partitioned join back (both sides hash on the bucket key), one
+    * distinct on the edge — every step linear in corpus size.
+    */
+  private def starEdges(bands: DataFrame, bucketCol: String): DataFrame = {
+    val reps = bands.groupBy(col("band_idx"), col(bucketCol))
+      .agg(min(col("doc_id")).as("doc_a"))
+    bands.select(col("band_idx"), col(bucketCol), col("doc_id").as("doc_b"))
+      .join(reps, Seq("band_idx", bucketCol))
+      .filter(col("doc_b") > col("doc_a"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash star edges for cluster feeding (see [[starEdges]]). */
+  def minhashStarEdges(s: SparkSession, d: String): DataFrame =
+    starEdges(minhashBands(s, d, planted = false), "band_hash")
+
+  /** SimHash star edges for cluster feeding (see [[starEdges]]). */
+  def simhashStarEdges(s: SparkSession, d: String): DataFrame =
+    starEdges(simhashBands(s, d, planted = false), "band_val")
 
   /** Exact n-gram Jaccard via an inverted shingle index: explode distinct
     * shingles, cap document frequency (drops stop-shingles — bounds the

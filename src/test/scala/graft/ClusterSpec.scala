@@ -21,6 +21,30 @@ class ClusterSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("star edges are connectivity-equivalent to the bucket clique, linearly") {
+    // star emission (bucket member -> bucket-min) must have the SAME
+    // transitive closure as all intra-bucket pairs — that is the whole
+    // argument for making it the cluster-feeding default — while
+    // emitting k-1 edges per k-clique instead of C(k,2)
+    val bands = DedupOps.minhashBands(spark, TestSpark.sf, planted = false)
+    val star = DedupOps.minhashStarEdges(spark, TestSpark.sf)
+    val a = bands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"))
+    val allPairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val nStar = star.count()
+    val nAll = allPairs.count()
+    assert(nStar > 0 && nStar <= nAll, s"star=$nStar all=$nAll")
+    def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      DedupOps.connectedComponents(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .as[(Long, Long)].collect().toMap
+    assert(comps(star) === comps(allPairs))
+  }
+
   test("cluster assignment matches per-group min on exact dups") {
     val q = SparkEntry.queries("dedup_cluster_assign")(spark, TestSpark.sf)
     val rows = q.collect()
