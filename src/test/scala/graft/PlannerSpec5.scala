@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TPC-H plan-shape parity with the reference's `tpch-all.test`
+  * (`testdata/workloads/functional-planner/queries/PlannerTest/
+  * tpch-all.test`) for q3, q7, q8, q18, q21.
+  *
+  * The reference pins full PLAN/DISTRIBUTEDPLAN text per query; the
+  * assertions here lock in the DECISIONS those pins exist for — join
+  * order (the lineitem fact is always the probe/streamed side, never a
+  * build), broadcast-vs-partitioned strategy per join, selective
+  * predicates reaching the scans, Top-N instead of global sort, and
+  * runtime filters targeting the fact scan once joins shuffle (the
+  * 100 TB shape, where Impala's DISTRIBUTEDPLAN RF pins live).
+  */
+class PlannerSpec5 extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+
+  // Build-side pins plan against sf0.1, where the fact/dim size
+  // contrast matches the reference's stats (lineitem 10.8 MB vs orders
+  // 2.7 MB vs customer 0.3 MB — same ordering as 718/162/23 MB in
+  // tpch-all.test's scan pins); at sf0.001 every table is broadcastable
+  // and the build-side choice is degenerate. Planning only — nothing
+  // executes against the larger SF here.
+  private def qBig(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.1")
+
+  /** Build-side subtree of every broadcast hash join in the plan
+    * (sparkPlan keeps the build side on the join node; exchanges are
+    * only inserted later by EnsureRequirements).
+    */
+  private def buildSubtrees(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case j: BroadcastHashJoinExec =>
+      if (j.buildSide == BuildLeft) j.left else j.right }
+
+  private def scanPaths(p: SparkPlan): Seq[String] =
+    p.collectLeaves().collect { case f: FileSourceScanExec =>
+      f.relation.location.rootPaths.mkString(",") }
+
+  private def assertFactNeverBuilds(p: SparkPlan, fact: String): Unit = {
+    val builds = buildSubtrees(p)
+    assert(builds.nonEmpty, p.toString)
+    assert(!builds.flatMap(scanPaths).exists(_.contains(fact)),
+      s"$fact on a broadcast build side:\n$p")
+  }
+
+  /** Every broadcast build must be the SMALLER estimated side — the
+    * size-based mechanism that keeps a 100 TB fact off the build side
+    * regardless of which subtree the estimate favors at test SFs.
+    */
+  private def assertBuildsSizeChosen(p: SparkPlan): Unit =
+    p.foreach {
+      case j: BroadcastHashJoinExec =>
+        val (build, probe) =
+          if (j.buildSide == BuildLeft) (j.left, j.right) else (j.right, j.left)
+        for {
+          b <- build.logicalLink.map(_.stats.sizeInBytes)
+          pr <- probe.logicalLink.map(_.stats.sizeInBytes)
+        } assert(b <= pr, s"build est $b > probe est $pr in:\n$j")
+      case _ => ()
+    }
+
+  // TPCH-Q3 (tpch-all.test:336-377): DISTRIBUTEDPLAN broadcasts the
+  // filtered customer build (exchange 08) against the orders/lineitem
+  // chain, and every build choice is stats-driven. Spark's analog:
+  // customer is a hash-join build, and EVERY broadcast build is the
+  // smaller estimated side (at sf0.1 Spark's width-scaled estimate
+  // legitimately broadcasts the 3-column lineitem projection against
+  // the orders-x-customer join product; at 100 TB both estimates blow
+  // past the threshold and the same rule shuffles the join instead).
+  test("tpch q3: customer builds; every build is the smaller estimated side (tpch-all.test:336-377)") {
+    val p = qBig("q3_shipping").queryExecution.sparkPlan
+    val builds = buildSubtrees(p)
+    assert(builds.nonEmpty, p.toString)
+    assert(builds.flatMap(scanPaths).exists(_.contains("customer")), p.toString)
+    assertBuildsSizeChosen(p)
+    val s = p.toString
+    assert(s.split("BroadcastHashJoin").length - 1 >= 2, s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  // TPCH-Q3 (tpch-all.test:307-335): single-node plan pins the date
+  // predicates ON the scans and a TOP-N (06:TOP-N LIMIT=10), not a
+  // full sort.
+  test("tpch q3: selective predicates reach the scans; Top-N not sort (tpch-all.test:307-335)") {
+    val s = q("q3_shipping").queryExecution.sparkPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("PushedFilters"), s)
+    // the three single-table predicates must be pushed scan filters
+    assert("GreaterThan\\(l_shipdate".r.findFirstIn(s).isDefined, s)
+    assert("LessThan\\(o_orderdate".r.findFirstIn(s).isDefined, s)
+    assert("EqualTo\\(c_mktsegment,BUILDING".r.findFirstIn(s).isDefined, s)
+  }
+
+  // TPCH-Q3 (tpch-all.test:330-335): at scale the orders build emits
+  // RF001 <- o_orderkey targeting the lineitem scan (runtime filters:
+  // RF001 -> l_orderkey). Spark's analog is bloom-filter injection,
+  // which activates once the join shuffles — force the partitioned
+  // shape (broadcast off) and pin that a might_contain filter lands on
+  // the fact side.
+  test("tpch q3 at scale: shuffled joins inject a bloom runtime filter on the fact (tpch-all.test:330-335)") {
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val opt = q("q3_shipping").queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), opt)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
+  // TPCH-Q7 (tpch-all.test:675-727): the 6-way join keeps lineitem at
+  // the plan bottom as the probe of every join; supplier/customer/
+  // nation x2 are builds (broadcast in the DISTRIBUTEDPLAN).
+  test("tpch q7: lineitem probes all five joins, dims build (tpch-all.test:675-727)") {
+    val p = qBig("q7_volume_shipping").queryExecution.sparkPlan
+    assertFactNeverBuilds(p, "lineitem")
+    assertBuildsSizeChosen(p)
+  }
+
+  // TPCH-Q7 (tpch-all.test:684-687): the cross-nation disjunction is an
+  // "other predicate" on a hash join — the equi keys still drive hash
+  // joins, never a cartesian / nested-loop fallback.
+  test("tpch q7: nation disjunction stays a residual filter, joins stay hash (tpch-all.test:684-687)") {
+    val s = q("q7_volume_shipping").queryExecution.sparkPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.split("BroadcastHashJoin").length - 1 >= 4, s)
+  }
+
+  // TPCH-Q8 (tpch-all.test:838-908): seven joins, lineitem always the
+  // probe; the selective p_type and r_name predicates sit on the part
+  // and region scans (00/07).
+  test("tpch q8: lineitem probes the 7-join chain; part/region predicates pushed (tpch-all.test:838-908)") {
+    val qe = qBig("q8_market_share").queryExecution
+    assertFactNeverBuilds(qe.sparkPlan, "lineitem")
+    val s = qe.sparkPlan.toString
+    assert("EqualTo\\(p_type,ECONOMY".r.findFirstIn(s).isDefined, s)
+    assert("EqualTo\\(r_name,AMERICA".r.findFirstIn(s).isDefined, s)
+  }
+
+  // TPCH-Q8 (tpch-all.test:908-931): the o_year aggregation is 2-phase
+  // (15:AGGREGATE STREAMING then 27:AGGREGATE FINALIZE across the
+  // HASH(o_year) exchange).
+  test("tpch q8: market-share agg is partial then final across the exchange (tpch-all.test:908-931)") {
+    val s = q("q8_market_share").queryExecution.sparkPlan.toString
+    assert(s.split("HashAggregate").length - 1 >= 2, s)
+  }
+
+  // TPCH-Q18 (tpch-all.test:2018-2053): the HAVING subquery becomes a
+  // LEFT SEMI hash join on o_orderkey whose BUILD side is the
+  // aggregated lineitem subtree (04:AGGREGATE ... having sum > 300).
+  test("tpch q18: HAVING subquery = semi join with the aggregate on the build side (tpch-all.test:2018-2053)") {
+    val p = qBig("q18_large_orders").queryExecution.sparkPlan
+    val semiBuilds = p.collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType.toString.contains("LeftSemi") =>
+        if (j.buildSide == BuildLeft) j.left else j.right
+    }
+    val aggBuild = semiBuilds.exists { b =>
+      b.collect { case a: HashAggregateExec => a }.nonEmpty &&
+      scanPaths(b).exists(_.contains("lineitem"))
+    }
+    assert(aggBuild, p.toString)
+  }
+
+  // TPCH-Q18 (tpch-all.test:2018-2021): 09:TOP-N LIMIT=100 — the final
+  // order-by-limit is a Top-N, not a global sort.
+  test("tpch q18: limit 100 is Top-N (tpch-all.test:2018-2021)") {
+    val s = q("q18_large_orders").queryExecution.sparkPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  // TPCH-Q21 (tpch-all.test:2407-2446): EXISTS is a SEMI hash join and
+  // NOT EXISTS an ANTI hash join on l_orderkey, each carrying the
+  // non-equi l_suppkey != l_suppkey as an "other join predicate" — not
+  // a nested-loop or cartesian.
+  test("tpch q21: semi + anti hash joins with residual non-equi conjuncts (tpch-all.test:2407-2446)") {
+    val s = q("q21_waiting_supplier").queryExecution.sparkPlan.toString
+    assert(s.contains("LeftSemi"), s)
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  // TPCH-Q21 (tpch-all.test:2430-2434): o_orderstatus = 'F' is a scan
+  // predicate on orders (02:SCAN ... predicates: o_orderstatus = 'F'),
+  // filtering before the join.
+  test("tpch q21: o_orderstatus predicate reaches the orders scan (tpch-all.test:2430-2434)") {
+    val s = q("q21_waiting_supplier").queryExecution.sparkPlan.toString
+    assert("EqualTo\\(o_orderstatus,F\\)".r.findFirstIn(s).isDefined, s)
+  }
+}
