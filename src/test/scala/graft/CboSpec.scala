@@ -125,4 +125,68 @@ class CboSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.cbo.enabled", "false")
     }
   }
+
+  // ---- distinct-estimate.test ----------------------------------------
+  // (`testdata/workloads/functional-planner/queries/PlannerTest/
+  // distinct-estimate.test`): the reference pins (1) distinctpc as a
+  // partial/merge 2-phase aggregation, (2) distinctpc merging THROUGH
+  // the count(distinct) rewrite (the sketch rides the per-key first
+  // phase as distinctpc, then merges), and — the property the plan
+  // shape exists for — (3) grouping cardinality estimated from ndv.
+
+  test("distinct-estimate.test: distinctpc is a 2-phase partial/merge aggregation") {
+    val df = Engine.sql(spark, TestSpark.sf,
+      "select distinctpc(l_orderkey) pc from lineitem")
+    val s = df.queryExecution.sparkPlan.toString
+    // partial sketch per partition, merge after the UNPARTITIONED
+    // exchange (01:AGGREGATE / 03:AGGREGATE FINALIZE in the ref pin)
+    assert(s.toLowerCase.contains("partial_distinctpc"), s)
+    assert(s.split("Aggregate").length - 1 >= 2, s)
+  }
+
+  test("distinct-estimate.test: distinctpc merges through the count(distinct) rewrite") {
+    val df = Engine.sql(spark, TestSpark.sf,
+      "select count(distinct l_orderkey) cd, distinctpc(l_orderkey) pc " +
+        "from lineitem")
+    val s = df.queryExecution.sparkPlan.toString
+    // the ref DISTRIBUTEDPLAN: phase 1 groups by l_orderkey carrying
+    // distinctpc, later phases carry distinctpc:merge while counting
+    // keys — Spark's RewriteDistinctAggregates produces the same
+    // stacked-aggregate shape with the key in the early phase
+    assert(s.contains("l_orderkey"), s)
+    assert(s.split("Aggregate").length - 1 >= 3, s)
+    assert(s.toLowerCase.contains("distinctpc"), s)
+    val r = df.collect().head
+    val exact = Engine.sql(spark, TestSpark.sf,
+      "select count(distinct l_orderkey) c from lineitem").collect().head.getLong(0)
+    assert(r.getLong(0) === exact)
+    // the FM sketch estimate lands within its documented error band
+    assert(r.getLong(1) > exact / 3 && r.getLong(1) < exact * 3,
+      s"distinctpc=${r.getLong(1)} exact=$exact")
+  }
+
+  test("distinct-estimate: GROUP BY cardinality estimate tracks catalog ndv") {
+    setup()
+    spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR COLUMNS " +
+      "o_custkey, o_orderpriority")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def est(col: String): BigInt =
+        spark.sql(s"SELECT $col FROM cbo_orders GROUP BY $col")
+          .queryExecution.optimizedPlan.stats.rowCount.get
+      def ndv(col: String): BigInt = {
+        val stats = spark.table("cbo_orders")
+          .queryExecution.optimizedPlan.stats.attributeStats
+        stats.find(_._1.name == col).get._2.distinctCount.get
+      }
+      // high-ndv key: the estimate IS the ndv (SingleNodePlanner's
+      // AggregationNode cardinality = product of grouping-col ndvs,
+      // capped by input cardinality; Spark's AggregateEstimation same)
+      assert(est("o_custkey") === ndv("o_custkey"))
+      assert(est("o_orderpriority") === ndv("o_orderpriority"))
+      // and the low-ndv group is estimated orders of magnitude smaller
+      assert(est("o_orderpriority") * 10 < est("o_custkey"),
+        s"${est("o_orderpriority")} vs ${est("o_custkey")}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
 }
