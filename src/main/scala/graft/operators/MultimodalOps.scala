@@ -51,16 +51,21 @@ object MultimodalOps {
     (fmt, w, h, feat)
   }
 
-  /** Format dispatch: uncompressed layouts decode for REAL through
-    * [[RawImage]] (features = normalized 8-bin luminance histogram);
-    * everything else falls back to the stub.
+  /** Format dispatch: PPM/BMP decode for REAL through [[RawImage]],
+    * PNG through [[RawPng]], baseline JPEG through [[RawJpeg]] (JDK
+    * ImageIO; spec-checked only — lossy DCT output is not
+    * DuckDB-mirrorable, see the RawJpeg header); features = normalized
+    * 8-bin luminance histogram. Everything else falls back to the stub.
     */
   def decodeAny(payload: Array[Byte]): (String, Int, Int, Array[Float]) = try {
-    (if (RawPng.sniff(payload)) "image/png" else RawImage.sniff(payload)) match {
-      case fmt @ ("image/ppm" | "image/bmp" | "image/png") =>
+    (if (RawPng.sniff(payload)) "image/png"
+     else if (RawJpeg.sniff(payload)) "image/jpeg"
+     else RawImage.sniff(payload)) match {
+      case fmt @ ("image/ppm" | "image/bmp" | "image/png" | "image/jpeg") =>
         val img = fmt match {
           case "image/ppm" => RawImage.decodePpm(payload)
           case "image/bmp" => RawImage.decodeBmp(payload)
+          case "image/jpeg" => RawJpeg.decode(payload)
           case _ => RawPng.decode(payload)
         }
         val feat = new Array[Float](8)
@@ -125,7 +130,7 @@ object MultimodalOps {
     }
   }
 
-  /** REAL resize for every decodable format: PPM/BMP/PNG payloads
+  /** REAL resize for every decodable format: PPM/BMP/PNG/JPEG payloads
     * decode, nearest-resample and re-encode in their own format
     * (binary->binary, executor-side); opaque payloads keep the stub.
     * BMP re-encodes as PPM (the engine has no BMP writer — the raster
@@ -136,6 +141,8 @@ object MultimodalOps {
     try {
       if (RawPng.sniff(payload))
         RawPng.encode(RawImage.resizeNearest(RawPng.decode(payload), targetW, targetH))
+      else if (RawJpeg.sniff(payload))
+        RawJpeg.encode(RawImage.resizeNearest(RawJpeg.decode(payload), targetW, targetH))
       else RawImage.sniff(payload) match {
         case "image/ppm" =>
           RawImage.encodePpm(RawImage.resizeNearest(

@@ -5,9 +5,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 /** Pure-JVM PNG codec: PNG is public-knowledge decodable with JDK-only
   * pieces — the container format is length-typed chunks, the pixel
   * stream is zlib (java.util.zip.Inflater) over five per-scanline
-  * byte filters (None/Sub/Up/Average/Paeth, PNG spec §9). This closes
-  * the one compressed-image gap reachable without native codecs;
-  * JPEG/WebP stay behind [[MultimodalOps.decodeStub]].
+  * byte filters (None/Sub/Up/Average/Paeth, PNG spec §9). Baseline
+  * JPEG decodes through [[RawJpeg]] (JDK ImageIO, spec-checked only);
+  * WebP stays behind [[MultimodalOps.decodeStub]].
   *
   * Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA — alpha
   * dropped on decode to the engine's RGB raster), non-interlaced.
