@@ -207,4 +207,44 @@ class PlannerSpec5 extends AnyFunSuite {
     val s = q("q21_waiting_supplier").queryExecution.sparkPlan.toString
     assert("EqualTo\\(o_orderstatus,F\\)".r.findFirstIn(s).isDefined, s)
   }
+
+  // TPCH-Q5 (tpch-all.test:495-512): the supplier join carries BOTH
+  // equi-pairs in ONE hash join (08:HASH JOIN hash predicates:
+  // l_suppkey = s_suppkey, c_nationkey = s_nationkey — the local-
+  // supplier trick), and r_name = 'ASIA' sits on the region scan.
+  test("tpch q5: composite-key supplier join is one hash join; region predicate pushed (tpch-all.test:495-512)") {
+    val s = q("q5_local_supplier").queryExecution.sparkPlan.toString
+    val composite = s.linesIterator.exists(l =>
+      l.contains("HashJoin") && l.contains("l_suppkey") &&
+        l.contains("c_nationkey"))
+    assert(composite, s)
+    assert("EqualTo\\(r_name,ASIA\\)".r.findFirstIn(s).isDefined, s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  // TPCH-Q17 (tpch-all.test:1909-1936): the correlated avg subquery
+  // decorrelates into ONE grouped aggregate over a second lineitem
+  // scan joined back on l_partkey (03:AGGREGATE group by l_partkey +
+  // 05:HASH JOIN) — exactly two lineitem scans total, never per-row
+  // re-execution.
+  test("tpch q17: correlated avg decorrelates to one grouped agg, two lineitem scans (tpch-all.test:1909-1936)") {
+    val p = q("q17_small_quantity").queryExecution.sparkPlan
+    val liScans = p.collect { case f: FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.mkString.contains("lineitem"))
+    assert(liScans === 2, p.toString)
+    val grouped = p.collect { case a: HashAggregateExec => a }
+      .exists(_.groupingExpressions.exists(_.toString.contains("l_partkey")))
+    assert(grouped, p.toString)
+  }
+
+  // TPCH-Q22 (tpch-all.test:2552-2575): the scalar avg(c_acctbal)
+  // subquery joins as a 1-row nested-loop build (04:NESTED LOOP JOIN
+  // predicates: c_acctbal > avg(c_acctbal)) and NOT EXISTS is an ANTI
+  // hash join on the custkey (05:HASH JOIN RIGHT ANTI).
+  test("tpch q22: scalar-avg NLJ against a 1-row build + anti join on custkey (tpch-all.test:2552-2575)") {
+    val s = q("q22_global_sales").queryExecution.sparkPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }
