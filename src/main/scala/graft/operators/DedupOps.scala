@@ -182,17 +182,21 @@ object DedupOps {
     * use; the verified candidate-PAIR semantic (with its est_jaccard /
     * hamming evidence) stays on [[minhashPairs]]/[[simhashPairs]].
     *
-    * Shape at 100 TB: one shuffle for the per-bucket min, one co-
-    * partitioned join back (both sides hash on the bucket key), one
-    * distinct on the edge — every step linear in corpus size.
+    * Shape at 100 TB: ONE pass over the banded signatures — the
+    * bucket min is a window aggregate over the band keys (one
+    * shuffle), then a distinct on the edge (second shuffle). The
+    * groupBy-reps + join-back alternative reads clean but plans TWO
+    * scans + shingle/minhash passes over the corpus: the agg and probe
+    * subtrees differ by an isnotnull join-key filter, so AQE exchange
+    * reuse cannot dedup them (probed — StarPlanProbe, REUSED=false).
     */
   private def starEdges(bands: DataFrame, bucketCol: String): DataFrame = {
-    val reps = bands.groupBy(col("band_idx"), col(bucketCol))
-      .agg(min(col("doc_id")).as("doc_a"))
-    bands.select(col("band_idx"), col(bucketCol), col("doc_id").as("doc_b"))
-      .join(reps, Seq("band_idx", bucketCol))
-      .filter(col("doc_b") > col("doc_a"))
-      .select(col("doc_a"), col("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col(bucketCol))
+    bands.select(col("band_idx"), col(bucketCol), col("doc_id"))
+      .withColumn("doc_a", min(col("doc_id")).over(w))
+      .filter(col("doc_id") > col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
 
