@@ -212,6 +212,13 @@ object DedupOps {
     * shingles, cap document frequency (drops stop-shingles — bounds the
     * self-join fan-out at scale), count shared shingles per pair, Jaccard
     * >= 0.3. No approximation: this is the verifier MinHash approximates.
+    *
+    * One-pass index (r9 plan audit): the doc's shingle-set SIZE rides
+    * the exploded rows and the DF cap is a window count over the
+    * shingle key — the earlier sizes-joins + rare-set-join formulation
+    * planned SIX corpus scans (each re-running tokenization), because
+    * the renamed/filtered subtrees defeat AQE exchange reuse. Only the
+    * inherent a/b self-join reads the index twice now.
     */
   def ngramJaccardPairs(s: SparkSession, d: String,
       planted: Boolean): DataFrame = {
@@ -219,26 +226,25 @@ object DedupOps {
       val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-      val sizes = doc.select(col("doc_id"), size(col("sh")).as("n_sh"))
-      val inv = doc.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val inv = doc.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
       // document-frequency cap: shingles appearing in >50 docs carry no
       // dedup signal and would otherwise explode the join
-      val rare = inv.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
+      val wDf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shingle"))
+      val capped = inv
+        .withColumn("df", count(lit(1)).over(wDf))
         .filter(col("df") <= 50)
-        .select(col("shingle"))
-      val capped = inv.join(rare, Seq("shingle"))
-      val pairs = capped.select(col("shingle"), col("doc_id").as("doc_a"))
-        .join(capped.select(col("shingle"), col("doc_id").as("doc_b")),
-          Seq("shingle"))
+        .select(col("shingle"), col("doc_id"), col("n_sh"))
+      val pairs = capped
+        .select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+        .join(capped.select(col("shingle"), col("doc_id").as("doc_b"),
+          col("n_sh").as("nb")), Seq("shingle"))
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
+        // na/nb are functions of doc_a/doc_b — extra keys, no cardinality
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
         .agg(count(lit(1)).as("shared"))
       val verified = pairs
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
-          Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
-          Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (col("shared").cast("double") /
             (col("na") + col("nb") - col("shared"))).as("jaccard"))
