@@ -472,6 +472,48 @@ object DedupOps {
       |FROM documents d JOIN g USING (source, lang)
       |ORDER BY d.doc_id""".stripMargin))
 
+  /** Quality-based survivor selection over dedup clusters: production
+    * pipelines keep the BEST document per near-dup cluster (longest /
+    * highest quality), not the smallest id — the C4/RefinedWeb recipe.
+    * Same chain pair structure as [[clusterAssign]] (so clusters stay
+    * oracle-expressible as the (source, lang) groups), clusters from
+    * the real [[connectedComponents]] operator, then one window
+    * row_number per cluster ordered by (n_chars DESC, doc_id DESC)
+    * picks the survivor. At scale: the cluster join shuffles on doc_id
+    * and the survivor pick is one window shuffle on cluster_id — no
+    * driver state, no per-cluster collection.
+    */
+  val survivorQuality: Q = Q("dedup_survivor",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("lang")).orderBy(col("doc_id"))
+      val pairs = docs
+        .select(col("source"), col("lang"), col("doc_id").as("b"),
+          lag(col("doc_id"), 1).over(w).as("a"))
+        .filter(col("a").isNotNull)
+        .select(col("a"), col("b"))
+      val clusters = connectedComponents(pairs)
+        .select(col("id"), col("cluster_id"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").desc)
+      docs.join(clusters, col("doc_id") === col("id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+        .withColumn("keep", row_number().over(wc) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (SELECT source, lang FROM documents
+      |  GROUP BY source, lang HAVING COUNT(*) > 1)
+      |SELECT d.doc_id,
+      |  MIN(d.doc_id) OVER (PARTITION BY d.source, d.lang) AS cluster_id,
+      |  d.n_chars,
+      |  (ROW_NUMBER() OVER (PARTITION BY d.source, d.lang
+      |     ORDER BY d.n_chars DESC, d.doc_id DESC) = 1) AS keep
+      |FROM documents d JOIN g USING (source, lang)
+      |ORDER BY d.doc_id""".stripMargin))
+
   /** Incremental dedup of a new batch against an existing snapshot — the
     * standard shape for deduping a fresh crawl against a 100 TB corpus
     * without joining the full corpus: (1) aggregate the snapshot's
@@ -524,5 +566,5 @@ object DedupOps {
       |ORDER BY b.doc_id""".stripMargin))
 
   val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
-    embeddingCosine, clusterAssign, bloomIncremental)
+    embeddingCosine, clusterAssign, survivorQuality, bloomIncremental)
 }

@@ -45,6 +45,20 @@ class ClusterSpec extends AnyFunSuite {
     assert(comps(star) === comps(allPairs))
   }
 
+  test("survivor selection keeps exactly one, the longest (tiebreak: max id)") {
+    val rows = SparkEntry.queries("dedup_survivor")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (_, members) =>
+      val keepers = members.filter(_.getBoolean(3))
+      assert(keepers.length === 1)
+      // the keeper is lexicographic-max on (n_chars, doc_id)
+      val best = members.maxBy(r => (r.getLong(2), r.getLong(0)))
+      assert(keepers.head.getLong(0) === best.getLong(0))
+    }
+  }
+
   test("cluster assignment matches per-group min on exact dups") {
     val q = SparkEntry.queries("dedup_cluster_assign")(spark, TestSpark.sf)
     val rows = q.collect()
