@@ -481,7 +481,13 @@ object DedupOps {
     * row_number per cluster ordered by (n_chars DESC, doc_id DESC)
     * picks the survivor. At scale: the cluster join shuffles on doc_id
     * and the survivor pick is one window shuffle on cluster_id — no
-    * driver state, no per-cluster collection.
+    * driver state, no per-cluster collection. Skew note: a window
+    * partitioned by cluster_id processes each cluster in one task
+    * (spill-backed); on a corpus with boilerplate mega-clusters
+    * (millions of members), swap the window for the 2-phase
+    * max(struct(n_chars, doc_id)) aggregate + join-back — map-side
+    * partials break the skew at the cost of a second pass over the
+    * membership.
     */
   val survivorQuality: Q = Q("dedup_survivor",
     (s, d) => {
