@@ -139,6 +139,30 @@ class FaultToleranceSpec extends AnyFunSuite {
     KvStore.drop(table)
   }
 
+  test("task killed mid window aggregate: result unchanged (star-edge shape)") {
+    // the r9 dedup paths (star edges, ngram DF cap, survivor pick) all
+    // lean on window aggregates over a partition key — kill a task in
+    // the window stage and assert the retried result is unchanged
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val clean = spark.range(0, 2000, 1, 8)
+      .select(col("id"), (col("id") % 97).as("k"))
+      .withColumn("mn", min("id").over(w))
+      .filter(col("id") > col("mn"))
+      .select("k", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    var got: Seq[(Long, Long)] = Nil
+    val kills = withTaskKill("later") {
+      got = slowDf(2000, 8).select(col("id"), col("k"))
+        .withColumn("mn", min("id").over(w))
+        .filter(expr("sleep(1)")) // slow the WINDOW stage so the kill lands
+        .filter(col("id") > col("mn"))
+        .select("k", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(kills == 1, "fault was not injected")
+    assert(got == clean)
+  }
+
   test("task killed mid streaming micro-batch: state stays exactly-once") {
     // the streaming analog of the reference's fail-points: kill a task
     // inside a stateful micro-batch; the batch's task retry must leave
