@@ -45,6 +45,24 @@ class ClusterSpec extends AnyFunSuite {
     assert(comps(star) === comps(allPairs))
   }
 
+  test("star clusters subsume every verified organic pair") {
+    // a verified pair shares a band bucket, and star edges connect all
+    // bucket members through the bucket min — so the star components
+    // must place both endpoints of EVERY verified pair together (the
+    // star path can only merge more, never split a true candidate)
+    val comps = DedupOps.connectedComponents(
+      DedupOps.minhashStarEdges(spark, TestSpark.sf)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .as[(Long, Long)].collect().toMap
+    val verified = DedupOps.minhashPairs(spark, TestSpark.sf, planted = false)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    assert(verified.nonEmpty)
+    verified.foreach { case (a, b) =>
+      assert(comps.get(a).isDefined && comps(a) == comps(b),
+        s"verified pair ($a,$b) split across star clusters")
+    }
+  }
+
   test("survivor selection keeps exactly one, the longest (tiebreak: max id)") {
     val rows = SparkEntry.queries("dedup_survivor")(spark, TestSpark.sf)
       .collect()
