@@ -208,6 +208,63 @@ class PlannerSpec5 extends AnyFunSuite {
     assert("EqualTo\\(o_orderstatus,F\\)".r.findFirstIn(s).isDefined, s)
   }
 
+  // TPCH-Q4 (tpch-all.test:379-455): EXISTS becomes a LEFT SEMI hash
+  // join on the orderkey CARRYING the correlated date comparison
+  // (l_shipdate > o_orderdate) as an other-join-predicate, and the
+  // o_orderdate range stays a pushed orders scan predicate.
+  test("tpch q4: EXISTS = semi hash join with the correlated date residual (tpch-all.test:379-455)") {
+    val s = q("q4_order_priority").queryExecution.sparkPlan.toString
+    assert(s.contains("LeftSemi"), s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    val semiLine = s.linesIterator.find(_.contains("LeftSemi"))
+    assert(semiLine.exists(l => l.contains("l_shipdate") &&
+      l.contains("o_orderdate")), s)
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(s).isDefined, s)
+  }
+
+  // TPCH-Q12 (tpch-all.test:1443-1522): the ship-date range is a
+  // pushed lineitem scan predicate; ONE equi join; both CASE sums live
+  // in a single 2-phase aggregate.
+  test("tpch q12: pushed date range, one join, both CASE sums in one agg (tpch-all.test:1443-1522)") {
+    val p = q("q12_priority_class").queryExecution.sparkPlan
+    val s = p.toString
+    assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(s).isDefined, s)
+    assert(s.split("Join").length - 1 >= 1, s)
+    assert(s.split("HashAggregate").length - 1 == 2, s) // partial + final only
+    val liScans = p.collect { case f: FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.mkString.contains("lineitem"))
+    assert(liScans === 1, s)
+  }
+
+  // TPCH-Q14 (tpch-all.test:1611-1663): one part join over the pushed
+  // one-month lineitem range; the promo ratio's two sums compute in ONE
+  // aggregate pass — lineitem is scanned exactly once.
+  test("tpch q14: promo ratio is one scan, one join, one agg pass (tpch-all.test:1611-1663)") {
+    val p = q("q14_promo").queryExecution.sparkPlan
+    val liScans = p.collect { case f: FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.mkString.contains("lineitem"))
+    assert(liScans === 1, p.toString)
+    val s = p.toString
+    assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(s).isDefined, s)
+    assert(s.split("HashAggregate").length - 1 == 2, s)
+  }
+
+  // TPCH-Q19 (tpch-all.test:2154-2175): the common l_partkey =
+  // p_partkey drives a HASH join (02:HASH JOIN hash predicates) and
+  // the 3-branch brand/container/quantity disjunction rides as "other
+  // predicates" — never a nested-loop or cartesian.
+  test("tpch q19: equi key drives a hash join, the OR rides as residual (tpch-all.test:2154-2175)") {
+    val s = q("q19_disjunctive").queryExecution.sparkPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    val joinLine = s.linesIterator.find(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joinLine.isDefined, s)
+    assert(joinLine.exists(l => l.contains("l_partkey") &&
+      l.contains("p_brand")), s)
+  }
+
   // TPCH-Q5 (tpch-all.test:495-512): the supplier join carries BOTH
   // equi-pairs in ONE hash join (08:HASH JOIN hash predicates:
   // l_suppkey = s_suppkey, c_nationkey = s_nationkey — the local-
