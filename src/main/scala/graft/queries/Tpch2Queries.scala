@@ -142,7 +142,15 @@ object Tpch2Queries {
       (s, d) => {
         val li = t(s, d, "lineitem").filter(
           col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
-          col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz") &&
+          // explicit (vacuous) null guard so BOTH consumers of `rev` —
+          // the supplier join (which would otherwise INFER
+          // isnotnull(l_suppkey) into its copy of the subtree) and the
+          // global max — share an identical aggregate subtree, letting
+          // AQE exchange reuse materialize the revenue view ONCE
+          // (PlannerSpec5 pins it; the reference materializes the
+          // shared WITH subtree once per fragment tree)
+          col("l_suppkey").isNotNull)
         val rev = li.groupBy(col("l_suppkey"))
           .agg(sum(volume.cast(D28_6)).as("total_rev"))
         val maxRev = rev.agg(max(col("total_rev")).as("mr"))

@@ -265,6 +265,115 @@ class PlannerSpec5 extends AnyFunSuite {
       l.contains("p_brand")), s)
   }
 
+  // TPCH-Q1 (tpch-all.test:1-55): pure scan + 2-phase aggregate, no
+  // join anywhere; the shipdate predicate reaches the scan; the final
+  // sort sits above the merged aggregate.
+  test("tpch q1: no joins, pushed date, sort above the 2-phase agg (tpch-all.test:1-55)") {
+    val s = q("q1_pricing").queryExecution.sparkPlan.toString
+    assert(!s.contains("Join"), s)
+    assert(s.split("HashAggregate").length - 1 == 2, s)
+    assert("LessThanOrEqual\\(l_shipdate|LessThan\\(l_shipdate".r
+      .findFirstIn(s).isDefined, s)
+    assert(s.contains("Sort"), s)
+  }
+
+  // TPCH-Q2 (tpch-all.test:56-280): the correlated min-supplycost
+  // subquery decorrelates into ONE grouped min aggregate joined back
+  // on (partkey, supplycost); top-20 is a Top-N.
+  test("tpch q2: correlated min decorrelates to one grouped agg + join-back (tpch-all.test:56-280)") {
+    val p = q("q2_min_cost_supplier").queryExecution.sparkPlan
+    val minAgg = p.collect { case a: HashAggregateExec => a }
+      .exists(a => a.groupingExpressions.exists(_.toString.contains("partkey")) &&
+        a.aggregateExpressions.exists(_.toString.toLowerCase.contains("min")))
+    assert(minAgg, p.toString)
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+  }
+
+  // TPCH-Q6 (tpch-all.test:604-634): zero joins and EVERY predicate
+  // (date range, discount band, quantity cap) pushed into the scan.
+  test("tpch q6: scan-only with all three predicates pushed (tpch-all.test:604-634)") {
+    val p = q("q6_revenue").queryExecution.sparkPlan
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    // the toString PushedFilters list truncates — read the scan
+    // metadata for the full pushed set
+    val pushed = p.collect {
+      case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+  }
+
+  // TPCH-Q9 (tpch-all.test:1000-1150): the 5-way profit join keeps
+  // lineitem on the probe side throughout; p_name LIKE reaches the
+  // part scan as a pushed contains filter.
+  test("tpch q9: lineitem probes the profit join chain; p_name filter pushed (tpch-all.test:1000-1150)") {
+    val p = qBig("q9_product_profit").queryExecution.sparkPlan
+    assertFactNeverBuilds(p, "lineitem")
+    assert("StringContains\\(p_name,red\\)".r.findFirstIn(p.toString).isDefined,
+      p.toString)
+  }
+
+  // TPCH-Q10 (tpch-all.test:1151-1276): l_returnflag = 'R' is a pushed
+  // lineitem scan predicate and the top-20 is a Top-N, not a sort.
+  test("tpch q10: returnflag pushed, top-20 is Top-N (tpch-all.test:1151-1276)") {
+    val s = q("q10_returned").queryExecution.sparkPlan.toString
+    assert("EqualTo\\(l_returnflag,R\\)".r.findFirstIn(s).isDefined, s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  // TPCH-Q11 (tpch-all.test:1277-1442): the HAVING threshold is a
+  // 1-row scalar joined by nested-loop against the grouped values —
+  // never a data-sized cartesian.
+  test("tpch q11: scalar threshold joins as a 1-row NLJ build (tpch-all.test:1277-1442)") {
+    val s = q("q11_important_stock").queryExecution.sparkPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  // TPCH-Q13 (tpch-all.test:1523-1610): the customer-orders join stays
+  // LEFT OUTER (zero-order customers must survive into c_count = 0)
+  // and the distribution is a two-level aggregate.
+  test("tpch q13: left outer preserved under the two-level agg (tpch-all.test:1523-1610)") {
+    val s = q("q13_custdist").queryExecution.sparkPlan.toString
+    assert(s.contains("LeftOuter"), s)
+    assert(s.split("HashAggregate").length - 1 >= 3, s)
+  }
+
+  // TPCH-Q15 (tpch-all.test:1664-1786): the revenue view is referenced
+  // twice (per-supplier totals + global max); the reference
+  // materializes the shared WITH subtree once — AQE exchange reuse
+  // must dedup the repeated aggregate-exchange at runtime.
+  test("tpch q15: shared revenue view materializes once at runtime (tpch-all.test:1664-1786)") {
+    val df = q("q15_top_supplier")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val stageIds = "ShuffleQueryStage (\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(p.contains("ReusedExchange") ||
+      stageIds.size > stageIds.distinct.size, p)
+  }
+
+  // TPCH-Q16 (tpch-all.test:1787-1889): the NOT IN supplier set is an
+  // ANTI join and the supplier_cnt is a count-distinct rewrite
+  // (stacked aggregates), all above the pushed part predicates.
+  test("tpch q16: anti join + count-distinct rewrite (tpch-all.test:1787-1889)") {
+    val s = q("q16_parts_supplier_cnt").queryExecution.sparkPlan.toString
+    assert(s.contains("LeftAnti"), s)
+    assert(s.split("HashAggregate").length - 1 >= 3, s)
+  }
+
+  // TPCH-Q20 (tpch-all.test:2191-2339): the nested IN chain (bolt
+  // parts -> surplus partsupp -> suppliers) plans as chained SEMI
+  // joins — no decorrelated per-row re-execution, no cartesian.
+  test("tpch q20: nested IN chain = chained semi joins (tpch-all.test:2191-2339)") {
+    val s = q("q20_surplus_suppliers").queryExecution.sparkPlan.toString
+    assert(s.split("LeftSemi").length - 1 >= 2, s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   // TPCH-Q5 (tpch-all.test:495-512): the supplier join carries BOTH
   // equi-pairs in ONE hash join (08:HASH JOIN hash predicates:
   // l_suppkey = s_suppkey, c_nationkey = s_nationkey — the local-
