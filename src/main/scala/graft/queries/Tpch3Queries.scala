@@ -111,11 +111,16 @@ object Tpch3Queries {
           .join(broadcast(t(s, d, "nation")
               .filter(col("n_name") === "NATION_3")),
             col("s_nationkey") === col("n_nationkey"))
-        val threshold = natPs
-          .agg((dsum2(col("ps_supplycost") * col("ps_availqty")) *
-            lit(0.0001)).as("thr"))
-        natPs.groupBy(col("ps_partkey"))
+        // the global threshold is the sum of the per-part group sums
+        // (decimal sums — exact, association-free), so BOTH consumers
+        // derive from ONE aggregate subtree and AQE exchange reuse
+        // materializes the 3-way join once (PlannerSpec5 pins it; the
+        // earlier separate natPs.agg threshold computed the join twice)
+        val values = natPs.groupBy(col("ps_partkey"))
           .agg(dsum2(col("ps_supplycost") * col("ps_availqty")).as("value"))
+        val threshold = values
+          .agg((sum(col("value")) * lit(0.0001)).as("thr"))
+        values
           .crossJoin(broadcast(threshold))
           .filter(col("value") > col("thr"))
           .select(col("ps_partkey"), col("value"))

@@ -333,6 +333,20 @@ class PlannerSpec5 extends AnyFunSuite {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
+  // TPCH-Q11 continued: both the threshold and the HAVING values
+  // derive from ONE per-part aggregate — the 3-way partsupp join
+  // materializes once at runtime (exchange reuse), not once per
+  // consumer.
+  test("tpch q11: the partsupp join materializes once at runtime (tpch-all.test:1277-1442)") {
+    val df = q("q11_important_stock")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val stageIds = "ShuffleQueryStage (\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(p.contains("ReusedExchange") ||
+      stageIds.size > stageIds.distinct.size, p)
+  }
+
   // TPCH-Q13 (tpch-all.test:1523-1610): the customer-orders join stays
   // LEFT OUTER (zero-order customers must survive into c_count = 0)
   // and the distribution is a two-level aggregate.
