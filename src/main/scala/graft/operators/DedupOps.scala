@@ -60,17 +60,6 @@ object DedupOps {
     df.unionByName(df.filter(col(idCol) % every === 0)
       .withColumn(idCol, col(idCol) + TwinOffset))
 
-  /** MinHash + LSH near-dup candidates: 64-hash signature, 16 bands x 4
-    * rows (s-curve threshold ~0.5 Jaccard), candidates = pairs sharing a
-    * band bucket, verified by signature agreement >= 0.35.
-    *
-    * `planted = false` is the organic semantic — every banded pair over
-    * the real corpus at the 0.35 threshold (DedupOrganicSpec pins it
-    * end-to-end). `planted = true` (the driver entry) unions identical
-    * twins and projects the twin pairs, making the full
-    * shingle->signature->band-join pipeline hash-checkable: an identical
-    * payload collides in every band with agreement exactly 64/64.
-    */
   /** One row per (doc, band): the 64-hash MinHash signature banded into
     * 16 x 4-row buckets. Shared by the pair path ([[minhashPairs]]) and
     * the cluster-feeding star path ([[minhashStarEdges]]).
@@ -87,6 +76,17 @@ object DedupOps {
             .as(Seq("band_idx", "band_hash")))
   }
 
+  /** MinHash + LSH near-dup candidates: 64-hash signature, 16 bands x 4
+    * rows (s-curve threshold ~0.5 Jaccard), candidates = pairs sharing a
+    * band bucket, verified by signature agreement >= 0.35.
+    *
+    * `planted = false` is the organic semantic — every banded pair over
+    * the real corpus at the 0.35 threshold (DedupOrganicSpec pins it
+    * end-to-end). `planted = true` (the driver entry) unions identical
+    * twins and projects the twin pairs, making the full
+    * shingle->signature->band-join pipeline hash-checkable: an identical
+    * payload collides in every band with agreement exactly 64/64.
+    */
   def minhashPairs(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       val bands = minhashBands(s, d, planted)
       val a = bands.select(col("band_idx"), col("band_hash"),
@@ -118,13 +118,6 @@ object DedupOps {
       |      t -> t <> '')) >= 3
       |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** SimHash near-dup candidates: 64-bit simhash (custom codegen'd
-    * expression), 4 x 16-bit bands, pairs sharing a band verified by
-    * Hamming distance <= 6. `planted` as in [[minhashPairs]]: false =
-    * the organic banded pairs at the Hamming threshold, true = the
-    * twin-projected driver entry (identical token streams -> identical
-    * simhash -> Hamming 0).
-    */
   /** One row per (doc, band): the 64-bit SimHash split into 4 x 16-bit
     * bands. Shared by [[simhashPairs]] and [[simhashStarEdges]].
     */
@@ -142,6 +135,13 @@ object DedupOps {
           .as(Seq("band_idx", "band_val")))
   }
 
+  /** SimHash near-dup candidates: 64-bit simhash (custom codegen'd
+    * expression), 4 x 16-bit bands, pairs sharing a band verified by
+    * Hamming distance <= 6. `planted` as in [[minhashPairs]]: false =
+    * the organic banded pairs at the Hamming threshold, true = the
+    * twin-projected driver entry (identical token streams -> identical
+    * simhash -> Hamming 0).
+    */
   def simhashPairs(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       val bands = simhashBands(s, d, planted)
       val a = bands.select(col("band_idx"), col("band_val"),
