@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.optimizer.BuildLeft
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -72,6 +73,81 @@ class PlannerSpec7 extends AnyFunSuite {
     // each band is its own 2-phase count: >= 16 HashAggregate nodes
     assert(s.split("HashAggregate").length - 1 >= 16, s)
     assert(!s.contains("CartesianProduct"), s)
+  }
+
+  // TPCDS-Q34 (tpcds-all.test:723-873): the per-ticket count aggregate
+  // runs BELOW the customer join (aggregate-then-join shrinks the join
+  // input to tickets) with the cnt-between filter on the aggregated
+  // side — never aggregate-after-join.
+  test("tpcds q34: ticket-count agg below the customer join (tpcds-all.test:723-873)") {
+    val p = q("tpcds_q34").queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val aggUnderJoin = p.collect {
+      case j: BroadcastHashJoinExec => Seq(j.left, j.right)
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+    }.flatten.exists(side =>
+      side.collect { case a: HashAggregateExec => a }
+        .exists(_.groupingExpressions.exists(_.toString.contains("ss_ticket_number"))))
+    assert(aggUnderJoin, p.toString)
+    assert(p.toString.contains("cnt"), p.toString)
+  }
+
+  // TPCDS-Q47 (tpcds-all.test:3219-3405): v1 is referenced three times
+  // (current/lag/lead month) — the reference plans exactly three scans
+  // of the fact; the monthly-sum + window subtree must not multiply
+  // beyond that.
+  test("tpcds q47: the lag/lead self-join bounds at three fact scans (tpcds-all.test:3219-3405)") {
+    val p = q("tpcds_q47").queryExecution.sparkPlan
+    val liScans = p.collect { case f: FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.mkString.contains("lineitem"))
+    assert(liScans === 3, p.toString)
+    assert(p.toString.contains("Window"), p.toString)
+  }
+
+  // TPCDS-Q53 (tpcds-all.test:1385-1502): quarterly manufacturer sums
+  // under a Top-N — the registry's golden-port adaptation drops the
+  // avg-window (q89/q98 pin the windowed variants), so the decision
+  // here is Top-N directly over the 2-phase quarterly aggregate.
+  test("tpcds q53: Top-N over 2-phase quarterly sums (tpcds-all.test:1385-1502)") {
+    val s = q("tpcds_q53").queryExecution.sparkPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.split("HashAggregate").length - 1 >= 2, s)
+    assert(s.indexOf("TakeOrderedAndProject") < s.indexOf("HashAggregate"), s)
+  }
+
+  // TPCDS-Q65 (tpcds-all.test:1996-2199): per-item revenue and the
+  // store totals are two aggregate branches over the fact — the
+  // reference scans store_sales exactly twice, and so must the derived
+  // plan (not once per downstream consumer).
+  test("tpcds q65: exactly two fact-aggregate branches (tpcds-all.test:1996-2199)") {
+    val p = q("tpcds_q65").queryExecution.sparkPlan
+    val liScans = p.collect { case f: FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.mkString.contains("lineitem"))
+    assert(liScans === 2, p.toString)
+  }
+
+  // TPCDS-Q89 (tpcds-all.test:2683-2816): the category/brand monthly
+  // sums feed an avg-over-partition window, the deviation filter sits
+  // on the window output, Top-N on top.
+  test("tpcds q89: agg -> window -> filter -> Top-N (tpcds-all.test:2683-2816)") {
+    val s = q("tpcds_q89").queryExecution.sparkPlan.toString
+    assert(s.contains("Window"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.indexOf("TakeOrderedAndProject") < s.indexOf("Window"), s)
+    assert(s.indexOf("Window") < s.lastIndexOf("HashAggregate"), s)
+  }
+
+  // TPCDS-Q98 (tpcds-all.test:2906-3218): the class-revenue share is a
+  // windowed sum over the grouped revenue (ratio-to-report) — one
+  // aggregate pass, one window, no self-join for the denominator.
+  test("tpcds q98: revenue share is a window, not a denominator self-join (tpcds-all.test:2906-3218)") {
+    val p = q("tpcds_q98").queryExecution.sparkPlan
+    val s = p.toString
+    assert(s.contains("Window"), s)
+    val liScans = p.collect { case f: FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.mkString.contains("lineitem"))
+    assert(liScans === 1, s)
   }
 
   // TPCDS-Q59 (tpcds-all.test:1594-1852): the shared weekly-sales CTE
