@@ -254,6 +254,38 @@ object PrimitiveQueries {
       |     l_linestatus, l_shipdate
       |   LIMIT 1000000) a""".stripMargin)
 
+  // ---- the three non-primitive targeted-perf files ----
+  // (`limit.test` PERF_LIMIT-Q1 `SELECT * ... LIMIT 0` is the existing
+  // `limit_zero` entry)
+
+  /** `targeted-perf/queries/aggregation.test` PERF_AGG-Q1: the
+    * mixed-type global aggregate (count / min INT / max DOUBLE /
+    * rounded decimal sum); l_tax sums Det-style — exact per-row 2dp
+    * decimal cast, one double cast at output.
+    */
+  private val perfAggMixed = pq("prim_perf_agg_mixed",
+    "SELECT count(*) AS n, min(l_linenumber) AS mn, " +
+      "max(l_quantity) AS mx, " +
+      "CAST(SUM(CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_tax " +
+      "FROM lineitem")
+
+  /** `targeted-perf/queries/string.test` PERF_STRING Q1-Q7: the LIKE
+    * anchor matrix (equality, wildcard-free LIKE, prefix/suffix/infix
+    * `%`, inner `%`, lower()-equality) in one pass over the documents
+    * text (the driver lineitem has no l_comment; the anchor semantics
+    * are what the file pins).
+    */
+  private val perfStringLike = pq("prim_perf_string_like",
+    "SELECT " +
+      "count(CASE WHEN text = 'the' THEN 1 END) AS c_eq, " +
+      "count(CASE WHEN text LIKE 'the' THEN 1 END) AS c_like_exact, " +
+      "count(CASE WHEN text LIKE 'the%' THEN 1 END) AS c_prefix, " +
+      "count(CASE WHEN text LIKE '%the' THEN 1 END) AS c_suffix, " +
+      "count(CASE WHEN text LIKE '%the%' THEN 1 END) AS c_infix, " +
+      "count(CASE WHEN text LIKE 'th%e' THEN 1 END) AS c_inner, " +
+      "count(CASE WHEN lower(text) = 'the' THEN 1 END) AS c_lower " +
+      "FROM documents")
+
   val defs: Seq[Q] = Seq(
     filterBigintSel, filterBigintNonSel, filterDecimalSel,
     filterDecimalNonSel, filterStringSel, filterStringNonSel,
@@ -263,5 +295,6 @@ object PrimitiveQueries {
     broadcastJoin1, broadcastJoin2, broadcastJoin3,
     exchangeBroadcast, exchangeShuffle,
     shuffleJoinString, shuffleJoinUnion,
-    orderbyBigint, orderbyAll, topnBigint, topnAll)
+    orderbyBigint, orderbyAll, topnBigint, topnAll,
+    perfAggMixed, perfStringLike)
 }
