@@ -60,20 +60,29 @@ object DedupOps {
     df.unionByName(df.filter(col(idCol) % every === 0)
       .withColumn(idCol, col(idCol) + TwinOffset))
 
-  /** One row per (doc, band): the 64-hash MinHash signature banded into
-    * 16 x 4-row buckets. Shared by the pair path ([[minhashPairs]]) and
-    * the cluster-feeding star path ([[minhashStarEdges]]).
+  /** Band a (doc_id, text) relation: one row per (doc, band) with the
+    * 64-hash MinHash signature banded into 16 x 4-row buckets. Works
+    * on any relation with those columns — including a streaming one
+    * (the expressions are all map-side), which is how
+    * [[graft.streaming.StreamNearDedup]] reuses the exact batch
+    * banding.
+    */
+  def minhashBandify(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), call_function("minhash64", col("sh")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b)))
+          .as(Seq("band_idx", "band_hash")))
+
+  /** One row per (doc, band) over the documents table. Shared by the
+    * pair path ([[minhashPairs]]) and the cluster-feeding star path
+    * ([[minhashStarEdges]]).
     */
   def minhashBands(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
-        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), call_function("minhash64", col("sh")).as("sig"))
-      doc.select(col("doc_id"), col("sig"),
-          posexplode(transform(sequence(lit(0), lit(15)),
-            b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b)))
-            .as(Seq("band_idx", "band_hash")))
+      minhashBandify(if (planted) plantTwins(base, "doc_id", 20) else base)
   }
 
   /** MinHash + LSH near-dup candidates: 64-hash signature, 16 bands x 4
@@ -203,6 +212,13 @@ object DedupOps {
   /** MinHash star edges for cluster feeding (see [[starEdges]]). */
   def minhashStarEdges(s: SparkSession, d: String): DataFrame =
     starEdges(minhashBands(s, d, planted = false), "band_hash")
+
+  /** Star edges over an arbitrary (doc_id, text) relation — the
+    * batch-side reference for the streaming operator's equivalence
+    * spec.
+    */
+  def minhashStarEdgesOf(docs: DataFrame): DataFrame =
+    starEdges(minhashBandify(docs), "band_hash")
 
   /** SimHash star edges for cluster feeding (see [[starEdges]]). */
   def simhashStarEdges(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.DedupOps
+
+/** Streaming MinHash-LSH near-duplicate detection — the incremental
+  * twin of the batch star-emission path (engine surface beyond parity;
+  * the reference has no streaming subsystem, SURVEY.md section 2.8).
+  *
+  * Documents arrive as an append-only stream; each is banded map-side
+  * with the EXACT batch expressions ([[DedupOps.minhashBandify]]:
+  * shingle -> minhash64 -> 16 x 4-row buckets), then
+  * `flatMapGroupsWithState` keyed by (band_idx, band_hash) maintains
+  * ONE long of state per bucket — the bucket REPRESENTATIVE, the
+  * smallest doc_id seen so far. Each micro-batch emits a star edge
+  * (rep, doc) for every bucket member beyond the running min; when a
+  * new minimum arrives it supersedes the old representative AND emits
+  * an edge linking the two, so the representative chain keeps every
+  * historical member transitively connected.
+  *
+  * Connectivity equivalence (StreamNearDedupSpec pins it): the edge
+  * SET differs from the batch star (a member links to the min seen AT
+  * ARRIVAL, not the global min), but the transitive closure is
+  * IDENTICAL for any batch split — the rep chain r1 > r2 > ... links
+  * the generations. Downstream, the same connectedComponents /
+  * survivor selection consumes the edges unchanged.
+  *
+  * 100 TB shape: state is one long per DISTINCT bucket (bounded by
+  * band-key ndv, not corpus size — 16 bands x hash space, in practice
+  * ~16 per distinct near-dup group); banding fuses into the stream
+  * scan; the only shuffle per micro-batch is the groupByKey on the
+  * bucket key. For horizon-bounded ingest (dups land close together),
+  * swap NoTimeout for an event-time timeout and the state ages out
+  * like [[StreamDedup.dedupWithinWatermark]]'s.
+  */
+object StreamNearDedup {
+
+  final case class BandDoc(band_idx: Int, band_hash: Long, doc_id: Long)
+  final case class StarEdge(doc_a: Long, doc_b: Long)
+
+  /** Per-bucket transition: fold the arriving members into the running
+    * min and emit one edge per non-min member (old rep included when
+    * superseded).
+    */
+  private def emit(key: (Int, Long), rows: Iterator[BandDoc],
+      state: GroupState[Long]): Iterator[StarEdge] = {
+    val arrived = rows.map(_.doc_id).toArray.distinct
+    val all = state.getOption.toArray ++ arrived
+    if (all.isEmpty) Iterator.empty
+    else {
+      val m = all.min
+      state.update(m)
+      all.iterator.filter(_ != m).map(d => StarEdge(m, d))
+    }
+  }
+
+  /** Star edges over a streaming (doc_id, text) relation. Append-mode
+    * output; feed the collected edges to
+    * [[DedupOps.connectedComponents]] exactly like the batch path.
+    */
+  def starEdges(docs: DataFrame): Dataset[StarEdge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    DedupOps.minhashBandify(docs)
+      .select(col("band_idx"), col("band_hash"), col("doc_id"))
+      .as[BandDoc]
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(emit)
+  }
+}
