@@ -60,21 +60,26 @@ object DedupOps {
     df.unionByName(df.filter(col(idCol) % every === 0)
       .withColumn(idCol, col(idCol) + TwinOffset))
 
-  /** Band a (doc_id, text) relation: one row per (doc, band) with the
-    * 64-hash MinHash signature banded into 16 x 4-row buckets. Works
-    * on any relation with those columns — including a streaming one
-    * (the expressions are all map-side), which is how
+  /** Band a (doc_id, text, ...) relation: one row per (doc, band) with
+    * the 64-hash MinHash signature banded into 16 x 4-row buckets;
+    * every non-text input column rides through (so a streaming caller
+    * keeps its event-time column and the watermark attached to it).
+    * Works on any relation with those columns — including a streaming
+    * one (the expressions are all map-side), which is how
     * [[graft.streaming.StreamNearDedup]] reuses the exact batch
     * banding.
     */
-  def minhashBandify(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+  def minhashBandify(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.filter(_ != "text").toSeq.map(col)
+    docs
+      .withColumn("sh", shingleHashes(col("text")))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), call_function("minhash64", col("sh")).as("sig"))
-      .select(col("doc_id"), col("sig"),
+      .withColumn("sig", call_function("minhash64", col("sh")))
+      .select(keep ++ Seq(col("sig"),
         posexplode(transform(sequence(lit(0), lit(15)),
           b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b)))
-          .as(Seq("band_idx", "band_hash")))
+          .as(Seq("band_idx", "band_hash"))): _*)
+  }
 
   /** One row per (doc, band) over the documents table. Shared by the
     * pair path ([[minhashPairs]]) and the cluster-feeding star path

@@ -71,4 +71,41 @@ object StreamNearDedup {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(emit)
   }
+
+  final case class BandDocT(band_idx: Int, band_hash: Long, doc_id: Long,
+      event_time: java.sql.Timestamp)
+
+  /** Horizon-bounded star edges: state ages out once the watermark
+    * passes `horizon` beyond a bucket's newest member — near-dups only
+    * link within the horizon (the retry/re-crawl ingest case, same
+    * memory contract as [[StreamDedup.dedupWithinWatermark]]). Input
+    * needs an `event_time` column; the watermark rides through the
+    * banding (every non-text column passes through
+    * [[DedupOps.minhashBandify]]).
+    */
+  def starEdgesWithHorizon(docs: DataFrame,
+      horizon: String): Dataset[StarEdge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    DedupOps.minhashBandify(docs.withWatermark("event_time", horizon))
+      .select(col("band_idx"), col("band_hash"), col("doc_id"),
+        col("event_time"))
+      .as[BandDocT]
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[BandDocT], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arr = rows.toArray
+            val all = state.getOption.toArray ++ arr.map(_.doc_id).distinct
+            val m = all.min
+            state.update(m)
+            // the bucket lives one horizon past its newest member
+            state.setTimeoutTimestamp(
+              arr.map(_.event_time.getTime).max, horizon)
+            all.iterator.filter(_ != m).map(d => StarEdge(m, d))
+          }
+      }
+  }
 }

@@ -16,6 +16,8 @@ import graft.streaming.StreamNearDedup
 object StreamNearDedupSpec {
   // top-level so Spark can build an encoder without an outer scope
   final case class Doc(doc_id: Long, text: String)
+  final case class TDoc(doc_id: Long, text: String,
+      event_time: java.sql.Timestamp)
 }
 
 class StreamNearDedupSpec extends AnyFunSuite {
@@ -76,5 +78,39 @@ class StreamNearDedupSpec extends AnyFunSuite {
     val streamed = comps(streamEdges(chunks, "snd_desc"))
     val batch = comps(DedupOps.minhashStarEdgesOf(docs.toDF("doc_id", "text")))
     assert(streamed === batch)
+  }
+
+  test("horizon variant: state ages out, far-apart twins stop linking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamNearDedupSpec.TDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val twinText = "identical twin document body with enough words to shingle"
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def run(name: String, chunks: Seq[Seq[TDoc]]): Set[(Long, Long)] = {
+      val input = MemoryStream[TDoc]
+      val q = graft.streaming.StreamNearDedup
+        .starEdgesWithHorizon(input.toDF(), "1 minute")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        for (c <- chunks) { input.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+    }
+    // twin at t0; an unrelated filler at t+10min advances the watermark
+    // past the bucket's 1-minute timeout; the late twin at t+11min gets
+    // a FRESH bucket — no edge to doc 1
+    val far = run("snd_h1", Seq(
+      Seq(TDoc(1L, twinText, ts(0))),
+      Seq(TDoc(50L, "totally unrelated filler words nothing shared here at all", ts(10))),
+      Seq(TDoc(2L, twinText, ts(11)))))
+    assert(!far.contains((1L, 2L)), far.toString)
+    // control: the same twins INSIDE the horizon do link
+    val near = run("snd_h2", Seq(
+      Seq(TDoc(1L, twinText, ts(0))),
+      Seq(TDoc(2L, twinText, ts(0))))) // same batch window
+    assert(near.contains((1L, 2L)), near.toString)
   }
 }
