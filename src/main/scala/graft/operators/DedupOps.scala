@@ -136,12 +136,24 @@ object DedupOps {
     * into 4 x 16-bit bands; every non-text column rides through, and
     * the expressions are all map-side — so a streaming caller keeps
     * its event-time/watermark columns, exactly like [[minhashBandify]].
+    *
+    * Guards for the advertised any-relation reuse: a pre-existing
+    * `sh`/`band_idx`/`band_val` column would be silently overwritten,
+    * so it is rejected instead; and zero-token documents are dropped
+    * before hashing — an empty token stream simhashes to the same
+    * degenerate value for every such doc, which would chain ALL empty
+    * documents into one Hamming-0 mega-cluster.
     */
   def simhashBandify(docs: DataFrame): DataFrame = {
+    val reserved = Seq("sh", "band_idx", "band_val", "__toks")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"simhashBandify input must not have columns ${reserved.mkString(",")}")
     val keep = docs.columns.filter(_ != "text").toSeq.map(col)
     docs
-      .withColumn("sh", call_function("graft_simhash",
-        call_function("token_hashes", col("text"))))
+      .withColumn("__toks", call_function("token_hashes", col("text")))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("sh", call_function("graft_simhash", col("__toks")))
       .select(keep ++ Seq(col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftrightunsigned", col("sh"), b * 16)
@@ -249,6 +261,16 @@ object DedupOps {
     * the same verify threshold as [[simhashPairs]]. Edges are therefore
     * a subset of the verified pair set (rep is a bucket member), so the
     * closure can only merge documents some verified pair connects.
+    *
+    * RECALL ASYMMETRY (deliberate, ClusterSpec quantifies it): members
+    * verify only against the bucket REPRESENTATIVE, so two docs within
+    * Hamming <= 6 of each other but both > 6 from the rep get no edge
+    * from that bucket — the star closure can SPLIT clusters the
+    * verified-pair closure connects (the minhash star's subsumption
+    * property does NOT hold here). That is the price of one-scan star
+    * emission with chance-collision safety; pipelines needing the full
+    * verified-pair recall use [[simhashPairs]] (quadratic in bucket
+    * size) as the cluster feed instead.
     */
   def simhashStarEdgesOf(bands: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -449,17 +471,32 @@ object DedupOps {
     * then checkpoints to the reliable store and label lineage survives
     * executor loss at the cost of one round-trip write per round.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
-    connectedComponentsWithRounds(pairs, maxRounds)._1
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val (labels, rounds, converged) =
+      connectedComponentsWithRounds(pairs, maxRounds)
+    require(converged,
+      s"connectedComponents did not converge within $rounds rounds — " +
+        "labels may be wrong; raise maxRounds")
+    labels
+  }
 
-  /** [[connectedComponents]] plus the number of propagation rounds the
-    * fixpoint took — the scale-sweep artifact that turns the
-    * "diameter-bounded rounds" claim into a measurement.
+  /** [[connectedComponents]] plus the number of propagation rounds and
+    * whether the fixpoint was actually REACHED — the scale-sweep
+    * artifact that turns the "diameter-bounded rounds" claim into a
+    * measurement. `converged = false` means the loop was truncated at
+    * `maxRounds` and the labels may be wrong; `connectedComponents`
+    * throws in that case rather than silently returning them.
     */
   def connectedComponentsWithRounds(pairs: DataFrame,
-      maxRounds: Int = 20): (DataFrame, Int) = {
+      maxRounds: Int = 20): (DataFrame, Int, Boolean) = {
     val reliable = pairs.sparkSession.conf
       .get("graft.cc.reliableCheckpoint", "false").toBoolean
+    // fail fast: df.checkpoint(true) without a checkpoint dir dies
+    // mid-job on round 1 with a generic SparkException
+    require(!reliable ||
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "graft.cc.reliableCheckpoint=true requires " +
+        "sparkContext.setCheckpointDir on durable storage")
     // materialize each round's working set AND break lineage, so round
     // N+1's self-referential joins neither re-run the whole history nor
     // trip ambiguous-self-join
@@ -514,7 +551,7 @@ object DedupOps {
       converged = changed == 0
     }
     edges.unpersist()
-    (labels, rounds)
+    (labels, rounds, converged)
   }
 
   /** Cluster assignment over a CHAIN pair set: consecutive doc_ids

@@ -262,7 +262,8 @@ object SimilarityOps {
     * quantizer assignment + pruned join become hash-checkable by the
     * driver's DuckDB gate.
     */
-  def ivfTopK(s: SparkSession, d: String, planted: Boolean): DataFrame = {
+  def ivfTopK(s: SparkSession, d: String, planted: Boolean,
+      nprobe: Int = 2): DataFrame = {
     Engine.configure(s)
     val raw = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val emb = if (!planted) raw else
@@ -270,9 +271,11 @@ object SimilarityOps {
         .withColumn("vec_id", col("vec_id") + DedupOps.TwinOffset))
     val cents = kmeansCentroids(emb, k = 16, iters = 3)
     val cells = assignCell(emb, cents)
-    // probe the query's 2 nearest cells (nprobe=2): recovers most
-    // cell-border near-misses for ~2/k of the corpus scanned per query
-    val q = nearestCells(emb.filter(col("vec_id") < 10), cents, nprobe = 2)
+    // probe the query's nprobe nearest cells (default 2): recovers most
+    // cell-border near-misses for ~nprobe/k of the corpus scanned per
+    // query — recall is monotone in nprobe (OrganicRecallSpec pins the
+    // {1,2,4} grid) and nprobe = k degenerates to the exact linear scan
+    val q = nearestCells(emb.filter(col("vec_id") < 10), cents, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(col("cells")).as("qcell"))
     val cand = cells.join(broadcast(q),

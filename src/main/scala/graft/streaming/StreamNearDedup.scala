@@ -43,12 +43,16 @@ object StreamNearDedup {
 
   /** Per-bucket transition: fold the arriving members into the running
     * min and emit one edge per non-min member (old rep included when
-    * superseded).
+    * superseded). The concat is distinct'd BEFORE emission: when the
+    * stored representative's own doc_id re-arrives (a re-crawl), the
+    * naive `state ++ arrived` would contain it twice and a superseding
+    * new min would emit the (newMin, oldRep) edge twice in one
+    * micro-batch (duplicate rows in append output —
+    * StreamNearDedupSpec pins exactly-once per bucket).
     */
   private def emit(key: (Int, Long), rows: Iterator[BandDoc],
       state: GroupState[Long]): Iterator[StarEdge] = {
-    val arrived = rows.map(_.doc_id).toArray.distinct
-    val all = state.getOption.toArray ++ arrived
+    val all = (state.getOption.toArray ++ rows.map(_.doc_id)).distinct
     if (all.isEmpty) Iterator.empty
     else {
       val m = all.min
@@ -98,14 +102,77 @@ object StreamNearDedup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val arr = rows.toArray
-            val all = state.getOption.toArray ++ arr.map(_.doc_id).distinct
+            val all = (state.getOption.toArray ++ arr.map(_.doc_id)).distinct
             val m = all.min
             state.update(m)
-            // the bucket lives one horizon past its newest member
+            // the bucket lives one horizon past its newest member. The
+            // timeout base is clamped to the CURRENT watermark: Spark
+            // admits rows against the PREVIOUS micro-batch's watermark
+            // but validates setTimeoutTimestamp against the current
+            // (eviction) one, so when the watermark jumps more than
+            // `horizon` in one batch a marginally-late row would
+            // otherwise produce a timeout at/below the watermark and
+            // GroupStateImpl throws — killing the whole query
+            // (StreamNearDedupSpec's watermark-jump case crashes
+            // without the clamp).
             state.setTimeoutTimestamp(
-              arr.map(_.event_time.getTime).max, horizon)
+              math.max(arr.map(_.event_time.getTime).max,
+                state.getCurrentWatermarkMs()), horizon)
             all.iterator.filter(_ != m).map(d => StarEdge(m, d))
           }
       }
+  }
+
+  final case class SimBandDoc(band_idx: Int, band_val: Long, doc_id: Long,
+      sh: Long)
+
+  /** Per-bucket transition for the SimHash path: the representative is
+    * the min (doc_id, simhash) pair (identical to the batch
+    * min(struct(doc_id, sh)) window pick — doc_ids are unique per
+    * bucket, so both reduce to the min doc_id and its simhash), and an
+    * edge is emitted only when the member is within Hamming <= 6 of the
+    * representative's full 64-bit simhash — the same verify the batch
+    * [[DedupOps.simhashStarEdgesOf]] applies, because unverified 16-bit
+    * buckets chance-collide at corpus scale.
+    */
+  private def emitSim(key: (Int, Long), rows: Iterator[SimBandDoc],
+      state: GroupState[(Long, Long)]): Iterator[StarEdge] = {
+    val all = (state.getOption.toArray ++
+      rows.map(r => (r.doc_id, r.sh))).distinct
+    if (all.isEmpty) Iterator.empty
+    else {
+      val m = all.min
+      state.update(m)
+      all.iterator.filter(_._1 != m._1)
+        .filter(d => java.lang.Long.bitCount(d._2 ^ m._2) <= 6)
+        .map(d => StarEdge(m._1, d._1))
+    }
+  }
+
+  /** SimHash star edges over a streaming (doc_id, text) relation — the
+    * incremental twin of [[DedupOps.simhashStarEdgesOf]], banded with
+    * the EXACT batch expressions ([[DedupOps.simhashBandify]]: 64-bit
+    * simhash -> 4 x 16-bit bands) and Hamming-verified inside the state
+    * function. State is one (doc_id, simhash) pair per distinct bucket.
+    *
+    * Equivalence is WEAKER than the minhash star's: a single micro-batch
+    * emits exactly the batch edge set, and every edge (in any split) is
+    * within Hamming <= 6 of both endpoints — but because members verify
+    * against the representative AT ARRIVAL, a rep superseded across
+    * batches whose chain edge fails the Hamming verify can legitimately
+    * UNDER-merge vs the single-batch closure (the same recall asymmetry
+    * the batch star has vs [[DedupOps.simhashPairs]], documented there).
+    * StreamNearDedupSpec pins the single-batch equality, the per-edge
+    * Hamming bound under splits, and twin linkage.
+    */
+  def simhashStarEdges(docs: DataFrame): Dataset[StarEdge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    DedupOps.simhashBandify(docs)
+      .select(col("band_idx"), col("band_val"), col("doc_id"), col("sh"))
+      .as[SimBandDoc]
+      .groupByKey(b => (b.band_idx, b.band_val))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(emitSim)
   }
 }

@@ -63,6 +63,89 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  private def compsOf(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    DedupOps.connectedComponents(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .as[(Long, Long)].collect().toMap
+
+  test("simhash star edges are a subset of the verified pair set (Hamming <= 6)") {
+    // unlike the minhash star, every simhash star edge is Hamming-
+    // verified against the full 64-bit simhash — so the edge set must
+    // be contained in simhashPairs' verified organic pair set, and the
+    // closure can only merge documents some verified pair connects
+    // (no false merges through chance 16-bit bucket collisions)
+    val star = DedupOps.simhashStarEdges(spark, TestSpark.sf)
+      .as[(Long, Long)].collect()
+    assert(star.nonEmpty)
+    val verified = DedupOps.simhashPairs(spark, TestSpark.sf, planted = false)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    star.foreach { e =>
+      assert(verified.contains(e), s"star edge $e not in the verified pair set")
+    }
+  }
+
+  test("simhash star closure refines the verified-pair closure (quantified recall gap)") {
+    // the DOCUMENTED asymmetry (DedupOps.simhashStarEdgesOf): members
+    // verify only against the bucket rep, so the star closure may drop
+    // members / split clusters the pair closure connects — it must
+    // never MERGE across them. Pin the refinement direction, and pin
+    // the measured gap exactly (corpus + hash seeds are deterministic,
+    // same style as the organic pair-count pins).
+    val starComps = compsOf(DedupOps.simhashStarEdges(spark, TestSpark.sf))
+    val pairComps = compsOf(
+      DedupOps.simhashPairs(spark, TestSpark.sf, planted = false)
+        .select(col("doc_a"), col("doc_b")))
+    assert(starComps.nonEmpty)
+    // no false merges: every star cluster nests inside ONE pair cluster
+    starComps.groupBy(_._2).foreach { case (label, ms) =>
+      val pairLabels = ms.keys.map(pairComps(_)).toSet
+      assert(pairLabels.size == 1,
+        s"star cluster $label spans pair clusters $pairLabels")
+    }
+    // the recall gap, quantified over the pair-cluster partition: a
+    // pair cluster is DEGRADED when its members land in >1 star cluster
+    // or fall out of the star closure entirely
+    val degraded = pairComps.groupBy(_._2).count { case (_, ms) =>
+      ms.keys.map(starComps.get).toSet.size > 1
+    }
+    val unlinked = pairComps.size - starComps.size
+    info(s"pair clusters=${pairComps.values.toSet.size} " +
+      s"star clusters=${starComps.values.toSet.size} " +
+      s"degraded=$degraded star-unlinked docs=$unlinked")
+    assert(pairComps.values.toSet.size === 31)
+    assert(starComps.values.toSet.size === 28)
+    assert(starComps.size <= pairComps.size)
+  }
+
+  test("identical twins are never SPLIT by the simhash star (linked together or dropped together)") {
+    // identical payloads share the simhash, hence every bucket and every
+    // verify outcome: a twin pair is either linked into the same
+    // component (some bucket rep within Hamming 6, or the smaller twin
+    // IS a rep) or BOTH fall out of the closure (every shared bucket's
+    // rep too far) — an asymmetric outcome would mean the verify isn't
+    // a pure function of (sh, rep)
+    val comps = compsOf(DedupOps.simhashStarEdgesOf(
+      DedupOps.simhashBands(spark, TestSpark.sf, planted = true)))
+    val twins = Engine.table(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id")).as[Long].collect()
+    assert(twins.nonEmpty)
+    var linked = 0
+    twins.foreach { d =>
+      val t = d + 10000000L // DedupOps.TwinOffset
+      (comps.get(d), comps.get(t)) match {
+        case (Some(a), Some(b)) =>
+          assert(a == b, s"twin pair ($d,$t) split across components")
+          linked += 1
+        case (None, None) => // both dropped — the documented recall gap
+        case other => fail(s"twin pair ($d,$t) asymmetric outcome: $other")
+      }
+    }
+    info(s"twin pairs linked=$linked/${twins.length} " +
+      "(the remainder dropped together — rep too far in every bucket)")
+    assert(linked > 0)
+  }
+
   test("survivor selection keeps exactly one, the longest (tiebreak: max id)") {
     val rows = SparkEntry.queries("dedup_survivor")(spark, TestSpark.sf)
       .collect()

@@ -163,6 +163,58 @@ class FaultToleranceSpec extends AnyFunSuite {
     assert(got == clean)
   }
 
+  test("reliable-checkpoint CC fails fast without a checkpoint dir") {
+    // df.checkpoint(true) without a dir dies mid-job on round 1 with a
+    // generic SparkException; the operator must reject up front instead.
+    // (Registered before the end-to-end case below, which is the only
+    // place in the tree that sets the shared session's checkpoint dir.)
+    import graft.operators.DedupOps
+    import spark.implicits._
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: no suite may set the checkpoint dir before this test")
+    spark.conf.set("graft.cc.reliableCheckpoint", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.connectedComponents(Seq((1L, 2L)).toDF("a", "b")).count()
+      }
+      assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+    } finally spark.conf.set("graft.cc.reliableCheckpoint", "false")
+  }
+
+  test("reliable-checkpoint CC survives a mid-round task kill, labels unchanged") {
+    // the conf-gated mode (graft.cc.reliableCheckpoint=true) answers
+    // executor loss on long cluster jobs; locally the exercisable analog
+    // is a mid-round task kill — the round must retry through the
+    // reliable checkpoint store and converge to the same labels
+    import graft.operators.DedupOps
+    // 40 chains of length 50 (diameter 49 — pointer jumps earn their keep)
+    def chainPairs(slow: Boolean) = {
+      val base = spark.range(0, 2000, 1, 8)
+        .filter(col("id") % 50 =!= 49)
+      (if (slow) base.filter(expr("sleep(1)")) else base)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+    }
+    Engine.configure(spark)
+    val clean = DedupOps.connectedComponents(chainPairs(slow = false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("graft.cc.reliableCheckpoint", "true")
+    var got: Seq[(Long, Long)] = Nil
+    try {
+      val kills = withTaskKill("first") {
+        got = DedupOps.connectedComponents(chainPairs(slow = true))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
+      assert(kills == 1, "fault was not injected")
+    } finally spark.conf.set("graft.cc.reliableCheckpoint", "false")
+    assert(got == clean)
+    // the reliable store was actually used: round outputs landed in dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no reliable checkpoint files written under $dir")
+  }
+
   test("task killed mid streaming micro-batch: state stays exactly-once") {
     // the streaming analog of the reference's fail-points: kill a task
     // inside a stateful micro-batch; the batch's task retry must leave

@@ -52,6 +52,21 @@ class OrganicRecallSpec extends AnyFunSuite {
     assert(r >= 0.40, s"ivf recall $r")
   }
 
+  test("organic IVF recall@3 is monotone over the nprobe grid {1,2,4}") {
+    // the knob that buys recall with scan fraction: probing more cells
+    // may only ADD candidates per query, so recall can never decrease —
+    // a broken cell ranking or candidate union shows up as an inversion
+    val grid = Seq(1, 2, 4).map { np =>
+      np -> recallOf(SimilarityOps.ivfTopK(spark, dir, planted = false,
+        nprobe = np))
+    }
+    info(s"nprobe recall grid: ${grid.mkString(", ")}")
+    grid.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, s"recall not monotone: nprobe=$n1 -> $r1, nprobe=$n2 -> $r2")
+    }
+    assert(grid.last._2 >= 0.40, s"nprobe=4 recall ${grid.last._2}")
+  }
+
   test("organic IVF-PQ (ADC + exact re-rank) recall@3 >= 0.30 at sf0.1") {
     val r = recallOf(SimilarityOps.pqTopK(spark, dir, planted = false))
     assert(r >= 0.30, s"pq recall $r")

@@ -113,4 +113,113 @@ class StreamNearDedupSpec extends AnyFunSuite {
       Seq(TDoc(2L, twinText, ts(0))))) // same batch window
     assert(near.contains((1L, 2L)), near.toString)
   }
+
+  test("watermark jump past horizon with a marginally-late row does not crash") {
+    // Spark admits rows against the PREVIOUS batch's watermark but
+    // validates setTimeoutTimestamp against the CURRENT (eviction) one.
+    // With no-data micro-batches disabled (so no empty rerun batch syncs
+    // the two between chunks — the back-to-back shape of a continuously
+    // fed production stream), a batch whose predecessor advanced the
+    // watermark 29 minutes admits a row at t+1min against the old
+    // watermark; unclamped `max event time + horizon` is then at/below
+    // the eviction watermark and GroupStateImpl kills the whole query
+    // with IllegalArgumentException. The clamp to
+    // max(maxEventTime, currentWatermarkMs) keeps the timeout ahead.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamNearDedupSpec.TDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val twinText = "identical twin document body with enough words to shingle"
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val input = MemoryStream[TDoc]
+      val q = graft.streaming.StreamNearDedup
+        .starEdgesWithHorizon(input.toDF(), "1 minute")
+        .writeStream.format("memory").queryName("snd_wmjump")
+        .outputMode("append").start()
+      try {
+        for (c <- Seq(
+            Seq(TDoc(1L, twinText, ts(0))),
+            Seq(TDoc(50L, "totally unrelated filler words nothing shared here at all", ts(30))),
+            Seq(TDoc(2L, twinText, ts(1))))) {
+          input.addData(c: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table("snd_wmjump").select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      // the late twin was admitted (old watermark) and its bucket state
+      // had not been evicted (no rerun batch ran the timeout phase), so
+      // the edge is emitted — the crash, not the linkage, is the subject
+      assert(got.contains((1L, 2L)), got.toString)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("re-arrival of the stored representative emits no duplicate edges") {
+    // state ++ arrived would contain the rep's doc_id twice when it
+    // re-arrives (a re-crawl); a superseding new min then emits the
+    // (newMin, oldRep) edge TWICE per bucket in one micro-batch. After
+    // the distinct: identical twins collide in all 16 bands, so the
+    // edge appears exactly 16 times in append output — once per bucket.
+    import spark.implicits._
+    val twinText = "identical twin document body with enough words to shingle"
+    val rows = streamEdges(Seq(
+      Seq(Doc(5L, twinText)),
+      Seq(Doc(5L, twinText), Doc(3L, twinText))), "snd_rearrive")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(rows.toSet === Set((3L, 5L)), rows.toSeq.toString)
+    assert(rows.length === 16, s"expected one edge per band bucket, got ${rows.length}")
+  }
+
+  private def streamSimEdges(chunks: Seq[Seq[Doc]], name: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = StreamNearDedup.simhashStarEdges(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (c <- chunks) { input.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("simhash twin: single micro-batch emits exactly the batch star edges") {
+    import spark.implicits._
+    val got = streamSimEdges(Seq(docs), "snd_sim_one")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val want = DedupOps.simhashStarEdgesOf(
+      DedupOps.simhashBandify(docs.toDF("doc_id", "text")))
+      .as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("simhash twin: every streamed edge is Hamming-verified, twins link across batches") {
+    import spark.implicits._
+    val chunks = docs.grouped((docs.size + 2) / 3).toSeq
+    val edges = streamSimEdges(chunks, "snd_sim_three")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(edges.nonEmpty)
+    // every edge within Hamming <= 6 of both endpoints' full simhashes —
+    // the chance-collision safety the 16-bit buckets alone cannot give
+    val sh = DedupOps.simhashBandify(docs.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("sh")).distinct()
+      .as[(Long, Long)].collect().toMap
+    edges.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      assert(d <= 6, s"edge ($a,$b) at Hamming $d")
+    }
+    // identical twins split across micro-batches still land in one
+    // component (the rep-chain edge verifies at Hamming 0)
+    val twinText = "identical twin document body with enough words to shingle"
+    val twinEdges = streamSimEdges(Seq(
+      Seq(Doc(900001L, twinText)),
+      Seq(Doc(900002L, twinText))), "snd_sim_twin")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(twinEdges.contains((900001L, 900002L)), twinEdges.toString)
+  }
 }
