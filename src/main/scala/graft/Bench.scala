@@ -5,11 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Driver benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   *
-  * A warmup pass (flagship + one JSON query) absorbs JVM/codegen/JIT
-  * startup so per-query numbers reflect steady-state; queries run in
-  * registry order so timings are comparable across rounds. Each query
-  * is timed twice and the MIN recorded (variance damping: host noise
-  * swings identical code up to 3x per query on this box).
+  * Protocol (r10 verdict #3 — INTERLEAVED min-of-2): the whole suite
+  * runs twice END-TO-END and each query records the MIN across the two
+  * passes. The earlier back-to-back min-of-2 put first-touch JIT inside
+  * BOTH samples of a query whose kernels no warmup had touched — two
+  * consecutive rounds recorded spurious 4-6x multimodal "regressions"
+  * on unchanged code. With a full pass between the two samples, the
+  * second sample is always steady-state. Warmup additionally touches
+  * one decode-kernel query so codec JIT is out of the timed window
+  * entirely. A query that throws in BOTH passes is recorded under
+  * "errors" and fails the run (rc 1) — a throwing query must not
+  * silently record as a fast row.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,55 +29,102 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Engine.configure(spark)
 
-    // warmup (not measured): codegen + parquet footer + JIT
+    // warmup (not measured): codegen + parquet footer + JIT, including
+    // the binary decode kernels (multimodal_decode_ppm)
     try {
       SparkEntry.queries("q1_pricing")(spark, sfDir).count()
       SparkEntry.queries("json_extract")(spark, sfDir).count()
+      SparkEntry.queries("multimodal_decode_ppm")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
-    // variance-damped protocol: every query runs TWICE and the MIN is
-    // recorded. Host-load noise on this box swings identical code up to
-    // 3x per query (~100 -> 132 s totals round-over-round); min-of-2
-    // keeps the recorded artifact comparable across rounds while the
-    // total stays the sum of recorded (per-query) values.
-    def timed(f: () => Unit): Double = {
+    def timed(f: () => Unit): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try f() catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { f(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    def minOf2(f: () => Unit): Double = math.min(timed(f), timed(f))
 
-    val registry = SparkEntry.all.map { q =>
-      q.name -> minOf2(() => { q.run(spark, sfDir).count(); () })
+    // streaming near-dup throughput: the sf corpus replayed as 8
+    // micro-batches through the stateful MinHash star (r9 verdict #5).
+    // State metrics from the final progress land on stderr for NOTES.
+    var streamStateRows = -1L
+    def streamNearDedup(): Unit = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val docs = Engine.table(spark, sfDir, "documents")
+        .selectExpr("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val name = s"bench_stream_neardedup_${System.nanoTime()}"
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamNearDedup
+        .starEdges(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        docs.grouped(math.max(1, (docs.size + 7) / 8)).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          streamStateRows = p.stateOperators(0).numRowsTotal
+      } finally q.stop()
+      spark.table(name).count()
+      spark.catalog.dropTempView(name)
     }
+
+    import graft.operators.{DedupOps, SimilarityOps}
     // organic-path timings (r7 verdict #6): the REAL thresholds, not the
     // planted-twin projections — bench-visible but not oracle entries
-    // (their outputs are engine-internal candidate sets)
-    import graft.operators.{DedupOps, SimilarityOps}
-    val organic = Seq[(String, () => Long)](
-      // the cluster-feeding default is star emission (linear in dup-
-      // clique size; r8 verdict #2) — the verified all-pairs candidate
-      // semantic keeps its own rows below for round-over-round diffing
-      "organic_dedup_minhash" ->
-        (() => DedupOps.minhashStarEdges(spark, sfDir).count()),
-      "organic_dedup_simhash" ->
-        (() => DedupOps.simhashStarEdges(spark, sfDir).count()),
+    // (their outputs are engine-internal candidate sets). The *_star
+    // rows are the cluster-feeding star-emission semantic (renamed from
+    // organic_dedup_{minhash,simhash} in r11 when those rows' semantics
+    // changed — recorded series stay self-consistent); *_pairs keep the
+    // verified all-pairs candidate semantic.
+    val organic = Seq[(String, () => Unit)](
+      "organic_dedup_minhash_star" ->
+        (() => { DedupOps.minhashStarEdges(spark, sfDir).count(); () }),
+      "organic_dedup_simhash_star" ->
+        (() => { DedupOps.simhashStarEdges(spark, sfDir).count(); () }),
       "organic_dedup_minhash_pairs" ->
-        (() => DedupOps.minhashPairs(spark, sfDir, planted = false).count()),
+        (() => { DedupOps.minhashPairs(spark, sfDir, planted = false).count(); () }),
       "organic_dedup_simhash_pairs" ->
-        (() => DedupOps.simhashPairs(spark, sfDir, planted = false).count()),
+        (() => { DedupOps.simhashPairs(spark, sfDir, planted = false).count(); () }),
       "organic_dedup_ngram" ->
-        (() => DedupOps.ngramJaccardPairs(spark, sfDir, planted = false).count()),
+        (() => { DedupOps.ngramJaccardPairs(spark, sfDir, planted = false).count(); () }),
       "organic_sim_ivf" ->
-        (() => SimilarityOps.ivfTopK(spark, sfDir, planted = false).count()),
+        (() => { SimilarityOps.ivfTopK(spark, sfDir, planted = false).count(); () }),
       "organic_sim_pq" ->
-        (() => SimilarityOps.pqTopK(spark, sfDir, planted = false).count()),
+        (() => { SimilarityOps.pqTopK(spark, sfDir, planted = false).count(); () }),
       "organic_sim_lsh" ->
-        (() => SimilarityOps.lshBucket(spark, sfDir, planted = false).count())
-    ).map { case (name, f) =>
-      name -> minOf2(() => { f(); () })
+        (() => { SimilarityOps.lshBucket(spark, sfDir, planted = false).count(); () }),
+      "organic_stream_neardedup" -> (() => streamNearDedup()))
+
+    val thunks: Seq[(String, () => Unit)] =
+      SparkEntry.all.map(q =>
+        q.name -> (() => { q.run(spark, sfDir).count(); () })) ++ organic
+
+    // two full passes, min per query ACROSS passes
+    val pass1 = thunks.map { case (_, f) => timed(f) }
+    val pass2 = thunks.map { case (_, f) => timed(f) }
+    val names = thunks.map(_._1)
+    val results = names.indices.map { i =>
+      val samples = Seq(pass1(i), pass2(i))
+      val good = samples.filter(_._2)
+      val v = (if (good.nonEmpty) good else samples).map(_._1).min
+      (names(i), v, good.nonEmpty)
     }
-    val results = registry ++ organic
+    val errors = results.filter(!_._3).map(_._1)
+    val recorded = results.map(r => (r._1, r._2))
+
+    if (streamStateRows >= 0) {
+      val buckets = DedupOps.minhashBandify(
+        Engine.table(spark, sfDir, "documents").selectExpr("doc_id", "text"))
+        .select("band_idx", "band_hash").distinct().count()
+      System.err.println(
+        s"[bench] organic_stream_neardedup state_rows=$streamStateRows " +
+          s"distinct_buckets=$buckets (state is bucket-bounded)")
+    }
+
     // millisecond precision keeps the one-line JSON short enough to
     // survive tail-truncating stdout captures; the full-precision copy
     // goes to BENCH_FULL.json so round-over-round diffs are mechanical.
@@ -79,26 +132,28 @@ object Bench {
     // "0,123" under comma-decimal locales, breaking the JSON contract
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = recorded.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (recorded.nonEmpty) recorded.map(_._2).sum else 0.0
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
-      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      val full = recorded.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${recorded.size},"errors":$errJson,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // full per-query map first; the LAST line is a compact summary
     // (top-20 slowest) guaranteed to survive tail-truncating stdout
     // captures intact — both lines are self-contained valid JSON
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
-    val top = results.sortBy(-_._2).take(20)
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${recorded.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    val top = recorded.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"note":"top-20 of ${results.size}; full map in BENCH_FULL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${recorded.size},"errors":$errJson,"queries":$top,"note":"top-20 of ${recorded.size}; full map in BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

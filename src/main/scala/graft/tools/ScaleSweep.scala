@@ -1,0 +1,70 @@
+package graft.tools
+
+import graft.{Engine, SparkEntry}
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep runner (r10 verdict #4): runs the connected-components
+  * dedup entries and the star-emission paths against an N x-replicated
+  * corpus (tools/gen_scale_sweep.py) and prints one JSON line per entry
+  * with wall seconds and output rows; for the CC rows it uses
+  * [[DedupOps.connectedComponentsWithRounds]] so the artifact records
+  * rounds-to-converge and the converged flag — the measurement behind
+  * the "diameter-bounded rounds" claim. Usage: ScaleSweep <dir>
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val spark = Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    Engine.configure(spark)
+
+    def emit(entry: String, f: () => (Long, String)): Unit = {
+      val t0 = System.nanoTime()
+      val (rows, extra) = f()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
+      println(s"""{"entry":"$entry","sec":$s,"rows":$rows$extra,"dir":"$dir"}""")
+    }
+
+    // the clusterAssign/survivor chain pair shape: consecutive doc_ids
+    // within each (source, lang) group — the adversarial
+    // diameter-equals-group-size input (queries cite DedupOps.clusterAssign)
+    def chainPairs = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("lang")).orderBy(col("doc_id"))
+      Engine.table(spark, dir, "documents")
+        .select(col("source"), col("lang"), col("doc_id").as("b"),
+          lag(col("doc_id"), 1).over(w).as("a"))
+        .filter(col("a").isNotNull)
+        .select(col("a"), col("b"))
+    }
+
+    emit("cc_chain_rounds", () => {
+      val (labels, rounds, converged) =
+        DedupOps.connectedComponentsWithRounds(chainPairs)
+      val n = labels.count()
+      (n, s""","rounds":$rounds,"converged":$converged""")
+    })
+    emit("dedup_cluster_assign", () =>
+      (SparkEntry.queries("dedup_cluster_assign")(spark, dir).count(), ""))
+    emit("dedup_survivor", () =>
+      (SparkEntry.queries("dedup_survivor")(spark, dir).count(), ""))
+    emit("organic_dedup_minhash_star", () => {
+      val edges = DedupOps.minhashStarEdges(spark, dir)
+      val n = edges.count()
+      (n, "")
+    })
+    emit("cc_minhash_star_rounds", () => {
+      val (labels, rounds, converged) =
+        DedupOps.connectedComponentsWithRounds(
+          DedupOps.minhashStarEdges(spark, dir)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val n = labels.count()
+      (n, s""","rounds":$rounds,"converged":$converged""")
+    })
+    emit("organic_dedup_simhash_star", () =>
+      (DedupOps.simhashStarEdges(spark, dir).count(), ""))
+    spark.stop()
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standing single-scan plan gate (r9 verdict #6 / r10 #7): per-entry
+  * budgets of FileSourceScan count per base table, pinned over the
+  * dedup / similarity / text / corpus families. The r9 plan audits
+  * found AQE exchange reuse silently fails across subtrees that differ
+  * only by an inferred isnotnull join-key filter or a projection —
+  * groupBy+join-back formulations then double- (or sextuple-) scan the
+  * corpus, re-running tokenization/signatures per scan. These budgets
+  * catch the next reuse defeat automatically instead of by hand-audit.
+  *
+  * Scan counts come from walking the EXECUTED adaptive plan (final
+  * query stages + subqueries), not the plan string — ReusedExchange is
+  * a leaf, so a reused subtree correctly counts its scans once.
+  *
+  * Entries whose result is a localCheckpoint (the connected-components
+  * family) are out of scope: their corpus scans happen in the per-round
+  * jobs, not the final plan.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def walk(p: SparkPlan): Seq[String] = {
+    val self = p match {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.toSeq
+          .map(rp => rp.getName.stripSuffix(".parquet"))
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self ++ kids.flatMap(walk) ++ p.subqueries.flatMap(walk)
+  }
+
+  private def scanCounts(df: DataFrame): Map[String, Int] = {
+    df.collect() // settle the adaptive plan
+    walk(df.queryExecution.executedPlan)
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+  }
+
+  private def check(name: String, df: DataFrame,
+      budget: Map[String, Int]): String = {
+    val counts = scanCounts(df)
+    counts.foreach { case (table, n) =>
+      val cap = budget.getOrElse(table, 0)
+      assert(n <= cap,
+        s"$name scans $table x$n, budget $cap — AQE reuse defeat or new scan; " +
+          "raise the budget here only for a deliberate plan change")
+    }
+    s"$name: ${counts.toSeq.sortBy(_._1).mkString(", ")}"
+  }
+
+  /** entry -> (table -> max FileSourceScan count). The values are the
+    * measured plan-audit numbers at HEAD; a deliberate plan change may
+    * raise a budget, but must do so HERE, in review-visible form.
+    * The planted driver entries read each base table TWICE per logical
+    * use (plantTwins unions a filtered second scan), so their budgets
+    * are 2x the organic path's — the organic budgets below are the
+    * 100 TB-relevant ones.
+    */
+  private val entryBudgets: Map[String, Map[String, Int]] = Map(
+    "dedup_exact" -> Map("documents" -> 1),
+    // planted union (x2) x banded a/b self-join (x2)
+    "dedup_minhash" -> Map("documents" -> 4),
+    "dedup_simhash" -> Map("documents" -> 4),
+    // one-pass inverted index (the r9 fix: was 6): a/b join over the
+    // SHARED index subtree, planted union collapsed by exchange reuse
+    "dedup_ngram_jaccard" -> Map("documents" -> 2),
+    // planted union x (band join ids + 2 exact-verify vector fetches)
+    "dedup_embedding" -> Map("embeddings" -> 6),
+    // bloom build + probe + verify-join snapshot side (planted split)
+    "dedup_incremental" -> Map("documents" -> 4),
+    "sim_topk_dot" -> Map("embeddings" -> 2),
+    "sim_lsh_bucket" -> Map("embeddings" -> 4),
+    "sim_ivf" -> Map("embeddings" -> 4),
+    // codes + query side + shortlist vector re-fetch (deliberate:
+    // re-fetching <= 24 vectors per query beats shuffling vectors)
+    "sim_pq" -> Map("embeddings" -> 8),
+    "text_quality" -> Map("documents" -> 1),
+    "text_fingerprint" -> Map("documents" -> 1),
+    "text_langid" -> Map("documents" -> 1),
+    "text_tokens" -> Map("documents" -> 1),
+    "text_pii_scrub" -> Map("documents" -> 1),
+    "text_repetition" -> Map("documents" -> 2),
+    "text_tfidf" -> Map("documents" -> 2),
+    // size-chosen span<->freq join + the final doc join-back
+    "text_boilerplate" -> Map("documents" -> 3),
+    "decontaminate" -> Map("documents" -> 3),
+    "pack_sequences" -> Map("documents" -> 1),
+    "sample_stratified" -> Map("documents" -> 1),
+    "sample_mixture" -> Map("documents" -> 3),
+    "sample_token_budget" -> Map("documents" -> 2))
+
+  test("per-entry scan-count budgets hold over the dedup/similarity/text families") {
+    Engine.configure(spark)
+    val report = entryBudgets.keys.toSeq.sorted.map { name =>
+      check(name, SparkEntry.queries(name)(spark, TestSpark.sf),
+        entryBudgets(name))
+    }.mkString("\n")
+    info(s"measured scan counts:\n$report")
+  }
+
+  test("organic-path scan budgets: star paths one scan, pair paths two") {
+    Engine.configure(spark)
+    import graft.operators.{DedupOps, SimilarityOps}
+    val sf = TestSpark.sf
+    val cases: Seq[(String, DataFrame, Map[String, Int])] = Seq(
+      // star emission is the whole point: ONE corpus scan (window min),
+      // vs the groupBy-reps+join-back shape AQE cannot reuse (r9 audit)
+      ("minhash_star", DedupOps.minhashStarEdges(spark, sf),
+        Map("documents" -> 1)),
+      ("simhash_star", DedupOps.simhashStarEdges(spark, sf),
+        Map("documents" -> 1)),
+      ("minhash_pairs", DedupOps.minhashPairs(spark, sf, planted = false),
+        Map("documents" -> 2)),
+      ("simhash_pairs", DedupOps.simhashPairs(spark, sf, planted = false),
+        Map("documents" -> 2)),
+      ("ngram_pairs", DedupOps.ngramJaccardPairs(spark, sf, planted = false),
+        Map("documents" -> 2)),
+      ("ivf_organic", SimilarityOps.ivfTopK(spark, sf, planted = false),
+        Map("embeddings" -> 2)),
+      ("pq_organic", SimilarityOps.pqTopK(spark, sf, planted = false),
+        Map("embeddings" -> 4)),
+      ("lsh_organic", SimilarityOps.lshBucket(spark, sf, planted = false),
+        Map("embeddings" -> 2)))
+    val report = cases.map { case (name, df, budget) =>
+      check(name, df, budget)
+    }.mkString("\n")
+    info(s"measured organic scan counts:\n$report")
+  }
+}
