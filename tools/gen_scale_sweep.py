@@ -14,7 +14,10 @@ where documents/embeddings/orders/lineitem are replicated N times:
   - orders/lineitem: orderkey += k*10_000_000 (joins preserved).
   - everything else copied verbatim (events keeps TIMESTAMP(NANOS)).
 
-Usage: gen_scale_sweep.py <srcSfDir> <outDir> [N=10]
+Usage: gen_scale_sweep.py <srcSfDir> <outDir> [N=10] [tables]
+  tables: comma list of tables to replicate (default all four);
+  non-replicated tables are copied verbatim — e.g. a 100x documents
+  CC sweep doesn't need 60M lineitem rows.
 """
 import shutil, sys, os
 import pyarrow as pa
@@ -52,14 +55,20 @@ def replicate(src, out, table, n, key_col, key_off, perturb=None):
 def main():
     src, out = sys.argv[1], sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spec = {
+        "documents": ("doc_id", 100_000_000, None),
+        "embeddings": ("vec_id", 100_000_000, "embedding"),
+        "orders": ("o_orderkey", 10_000_000, None),
+        "lineitem": ("l_orderkey", 10_000_000, None),
+    }
+    tables = (sys.argv[4].split(",") if len(sys.argv) > 4
+              else list(spec.keys()))
     os.makedirs(out, exist_ok=True)
-    for t in COPY:
+    for t in COPY + [t for t in spec if t not in tables]:
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
-    replicate(src, out, "documents", n, "doc_id", 100_000_000)
-    replicate(src, out, "embeddings", n, "vec_id", 100_000_000,
-              perturb="embedding")
-    replicate(src, out, "orders", n, "o_orderkey", 10_000_000)
-    replicate(src, out, "lineitem", n, "l_orderkey", 10_000_000)
+    for t in tables:
+        key, off, perturb = spec[t]
+        replicate(src, out, t, n, key, off, perturb=perturb)
 
 
 if __name__ == "__main__":
