@@ -85,6 +85,8 @@ object Bench {
         (() => { DedupOps.minhashStarEdges(spark, sfDir).count(); () }),
       "organic_dedup_simhash_star" ->
         (() => { DedupOps.simhashStarEdges(spark, sfDir).count(); () }),
+      "organic_dedup_simhash_star_full" ->
+        (() => { DedupOps.simhashStarEdgesFull(spark, sfDir).count(); () }),
       "organic_dedup_minhash_pairs" ->
         (() => { DedupOps.minhashPairs(spark, sfDir, planted = false).count(); () }),
       "organic_dedup_simhash_pairs" ->

@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes spread over 8 chars 'a'+nibble, low nibble first) used to
   * round-trip vectors through text-only channels.
   *
-  * Conformance pins (`expr-test.cc:5542-5559`, MadlibSpec):
+  * Conformance pins (`expr-test.cc:5542-5559`, DialectSurfaceSpec "madlib vector family"):
   * `madlib_encode_vector(madlib_vector(1.0, 2.0, 3.0))` =
   * "aaaaaipdaaaaaaaeaaaaaeae"; get(0..2) = 1.0/2.0/3.0; out-of-range
   * index is NULL; print is "<1, 2, 3>" (C++ default ostream double

@@ -269,8 +269,9 @@ object DedupOps {
     * verified-pair closure connects (the minhash star's subsumption
     * property does NOT hold here). That is the price of one-scan star
     * emission with chance-collision safety; pipelines needing the full
-    * verified-pair recall use [[simhashPairs]] (quadratic in bucket
-    * size) as the cluster feed instead.
+    * verified-pair recall use [[simhashStarEdgesFullOf]] (star + a
+    * residual pair-verify pass, closure EQUAL to [[simhashPairs]]'s) or
+    * [[simhashPairs]] itself as the cluster feed instead.
     */
   def simhashStarEdgesOf(bands: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -286,6 +287,61 @@ object DedupOps {
   /** SimHash star edges for cluster feeding (see [[simhashStarEdgesOf]]). */
   def simhashStarEdges(s: SparkSession, d: String): DataFrame =
     simhashStarEdgesOf(simhashBands(s, d, planted = false))
+
+  /** [[simhashStarEdgesOf]] plus a RESIDUAL pair-verify pass that closes
+    * the star's recall gap: members failing the rep verify (Hamming > 6
+    * from the bucket representative) are re-verified all-pairs against
+    * every member of their bucket. Every verified pair in a bucket is
+    * then either rep-covered (both endpoints within 6 of the rep, hence
+    * connected through it) or touches a residual member and is emitted
+    * here — so the transitive closure EQUALS the verified-pair closure
+    * of [[simhashPairs]] (ClusterSpec pins the equality), while keeping
+    * near-star edge counts: the residual join fans out residual-count x
+    * bucket-size, and residuals are rare (bucket members share a 16-bit
+    * simhash band, so most sit within 6 of the rep).
+    *
+    * Scale shape: the window pass is one corpus scan; the residual
+    * branch re-reads the banded relation as the probe side of one
+    * band-key join (PlanBudgetSpec pins 2 scans total). No quadratic
+    * blowup on mega-buckets unless the bucket is mostly residuals —
+    * which means the band collided without similarity, exactly where
+    * verification work is owed.
+    */
+  def simhashStarEdgesFullOf(bands: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_val"))
+    val withRep = bands
+      .select(col("band_idx"), col("band_val"), col("doc_id"), col("sh"))
+      // vacuous null guard, applied EXPLICITLY at the shared root: the
+      // residual branch's band-key join infers isnotnull(band_val) on
+      // its copy of this window subtree, which would otherwise differ
+      // from the star branch's and defeat AQE exchange reuse — the
+      // corpus would be scanned through shingle/simhash twice (the r9
+      // lesson, NOTES.md; PlanBudgetSpec pins 2 scans for this op)
+      .filter(col("band_val").isNotNull)
+      .withColumn("rep", min(struct(col("doc_id"), col("sh"))).over(w))
+      .filter(col("doc_id") > col("rep.doc_id"))
+      .withColumn("dist", bit_count(col("sh").bitwiseXOR(col("rep.sh"))))
+    val star = withRep.filter(col("dist") <= 6)
+      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val residual = withRep.filter(col("dist") > 6)
+      .select(col("band_idx"), col("band_val"),
+        col("doc_id").as("r_id"), col("sh").as("r_sh"))
+    val members = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("m_id"), col("sh").as("m_sh"))
+    val residualEdges = residual.join(members, Seq("band_idx", "band_val"))
+      .filter(col("r_id") =!= col("m_id") &&
+        bit_count(col("r_sh").bitwiseXOR(col("m_sh"))) <= 6)
+      .select(least(col("r_id"), col("m_id")).as("doc_a"),
+        greatest(col("r_id"), col("m_id")).as("doc_b"))
+    star.union(residualEdges).distinct()
+  }
+
+  /** Full-recall simhash star edges over the documents table (see
+    * [[simhashStarEdgesFullOf]]).
+    */
+  def simhashStarEdgesFull(s: SparkSession, d: String): DataFrame =
+    simhashStarEdgesFullOf(simhashBands(s, d, planted = false))
 
   /** Exact n-gram Jaccard via an inverted shingle index: explode distinct
     * shingles, cap document frequency (drops stop-shingles — bounds the

@@ -146,6 +146,39 @@ class ClusterSpec extends AnyFunSuite {
     assert(linked > 0)
   }
 
+  test("full simhash star (residual pair-verify) closure EQUALS the verified-pair closure") {
+    // the recall-gap closer: star edges + an all-pairs re-verify of the
+    // members that failed the rep verify. Every verified pair is either
+    // rep-covered or touches a residual member, so the closures must be
+    // identical — the star's linear emission without its under-merge
+    val fullComps = compsOf(DedupOps.simhashStarEdgesFull(spark, TestSpark.sf))
+    val pairComps = compsOf(
+      DedupOps.simhashPairs(spark, TestSpark.sf, planted = false)
+        .select(col("doc_a"), col("doc_b")))
+    assert(fullComps.nonEmpty)
+    assert(fullComps.keySet === pairComps.keySet)
+    // same partition: equal label maps up to label choice — both use
+    // min-id labels over the same doc universe, so maps match exactly
+    assert(fullComps === pairComps)
+  }
+
+  test("full simhash star links EVERY planted twin (no drops)") {
+    // unlike the plain star (twins drop together when every shared
+    // bucket's rep is far), the residual pass re-verifies them against
+    // each other at Hamming 0 — the full variant must link all twins
+    val comps = compsOf(DedupOps.simhashStarEdgesFullOf(
+      DedupOps.simhashBands(spark, TestSpark.sf, planted = true)))
+    val twins = Engine.table(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id")).as[Long].collect()
+    assert(twins.nonEmpty)
+    twins.foreach { d =>
+      val t = d + 10000000L // DedupOps.TwinOffset
+      assert(comps.get(d).isDefined && comps.get(t).isDefined &&
+        comps(d) == comps(t), s"twin pair ($d,$t) split or unlinked")
+    }
+  }
+
   test("survivor selection keeps exactly one, the longest (tiebreak: max id)") {
     val rows = SparkEntry.queries("dedup_survivor")(spark, TestSpark.sf)
       .collect()

@@ -119,6 +119,9 @@ class PlanBudgetSpec extends AnyFunSuite {
         Map("documents" -> 1)),
       ("simhash_star", DedupOps.simhashStarEdges(spark, sf),
         Map("documents" -> 1)),
+      // star window pass + the residual branch's band-key probe
+      ("simhash_star_full", DedupOps.simhashStarEdgesFull(spark, sf),
+        Map("documents" -> 2)),
       ("minhash_pairs", DedupOps.minhashPairs(spark, sf, planted = false),
         Map("documents" -> 2)),
       ("simhash_pairs", DedupOps.simhashPairs(spark, sf, planted = false),
