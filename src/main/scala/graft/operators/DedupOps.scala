@@ -289,36 +289,57 @@ object DedupOps {
     simhashStarEdgesOf(simhashBands(s, d, planted = false))
 
   /** [[simhashStarEdgesOf]] plus a RESIDUAL pair-verify pass that closes
-    * the star's recall gap: members failing the rep verify (Hamming > 6
-    * from the bucket representative) are re-verified all-pairs against
-    * every member of their bucket. Every verified pair in a bucket is
-    * then either rep-covered (both endpoints within 6 of the rep, hence
-    * connected through it) or touches a residual member and is emitted
-    * here — so the transitive closure EQUALS the verified-pair closure
-    * of [[simhashPairs]] (ClusterSpec pins the equality), while keeping
-    * near-star edge counts: the residual join fans out residual-count x
-    * bucket-size, and residuals are rare (bucket members share a 16-bit
-    * simhash band, so most sit within 6 of the rep).
+    * the star's recall gap, with the transitive closure EQUAL to the
+    * verified-pair closure of [[simhashPairs]] (ClusterSpec pins exact
+    * label-map equality). Three edge levels:
+    *  1. identical simhashes collapse to a per-(bucket, sh)
+    *     representative; replicas chain to it at Hamming 0 (k-1 edges
+    *     per replica clique — identical docs are interchangeable, so
+    *     everything downstream runs over DISTINCT simhashes);
+    *  2. star edges over the distinct representatives (rep = bucket
+    *     min, verify Hamming <= 6 — same as the plain star);
+    *  3. representatives failing the rep verify are re-verified
+    *     all-pairs against the bucket's distinct representatives.
+    * Every verified pair is either same-sh (level 1), rep-covered
+    * (level 2, connected through the rep), or touches a residual
+    * representative (level 3) — hence closure equality.
     *
-    * Scale shape: the window pass is one corpus scan; the residual
-    * branch re-reads the banded relation as the probe side of one
-    * band-key join (PlanBudgetSpec pins 2 scans total). No quadratic
-    * blowup on mega-buckets unless the bucket is mostly residuals —
-    * which means the band collided without similarity, exactly where
-    * verification work is owed.
+    * Scale shape: ONE corpus scan (PlanBudgetSpec pins it — all three
+    * branches reuse the level-0 window exchange); edge count is linear
+    * in replica cliques and quadratic ONLY in distinct residual sh
+    * values per bucket (the naive member-level residual pass emitted
+    * 106M edges on the 100x sweep's 100%-dup corpus; this emits ~600k,
+    * NOTES r11).
     */
   def simhashStarEdgesFullOf(bands: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_val"))
-    val withRep = bands
+    import org.apache.spark.sql.expressions.Window
+    // vacuous null guards, applied EXPLICITLY at the shared root: the
+    // residual branch's joins/filters infer isnotnull on the band key,
+    // doc_id and sh for THEIR copies of the shared subtrees, which would
+    // otherwise differ from the other branches' and defeat AQE exchange
+    // reuse — the corpus would run shingle/simhash once per branch (the
+    // r9 lesson, NOTES.md; PlanBudgetSpec pins the scan budget)
+    val base = bands
       .select(col("band_idx"), col("band_val"), col("doc_id"), col("sh"))
-      // vacuous null guard, applied EXPLICITLY at the shared root: the
-      // residual branch's band-key join infers isnotnull(band_val) on
-      // its copy of this window subtree, which would otherwise differ
-      // from the star branch's and defeat AQE exchange reuse — the
-      // corpus would be scanned through shingle/simhash twice (the r9
-      // lesson, NOTES.md; PlanBudgetSpec pins 2 scans for this op)
-      .filter(col("band_val").isNotNull)
+      .filter(col("band_val").isNotNull && col("doc_id").isNotNull &&
+        col("sh").isNotNull)
+    // LEVEL 0 — collapse identical simhashes: one representative per
+    // distinct (bucket, sh); replicas chain to it at Hamming 0 (always
+    // a verified pair). Without this the residual pass is quadratic in
+    // dup-CLIQUE size: on the 100x sweep's 100%-dup corpus the naive
+    // residual re-verify emitted 106M edges (every replica of a text
+    // re-checked individually); over distinct simhashes it is quadratic
+    // only in distinct residual VALUES per bucket, which banding keeps
+    // small.
+    val wSh = Window.partitionBy(col("band_idx"), col("band_val"), col("sh"))
+    val withSrep = base.withColumn("srep", min(col("doc_id")).over(wSh))
+    val zeroEdges = withSrep.filter(col("doc_id") > col("srep"))
+      .select(col("srep").as("doc_a"), col("doc_id").as("doc_b"))
+    val distinctSh = withSrep.filter(col("doc_id") === col("srep"))
+      .select(col("band_idx"), col("band_val"), col("doc_id"), col("sh"))
+    // star + residual over the distinct-sh representatives only
+    val w = Window.partitionBy(col("band_idx"), col("band_val"))
+    val withRep = distinctSh
       .withColumn("rep", min(struct(col("doc_id"), col("sh"))).over(w))
       .filter(col("doc_id") > col("rep.doc_id"))
       .withColumn("dist", bit_count(col("sh").bitwiseXOR(col("rep.sh"))))
@@ -327,14 +348,14 @@ object DedupOps {
     val residual = withRep.filter(col("dist") > 6)
       .select(col("band_idx"), col("band_val"),
         col("doc_id").as("r_id"), col("sh").as("r_sh"))
-    val members = bands.select(col("band_idx"), col("band_val"),
+    val members = distinctSh.select(col("band_idx"), col("band_val"),
       col("doc_id").as("m_id"), col("sh").as("m_sh"))
     val residualEdges = residual.join(members, Seq("band_idx", "band_val"))
       .filter(col("r_id") =!= col("m_id") &&
         bit_count(col("r_sh").bitwiseXOR(col("m_sh"))) <= 6)
       .select(least(col("r_id"), col("m_id")).as("doc_a"),
         greatest(col("r_id"), col("m_id")).as("doc_b"))
-    star.union(residualEdges).distinct()
+    zeroEdges.union(star).union(residualEdges).distinct()
   }
 
   /** Full-recall simhash star edges over the documents table (see

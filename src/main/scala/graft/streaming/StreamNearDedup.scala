@@ -175,4 +175,43 @@ object StreamNearDedup {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(emitSim)
   }
+
+  final case class SimBandDocT(band_idx: Int, band_val: Long, doc_id: Long,
+      sh: Long, event_time: java.sql.Timestamp)
+
+  /** Horizon-bounded SimHash star edges — [[simhashStarEdges]] with the
+    * same event-time state aging as [[starEdgesWithHorizon]] (state ages
+    * out one `horizon` past the bucket's newest member), including the
+    * watermark clamp on the timeout base (see the comment there — an
+    * unclamped timeout crashes the query on a watermark jump).
+    */
+  def simhashStarEdgesWithHorizon(docs: DataFrame,
+      horizon: String): Dataset[StarEdge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    DedupOps.simhashBandify(docs.withWatermark("event_time", horizon))
+      .select(col("band_idx"), col("band_val"), col("doc_id"), col("sh"),
+        col("event_time"))
+      .as[SimBandDocT]
+      .groupByKey(b => (b.band_idx, b.band_val))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[SimBandDocT],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arr = rows.toArray
+            val all = (state.getOption.toArray ++
+              arr.map(r => (r.doc_id, r.sh))).distinct
+            val m = all.min
+            state.update(m)
+            state.setTimeoutTimestamp(
+              math.max(arr.map(_.event_time.getTime).max,
+                state.getCurrentWatermarkMs()), horizon)
+            all.iterator.filter(_._1 != m._1)
+              .filter(d => java.lang.Long.bitCount(d._2 ^ m._2) <= 6)
+              .map(d => StarEdge(m._1, d._1))
+          }
+      }
+  }
 }

@@ -65,6 +65,8 @@ object ScaleSweep {
     })
     emit("organic_dedup_simhash_star", () =>
       (DedupOps.simhashStarEdges(spark, dir).count(), ""))
+    emit("organic_dedup_simhash_star_full", () =>
+      (DedupOps.simhashStarEdgesFull(spark, dir).count(), ""))
     spark.stop()
   }
 }

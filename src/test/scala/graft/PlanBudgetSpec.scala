@@ -119,9 +119,10 @@ class PlanBudgetSpec extends AnyFunSuite {
         Map("documents" -> 1)),
       ("simhash_star", DedupOps.simhashStarEdges(spark, sf),
         Map("documents" -> 1)),
-      // star window pass + the residual branch's band-key probe
+      // zero/star/residual branches all reuse the level-0 window
+      // exchange: ONE corpus scan
       ("simhash_star_full", DedupOps.simhashStarEdgesFull(spark, sf),
-        Map("documents" -> 2)),
+        Map("documents" -> 1)),
       ("minhash_pairs", DedupOps.minhashPairs(spark, sf, planted = false),
         Map("documents" -> 2)),
       ("simhash_pairs", DedupOps.simhashPairs(spark, sf, planted = false),

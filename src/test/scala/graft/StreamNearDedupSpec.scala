@@ -198,6 +198,49 @@ class StreamNearDedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("simhash horizon variant: ages out past the horizon, links inside it, survives watermark jumps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamNearDedupSpec.TDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val twinText = "identical twin document body with enough words to shingle"
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def run(name: String, chunks: Seq[Seq[TDoc]]): Set[(Long, Long)] = {
+      val input = MemoryStream[TDoc]
+      val q = StreamNearDedup.simhashStarEdgesWithHorizon(input.toDF(), "1 minute")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        for (c <- chunks) { input.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+    }
+    // state ages out: far-apart twins do not link
+    val far = run("snd_sh_h1", Seq(
+      Seq(TDoc(1L, twinText, ts(0))),
+      Seq(TDoc(50L, "totally unrelated filler words nothing shared here at all", ts(10))),
+      Seq(TDoc(2L, twinText, ts(11)))))
+    assert(!far.contains((1L, 2L)), far.toString)
+    // control: twins inside the horizon link (Hamming 0)
+    val near = run("snd_sh_h2", Seq(
+      Seq(TDoc(1L, twinText, ts(0))),
+      Seq(TDoc(2L, twinText, ts(0)))))
+    assert(near.contains((1L, 2L)), near.toString)
+    // watermark jump with a marginally-late row must not crash (the
+    // same clamp as the minhash horizon variant; back-to-back batches)
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val jump = run("snd_sh_h3", Seq(
+        Seq(TDoc(1L, twinText, ts(0))),
+        Seq(TDoc(50L, "totally unrelated filler words nothing shared here at all", ts(30))),
+        Seq(TDoc(2L, twinText, ts(1)))))
+      assert(jump.contains((1L, 2L)), jump.toString)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("simhash twin: every streamed edge is Hamming-verified, twins link across batches") {
     import spark.implicits._
     val chunks = docs.grouped((docs.size + 2) / 3).toSeq
