@@ -65,7 +65,17 @@ object StatefulSessions {
     closed ++ {
       open.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.last / 1000 + GapUs / 1000)
+        // clamped to the CURRENT watermark: rows are admitted against
+        // the PREVIOUS batch's watermark but the timeout is validated
+        // against the current (eviction) one, so when the watermark
+        // jumps more than the gap in one batch a marginally-late event
+        // would otherwise set a timeout at/below the watermark and
+        // GroupStateImpl kills the query (same bug class as
+        // StreamNearDedup's horizon — StatefulSessionsSpec pins the
+        // jump case). The +1 keeps it strictly ahead; the flush then
+        // fires on the next watermark advance, as early as permitted.
+        state.setTimeoutTimestamp(math.max(s.last / 1000 + GapUs / 1000,
+          state.getCurrentWatermarkMs() + 1))
       }
       Iterator.empty
     }

@@ -31,6 +31,46 @@ class StatefulSessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark jump past the gap with a marginally-late event does not crash") {
+    // same bug class as StreamNearDedup's horizon timeout: rows are
+    // admitted against the PREVIOUS batch's watermark, timeouts are
+    // validated against the CURRENT one. With no-data micro-batches
+    // off (the back-to-back shape of a continuously fed stream), a
+    // batch whose predecessor advanced the watermark 9 hours admits an
+    // event at t0+2h; its open session's unclamped last+gap timeout
+    // (t0+2.5h) is then below the eviction watermark (t0+9h) and the
+    // query dies. The clamp keeps the timeout strictly ahead.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val base = hourUs * 24
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val evs = input.toDF().toDF("user_id", "ts_us")
+        .withColumn("value", lit(0.0))
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
+      val q = StatefulSessions.pipeline(evs).writeStream
+        .outputMode("append").format("memory").queryName("sess_wmjump").start()
+      try {
+        for (c <- Seq(
+            Seq((1L, base)),                  // user 1 opens a session
+            Seq((2L, base + 10 * hourUs)),    // watermark jumps ~9h
+            Seq((1L, base + 2 * hourUs)))) {  // marginally-late, admitted
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        // the late event closed user 1's first session (2h > 30min gap)
+        val got = spark.table("sess_wmjump").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+        assert(got.contains((1L, base, 1L)), got.toString)
+      } finally q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   test("skewed user: 100k events in one micro-batch, no group buffering") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
