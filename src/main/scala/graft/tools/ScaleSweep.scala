@@ -67,6 +67,39 @@ object ScaleSweep {
       (DedupOps.simhashStarEdges(spark, dir).count(), ""))
     emit("organic_dedup_simhash_star_full", () =>
       (DedupOps.simhashStarEdgesFull(spark, dir).count(), ""))
+    // streaming MinHash star replay: state rows vs distinct buckets —
+    // on the replicated sweep corpus identical texts share buckets, so
+    // state must stay ~flat while the corpus grows Nx (bucket-ndv-bound,
+    // not corpus-bound)
+    emit("organic_stream_neardedup", () => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val docs = Engine.table(spark, dir, "documents")
+        .selectExpr("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val name = s"sweep_stream_${System.nanoTime()}"
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamNearDedup
+        .starEdges(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      var stateRows = -1L
+      try {
+        docs.grouped(math.max(1, (docs.size + 7) / 8)).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows = p.stateOperators(0).numRowsTotal
+      } finally q.stop()
+      val n = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      val buckets = DedupOps.minhashBandify(
+        Engine.table(spark, dir, "documents").selectExpr("doc_id", "text"))
+        .select("band_idx", "band_hash").distinct().count()
+      (n, s""","state_rows":$stateRows,"distinct_buckets":$buckets,"docs":${docs.size}""")
+    })
     spark.stop()
   }
 }
