@@ -364,6 +364,41 @@ object DedupOps {
   def simhashStarEdgesFull(s: SparkSession, d: String): DataFrame =
     simhashStarEdgesFullOf(simhashBands(s, d, planted = false))
 
+  /** Driver entry for the full-recall simhash star: planted identical
+    * twins must ALWAYS land in one cluster of the edge closure — the
+    * level-0 same-simhash collapse links a twin pair directly, so
+    * unlike the plain star (where twins drop together when every
+    * shared bucket's rep is > Hamming 6 away) the outcome is exactly
+    * predictable: every doc with >= 1 whitespace token reports
+    * twin_linked = true. The inner joins make a doc MISSING from the
+    * closure a row-count mismatch, so the oracle checks universe
+    * membership too, not just the flag.
+    */
+  val simhashFull: Q = Q("dedup_simhash_full",
+    (s, d) => {
+      val comps = connectedComponents(
+        simhashStarEdgesFullOf(simhashBands(s, d, planted = true))
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val base = t(s, d, "documents")
+        .filter(col("doc_id") % 20 === 0 &&
+          size(call_function("token_hashes", col("text"))) >= 1)
+        .select(col("doc_id"))
+      base
+        .join(comps.select(col("id").as("doc_id"),
+          col("cluster_id").as("c1")), Seq("doc_id"))
+        .join(comps.select((col("id") - TwinOffset).as("doc_id"),
+          col("cluster_id").as("c2")), Seq("doc_id"))
+        .select(col("doc_id"), (col("c1") === col("c2")).as("twin_linked"))
+        .orderBy(col("doc_id"))
+    },
+    // a twin exists iff the doc has >= 1 whitespace token (simhash
+    // eligibility after the zero-token guard); the pair always links
+    Some("""SELECT doc_id, TRUE AS twin_linked FROM documents
+      |WHERE doc_id % 20 = 0
+      |  AND LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |      t -> t <> '')) >= 1
+      |ORDER BY doc_id""".stripMargin))
+
   /** Exact n-gram Jaccard via an inverted shingle index: explode distinct
     * shingles, cap document frequency (drops stop-shingles — bounds the
     * self-join fan-out at scale), count shared shingles per pair, Jaccard
@@ -778,6 +813,7 @@ object DedupOps {
       |           WHERE doc_id % 10 < 7) s ON b.h = s.h
       |ORDER BY b.doc_id""".stripMargin))
 
-  val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, ngramJaccard,
-    embeddingCosine, clusterAssign, survivorQuality, bloomIncremental)
+  val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, simhashFull,
+    ngramJaccard, embeddingCosine, clusterAssign, survivorQuality,
+    bloomIncremental)
 }

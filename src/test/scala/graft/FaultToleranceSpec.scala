@@ -215,6 +215,45 @@ class FaultToleranceSpec extends AnyFunSuite {
     assert(wrote > 0, s"no reliable checkpoint files written under $dir")
   }
 
+  test("task killed mid stateful star-emission micro-batch: edge output exactly-once") {
+    // the flatMapGroupsWithState append path (StreamNearDedup) under a
+    // task kill: the retried micro-batch must leave state AND the
+    // append output exactly-once — compared as a multiset against an
+    // unkilled run (multi-band duplicate edges are deterministic)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    Engine.configure(spark)
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+      .selectExpr("doc_id", "text").limit(200).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def run(name: String, kill: Boolean): (Seq[(Long, Long)], Int) = {
+      val input = MemoryStream[(Long, String)]
+      val df = input.toDF().toDF("doc_id", "text")
+      val slowed = if (kill) df.filter(expr("sleep(2)")) else df
+      val q = graft.streaming.StreamNearDedup.starEdges(slowed)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      var kills = 0
+      try {
+        input.addData(docs.take(100): _*)
+        if (kill) kills = withTaskKill("first") { q.processAllAvailable() }
+        else q.processAllAvailable()
+        input.addData(docs.drop(100): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name).select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      spark.catalog.dropTempView(name)
+      (rows, kills)
+    }
+    val (clean, _) = run("ft_star_clean", kill = false)
+    val (killed, kills) = run("ft_star_kill", kill = true)
+    assert(kills == 1, "fault was not injected")
+    assert(clean.nonEmpty)
+    assert(killed.sorted == clean.sorted)
+  }
+
   test("task killed mid streaming micro-batch: state stays exactly-once") {
     // the streaming analog of the reference's fail-points: kill a task
     // inside a stateful micro-batch; the batch's task retry must leave
