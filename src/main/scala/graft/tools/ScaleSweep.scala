@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   * with wall seconds and output rows; for the CC rows it uses
   * [[DedupOps.connectedComponentsWithRounds]] so the artifact records
   * rounds-to-converge and the converged flag — the measurement behind
-  * the "diameter-bounded rounds" claim. Usage: ScaleSweep <dir>
+  * the "diameter-bounded rounds" claim.
+  * Usage: ScaleSweep <dir> [entry...] — with entry names given, only
+  * those rows run (e.g. skip the stream row at 1000x, where its
+  * replay harness would collect 5M docs to the driver).
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.head
+    val only = args.tail.toSet
     val spark = Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     Engine.configure(spark)
 
     def emit(entry: String, f: () => (Long, String)): Unit = {
+      if (only.nonEmpty && !only.contains(entry)) return
       val t0 = System.nanoTime()
       val (rows, extra) = f()
       val sec = (System.nanoTime() - t0) / 1e9
