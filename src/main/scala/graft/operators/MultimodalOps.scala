@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat media as opaque BINARY columns with
   * typed metadata, decode/feature-extract partition-wise.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic FAKE standing in for a real decoder
-  * (libjpeg/ffmpeg/...). Everything around it — the binary column, the
-  * typed Dataset, the mapPartitions batch shape, the output schema — is
+  * PPM/BMP/PNG/WAV/Y4M, baseline JPEG and lossless WebP (VP8L,
+  * [[RawWebp]]) decode for REAL through the engine's pure-JVM codecs;
+  * `decodeStub` is the clearly-marked deterministic FAKE standing in
+  * only for the codecs the JVM cannot host here (lossy VP8, MP3/AAC
+  * audio). Everything around it — the binary column, the typed
+  * Dataset, the mapPartitions batch shape, the output schema — is
   * the real 100 TB-shaped pipeline: decode cost stays on executors,
   * one codec init per partition (not per row), no driver involvement.
   */
@@ -52,20 +54,25 @@ object MultimodalOps {
   }
 
   /** Format dispatch: PPM/BMP decode for REAL through [[RawImage]],
-    * PNG through [[RawPng]], baseline JPEG through [[RawJpeg]] (JDK
-    * ImageIO; spec-checked only — lossy DCT output is not
-    * DuckDB-mirrorable, see the RawJpeg header); features = normalized
-    * 8-bin luminance histogram. Everything else falls back to the stub.
+    * PNG through [[RawPng]], lossless WebP (VP8L) through [[RawWebp]],
+    * baseline JPEG through [[RawJpeg]] (JDK ImageIO; spec-checked only
+    * — lossy DCT output is not DuckDB-mirrorable, see the RawJpeg
+    * header); features = normalized 8-bin luminance histogram.
+    * Everything else (lossy VP8, audio codecs the JVM lacks) falls
+    * back to the stub.
     */
   def decodeAny(payload: Array[Byte]): (String, Int, Int, Array[Float]) = try {
     (if (RawPng.sniff(payload)) "image/png"
      else if (RawJpeg.sniff(payload)) "image/jpeg"
+     else if (RawWebp.sniffLossless(payload)) "image/webp"
      else RawImage.sniff(payload)) match {
-      case fmt @ ("image/ppm" | "image/bmp" | "image/png" | "image/jpeg") =>
+      case fmt @ ("image/ppm" | "image/bmp" | "image/png" | "image/jpeg" |
+          "image/webp") =>
         val img = fmt match {
           case "image/ppm" => RawImage.decodePpm(payload)
           case "image/bmp" => RawImage.decodeBmp(payload)
           case "image/jpeg" => RawJpeg.decode(payload)
+          case "image/webp" => RawWebp.decode(payload)
           case _ => RawPng.decode(payload)
         }
         val feat = new Array[Float](8)
@@ -143,6 +150,8 @@ object MultimodalOps {
         RawPng.encode(RawImage.resizeNearest(RawPng.decode(payload), targetW, targetH))
       else if (RawJpeg.sniff(payload))
         RawJpeg.encode(RawImage.resizeNearest(RawJpeg.decode(payload), targetW, targetH))
+      else if (RawWebp.sniffLossless(payload))
+        RawWebp.encode(RawImage.resizeNearest(RawWebp.decode(payload), targetW, targetH))
       else RawImage.sniff(payload) match {
         case "image/ppm" =>
           RawImage.encodePpm(RawImage.resizeNearest(
@@ -474,7 +483,8 @@ object MultimodalOps {
     * verify), resize, per-channel means. The oracle recomputes the
     * means from the pixel formula, so any chunk-, zlib-, filter- or
     * raster-level bug hash-fails. This is the one compressed codec
-    * decodable with JDK-only parts; JPEG/WebP stay stubbed.
+    * decodable with JDK-only parts; lossless WebP decodes through
+    * [[RawWebp]] (multimodal_decode_webp), lossy JPEG spec-checks only.
     */
   val decodePng: Q = Q("multimodal_decode_png",
     (s, d) => {
@@ -496,6 +506,69 @@ object MultimodalOps {
     },
     Some("""SELECT d.doc_id,
       |  'image/png' AS format,
+      |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh,
+      |  SUM((d.doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256) / 16.0
+      |    AS mean_r,
+      |  SUM((d.doc_id * 17 + (2 * x) * 11 + (2 * y) * 3) % 256) / 16.0
+      |    AS mean_g,
+      |  SUM((d.doc_id * 5 + (2 * x) * 2 + (2 * y) * 23) % 256) / 16.0
+      |    AS mean_b
+      |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic lossless-WebP payload: the [[ppmPayload]] pixel
+    * formula through the real VP8L encoder (prefix-coded literals +
+    * LZ77 runs, RawWebp).
+    */
+  def webpPayload(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        rgb(i) = ((docId * 31 + x * 7 + y * 13) % 256).toByte
+        rgb(i + 1) = ((docId * 17 + x * 11 + y * 3) % 256).toByte
+        rgb(i + 2) = ((docId * 5 + x * 2 + y * 23) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    RawWebp.encode(RawImage.Image(w, h, rgb))
+  }
+
+  /** REAL WebP-lossless decode, oracle-checked end to end: encode an
+    * 8x8 VP8L stream per document (RawWebp — canonical prefix codes +
+    * LZ77; the codec whose decode half is conformance-pinned byte-exact
+    * against reference-libwebp-encoded fixtures in WebpSpec, and whose
+    * encode half reference libwebp accepts, tools/check_webp_encode.py),
+    * sniff + decode through [[decodeAny]], resize, per-channel means.
+    * The DuckDB oracle recomputes the means from the pixel formula, so
+    * any container-, bitstream-, prefix-code- or raster-level bug
+    * hash-fails. Only lossy VP8 (a DCT video intra-frame codec) and
+    * WebP animation remain behind the stub.
+    */
+  val decodeWebp: Q = Q("multimodal_decode_webp",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val payload = webpPayload(id, 8, 8)
+          val (fmt, w, h, _) = decodeAny(payload)
+          require(fmt == "image/webp", s"sniff routed $fmt")
+          val img = RawWebp.decode(payload)
+          val small = RawImage.resizeNearest(img, 4, 4)
+          val (mr, mg, mb) = RawImage.meanRgb(small)
+          DecodedStats(id, fmt, w, h, small.width, small.height, mr, mg, mb)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id,
+      |  'image/webp' AS format,
       |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
       |  CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh,
       |  SUM((d.doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256) / 16.0
@@ -881,6 +954,6 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodePng, resizePng, framesY4m, decodeWav, audioFeatures,
+    decodePng, decodeWebp, resizePng, framesY4m, decodeWav, audioFeatures,
     decodeY4mQ, motion, imageGradients, multimodalGate)
 }

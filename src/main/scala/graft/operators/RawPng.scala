@@ -7,12 +7,14 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * stream is zlib (java.util.zip.Inflater) over five per-scanline
   * byte filters (None/Sub/Up/Average/Paeth, PNG spec §9). Baseline
   * JPEG decodes through [[RawJpeg]] (JDK ImageIO, spec-checked only);
-  * WebP stays behind [[MultimodalOps.decodeStub]].
+  * lossless WebP through [[RawWebp]]; only lossy VP8 stays behind
+  * [[MultimodalOps.decodeStub]].
   *
   * Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA — alpha
   * dropped on decode to the engine's RGB raster), non-interlaced.
   * Chunk CRCs are verified. The encoder cycles the filter type by row
   * (y % 5) so a round-trip exercises every filter reconstruction path.
+  * Lossless WebP decodes through [[RawWebp]].
   */
 object RawPng {
 
