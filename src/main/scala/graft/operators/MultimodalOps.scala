@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat media as opaque BINARY columns with
   * typed metadata, decode/feature-extract partition-wise.
   *
-  * PPM/BMP/PNG/WAV/Y4M, baseline JPEG and lossless WebP (VP8L,
-  * [[RawWebp]]) decode for REAL through the engine's pure-JVM codecs;
-  * `decodeStub` is the clearly-marked deterministic FAKE standing in
-  * only for the codecs the JVM cannot host here (lossy VP8, MP3/AAC
-  * audio). Everything around it — the binary column, the typed
+  * PPM/BMP/PNG/WAV/Y4M, baseline JPEG, lossless WebP (VP8L,
+  * [[RawWebp]]), FLAC ([[RawFlac]]), G.711 ([[RawG711]]) and IMA
+  * ADPCM ([[RawAdpcm]]) decode for REAL through the engine's pure-JVM
+  * codecs; `decodeStub` is the clearly-marked deterministic FAKE
+  * standing in only for the transform codecs the JVM cannot host here
+  * (lossy VP8, MP3/AAC). Everything around it — the binary column,
+  * the typed
   * Dataset, the mapPartitions batch shape, the output schema — is
   * the real 100 TB-shaped pipeline: decode cost stays on executors,
   * one codec init per partition (not per row), no driver involvement.
@@ -704,6 +706,246 @@ object MultimodalOps {
       |FROM documents d, range(0, 800) t(i)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic FLAC payload: the [[wavPayload]] sample formula
+    * through the real FLAC encoder (fixed predictors + rice coding,
+    * [[RawFlac]]; block size 256 so multi-frame streams occur at
+    * n=800).
+    */
+  def flacPayload(docId: Long, n: Int, rate: Int): Array[Byte] = {
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((docId * 7919 + i * 31) % 65536 - 32768).toShort
+      i += 1
+    }
+    RawFlac.encode(RawAudio.Clip(rate, 1, samples), blockSize = 256)
+  }
+
+  /** REAL compressed-audio decode, oracle-checked end to end: a FLAC
+    * stream per document (RawFlac — rice-coded fixed-predictor
+    * subframes, CRC-8/16 verified on decode), decoded back to PCM16
+    * and reduced to exact integer amplitude stats. FLAC is lossless,
+    * so unlike the spec-checked lossy JPEG the oracle recomputes every
+    * value from the sample formula — any bitstream-, predictor-,
+    * rice- or CRC-level bug hash-fails. The audio twin of
+    * [[decodeWebp]]; MP3 stays behind the stub (no JVM decode path).
+    */
+  val decodeFlac: Q = Q("multimodal_decode_flac",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val payload = flacPayload(id, 800, 16000)
+          require(RawFlac.sniff(payload), "flac sniff failed")
+          val clip = RawFlac.toClip(RawFlac.decode(payload))
+          val n = clip.samples.length
+          val (sumAbs, sumSq) = RawAudio.amplitudeStats(clip)
+          AudioStats(id, "audio/flac", clip.sampleRate, clip.channels, n,
+            n * 1000 / clip.sampleRate, sumAbs.toDouble / n, sumSq)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id,
+      |  'audio/flac' AS format,
+      |  CAST(16000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS channels,
+      |  CAST(800 AS INT) AS n_samples,
+      |  CAST(50 AS INT) AS duration_ms,
+      |  SUM(ABS((d.doc_id * 7919 + i * 31) % 65536 - 32768)) / 800.0
+      |    AS mean_abs,
+      |  CAST(SUM(((d.doc_id * 7919 + i * 31) % 65536 - 32768)
+      |         * ((d.doc_id * 7919 + i * 31) % 65536 - 32768)) AS BIGINT)
+      |    AS sum_sq
+      |FROM documents d, range(0, 800) t(i)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
+
+  final case class G711Stats(doc_id: Long, format: String,
+      sample_rate: Int, channels: Int, n_samples: Int, duration_ms: Int,
+      mean_abs_mu: Double, sum_sq_mu: Long,
+      mean_abs_al: Double, sum_sq_al: Long)
+
+  /** REAL lossy-audio decode, oracle-checked end to end: G.711 mu-law
+    * and A-law (ITU telephony companding, WAV format tags 7/6,
+    * [[RawG711]]). Lossy, but the quantizer is exact integer
+    * bit-twiddling, so the oracle recomputes the full
+    * encode->decode value Q(s) per sample IN SQL — any segment-,
+    * mantissa-, bias- or sign-level bug hash-fails. This is the lossy
+    * counterpart of [[decodeFlac]]; transform codecs (MP3/AAC) stay
+    * behind the stub (no JVM decode path).
+    */
+  val decodeG711: Q = Q("multimodal_decode_g711",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val pcm = new Array[Short](800)
+          var i = 0
+          while (i < 800) {
+            pcm(i) = ((id * 7919 + i * 31) % 65536 - 32768).toShort
+            i += 1
+          }
+          val clip = RawAudio.Clip(16000, 1, pcm)
+          val muWav = RawAudio.encodeWavG711(clip, mulaw = true)
+          val alWav = RawAudio.encodeWavG711(clip, mulaw = false)
+          require(RawAudio.sniff(muWav) == "audio/wav", "g711 sniff failed")
+          val mu = RawAudio.decodeWav(muWav)
+          val al = RawAudio.decodeWav(alWav)
+          val n = mu.samples.length
+          val (muAbs, muSq) = RawAudio.amplitudeStats(mu)
+          val (alAbs, alSq) = RawAudio.amplitudeStats(al)
+          G711Stats(id, "audio/g711", mu.sampleRate, mu.channels, n,
+            n * 1000 / mu.sampleRate, muAbs.toDouble / n, muSq,
+            alAbs.toDouble / n, alSq)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |  'audio/g711' AS format,
+      |  CAST(16000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS channels,
+      |  CAST(800 AS INT) AS n_samples,
+      |  CAST(50 AS INT) AS duration_ms,
+      |  SUM(ABS(q_mu)) / 800.0 AS mean_abs_mu,
+      |  CAST(SUM(q_mu * q_mu) AS BIGINT) AS sum_sq_mu,
+      |  SUM(ABS(q_al)) / 800.0 AS mean_abs_al,
+      |  CAST(SUM(q_al * q_al) AS BIGINT) AS sum_sq_al
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN s < 0 THEN 132 - ((mu_mant * 8 + 132) << mu_e)
+      |         ELSE ((mu_mant * 8 + 132) << mu_e) - 132 END AS q_mu,
+      |    CASE WHEN s >= 0 THEN al_mag ELSE -al_mag END AS q_al
+      |  FROM (
+      |    SELECT doc_id, s, mu_e,
+      |      ((mu_t >> (mu_e + 3)) & 15) AS mu_mant,
+      |      CASE WHEN al_a < 256 THEN ((al_a >> 4) << 4) + 8
+      |           ELSE (((al_a >> (al_e + 3)) & 15) * 16 + 264)
+      |                  << (al_e - 1) END AS al_mag
+      |    FROM (
+      |      SELECT doc_id, s, mu_t, al_a,
+      |        CASE WHEN mu_t < 256 THEN 0 WHEN mu_t < 512 THEN 1
+      |             WHEN mu_t < 1024 THEN 2 WHEN mu_t < 2048 THEN 3
+      |             WHEN mu_t < 4096 THEN 4 WHEN mu_t < 8192 THEN 5
+      |             WHEN mu_t < 16384 THEN 6 ELSE 7 END AS mu_e,
+      |        CASE WHEN al_a < 512 THEN 1 WHEN al_a < 1024 THEN 2
+      |             WHEN al_a < 2048 THEN 3 WHEN al_a < 4096 THEN 4
+      |             WHEN al_a < 8192 THEN 5 WHEN al_a < 16384 THEN 6
+      |             ELSE 7 END AS al_e
+      |      FROM (
+      |        SELECT d.doc_id AS doc_id,
+      |          ((d.doc_id * 7919 + t.i * 31) % 65536 - 32768) AS s,
+      |          LEAST(ABS((d.doc_id * 7919 + t.i * 31) % 65536 - 32768),
+      |                32635) + 132 AS mu_t,
+      |          LEAST(ABS((d.doc_id * 7919 + t.i * 31) % 65536 - 32768),
+      |                32767) AS al_a
+      |        FROM documents d, range(0, 800) t(i)
+      |      )
+      |    )
+      |  )
+      |)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** REAL sequential-state lossy-audio decode, oracle-checked end to
+    * end: IMA ADPCM (WAV format tag 0x0011, [[RawAdpcm]]) — each
+    * 4-bit nibble updates a (predictor, step-index) machine shared by
+    * encoder and decoder, all exact-integer, so the DuckDB oracle
+    * replays the block-seeded recurrence with a RECURSIVE CTE over
+    * the step/index tables (800 levels x one row per doc). Any
+    * step-table, sign-, clamp- or block-framing bug hash-fails.
+    * BlockAlign 16 -> 25 samples/block, 32 whole blocks at n=800.
+    */
+  val decodeAdpcm: Q = Q("multimodal_decode_adpcm",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val pcm = new Array[Short](800)
+          var i = 0
+          while (i < 800) {
+            pcm(i) = ((id * 7919 + i * 31) % 65536 - 32768).toShort
+            i += 1
+          }
+          val wav = RawAdpcm.encodeWav(
+            RawAudio.Clip(16000, 1, pcm), blockAlign = 16)
+          require(RawAudio.sniff(wav) == "audio/wav", "adpcm sniff failed")
+          val clip = RawAdpcm.decodeWav(wav)
+          val n = clip.samples.length
+          val (sumAbs, sumSq) = RawAudio.amplitudeStats(clip)
+          AudioStats(id, "audio/adpcm", clip.sampleRate, clip.channels, n,
+            n * 1000 / clip.sampleRate, sumAbs.toDouble / n, sumSq)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE st AS (
+      |  SELECT d.doc_id, -1 AS i, 0 AS pred, 0 AS idx,
+      |         CAST(0 AS BIGINT) AS sum_abs, CAST(0 AS BIGINT) AS sum_sq
+      |  FROM (SELECT doc_id FROM documents) d
+      |  UNION ALL
+      |  SELECT doc_id, i + 1,
+      |    CASE WHEN (i + 1) % 25 = 0 THEN s
+      |         ELSE GREATEST(-32768, LEAST(32767,
+      |           CASE WHEN s < pred THEN pred - vp ELSE pred + vp END))
+      |    END,
+      |    CASE WHEN (i + 1) % 25 = 0 THEN idx
+      |         ELSE GREATEST(0, LEAST(88,
+      |           idx + ([-1,-1,-1,-1,2,4,6,8])[delta + 1])) END,
+      |    sum_abs + ABS(CASE WHEN (i + 1) % 25 = 0 THEN s
+      |         ELSE GREATEST(-32768, LEAST(32767,
+      |           CASE WHEN s < pred THEN pred - vp ELSE pred + vp END))
+      |    END),
+      |    sum_sq + CAST(CASE WHEN (i + 1) % 25 = 0 THEN s
+      |         ELSE GREATEST(-32768, LEAST(32767,
+      |           CASE WHEN s < pred THEN pred - vp ELSE pred + vp END))
+      |    END AS BIGINT) * CAST(CASE WHEN (i + 1) % 25 = 0 THEN s
+      |         ELSE GREATEST(-32768, LEAST(32767,
+      |           CASE WHEN s < pred THEN pred - vp ELSE pred + vp END))
+      |    END AS BIGINT)
+      |  FROM (
+      |    SELECT *,
+      |      ((doc_id * 7919 + (i + 1) * 31) % 65536 - 32768) AS s,
+      |      ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+      |        50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+      |        230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+      |        876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+      |        2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+      |        7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+      |        20350,22385,24623,27086,29794,32767])[idx + 1] AS step,
+      |      ABS(s - pred) AS diff0,
+      |      CASE WHEN diff0 >= step THEN 4 ELSE 0 END
+      |        + CASE WHEN diff0 - CASE WHEN diff0 >= step THEN step
+      |                                 ELSE 0 END
+      |               >= step // 2 THEN 2 ELSE 0 END
+      |        + CASE WHEN diff0 - CASE WHEN diff0 >= step THEN step
+      |                                 ELSE 0 END
+      |               - CASE WHEN diff0 - CASE WHEN diff0 >= step
+      |                                        THEN step ELSE 0 END
+      |                      >= step // 2 THEN step // 2 ELSE 0 END
+      |               >= step // 4 THEN 1 ELSE 0 END AS delta,
+      |      step // 8
+      |        + CASE WHEN delta >= 4 THEN step ELSE 0 END
+      |        + CASE WHEN delta % 4 >= 2 THEN step // 2 ELSE 0 END
+      |        + CASE WHEN delta % 2 = 1 THEN step // 4 ELSE 0 END AS vp
+      |    FROM st WHERE i < 799
+      |  )
+      |)
+      |SELECT doc_id,
+      |  'audio/adpcm' AS format,
+      |  CAST(16000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS channels,
+      |  CAST(800 AS INT) AS n_samples,
+      |  CAST(50 AS INT) AS duration_ms,
+      |  sum_abs / 800.0 AS mean_abs,
+      |  sum_sq
+      |FROM st WHERE i = 799 ORDER BY doc_id""".stripMargin))
+
   final case class AudioFrameFeatures(doc_id: Long, win_idx: Int, n: Int,
       energy: Long, zero_crossings: Int, peak: Int)
 
@@ -954,6 +1196,7 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodePng, decodeWebp, resizePng, framesY4m, decodeWav, audioFeatures,
-    decodeY4mQ, motion, imageGradients, multimodalGate)
+    decodePng, decodeWebp, resizePng, framesY4m, decodeWav, decodeFlac,
+    decodeG711, decodeAdpcm, audioFeatures, decodeY4mQ, motion,
+    imageGradients, multimodalGate)
 }

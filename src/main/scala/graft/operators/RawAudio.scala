@@ -2,8 +2,11 @@ package graft.operators
 
 /** Pure-JVM audio codec for WAV / PCM16: RIFF is a plain byte layout
   * (no compression), so the multimodal pipeline decodes it for real —
-  * the audio twin of [[RawImage]]. Compressed audio (MP3/Opus/...)
-  * stays behind the stub boundary.
+  * the audio twin of [[RawImage]]. Compressed lossless audio decodes
+  * for real too ([[RawFlac]]), as do the non-transform lossy codings
+  * (G.711 companding via [[RawG711]] — WAV tags 6/7 below — and IMA
+  * ADPCM via [[RawAdpcm]]); transform audio (MP3/AAC/Opus) stays
+  * behind the stub boundary.
   */
 object RawAudio {
 
@@ -23,35 +26,88 @@ object RawAudio {
   private def le16(p: Array[Byte], off: Int): Int =
     (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
 
-  /** RIFF/WAVE with fmt (PCM16 only) and data chunks in any order. */
+  /** RIFF/WAVE with fmt and data chunks in any order. Format tags:
+    * 1 = PCM16, 6 = G.711 A-law, 7 = G.711 mu-law (8-bit companded,
+    * expanded to PCM16 via [[RawG711]] — a REAL lossy decode path).
+    * Handles data-before-fmt by deferring the expansion.
+    */
   def decodeWav(p: Array[Byte]): Clip = {
     require(sniff(p) == "audio/wav", "not a WAV")
     var off = 12
-    var rate = 0; var channels = 0
-    var samples: Array[Short] = null
+    var rate = 0; var channels = 0; var fmtTag = -1
+    var dataOff = -1; var dataSize = -1
     while (off + 8 <= p.length) {
       val id = new String(p, off, 4, "US-ASCII")
       val size = le32(p, off + 4)
       id match {
         case "fmt " =>
-          require(le16(p, off + 8) == 1, "only PCM WAV")
+          fmtTag = le16(p, off + 8)
+          require(fmtTag == 1 || fmtTag == 6 || fmtTag == 7,
+            s"unsupported WAV format tag $fmtTag (PCM/A-law/mu-law only)")
           channels = le16(p, off + 10)
           rate = le32(p, off + 12)
-          require(le16(p, off + 22) == 16, "only 16-bit WAV")
+          val bps = le16(p, off + 22)
+          require(bps == (if (fmtTag == 1) 16 else 8),
+            s"format tag $fmtTag requires ${if (fmtTag == 1) 16 else 8}-bit")
         case "data" =>
-          val n = size / 2
-          samples = new Array[Short](n)
-          var i = 0
-          while (i < n) {
-            samples(i) = le16(p, off + 8 + i * 2).toShort
-            i += 1
-          }
+          dataOff = off + 8; dataSize = size
         case _ => () // skip unknown chunks (LIST, fact, ...)
       }
       off += 8 + size + (size & 1) // chunks pad to even lengths
     }
-    require(samples != null && rate > 0, "missing fmt/data chunk")
+    require(dataOff >= 0 && rate > 0, "missing fmt/data chunk")
+    val samples = fmtTag match {
+      case 1 =>
+        val n = dataSize / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = le16(p, dataOff + i * 2).toShort; i += 1 }
+        out
+      case 6 =>
+        val out = new Array[Short](dataSize)
+        var i = 0
+        while (i < dataSize) { out(i) = RawG711.alawDecode(p(dataOff + i)); i += 1 }
+        out
+      case 7 =>
+        val out = new Array[Short](dataSize)
+        var i = 0
+        while (i < dataSize) { out(i) = RawG711.mulawDecode(p(dataOff + i)); i += 1 }
+        out
+    }
     Clip(rate, channels, samples)
+  }
+
+  /** RIFF/WAVE writer for G.711 payloads (format tag 6 = A-law,
+    * 7 = mu-law): one companded byte per sample.
+    */
+  def encodeWavG711(clip: Clip, mulaw: Boolean): Array[Byte] = {
+    val n = clip.samples.length
+    val pad = n & 1
+    val out = new Array[Byte](44 + n + pad)
+    def putStr(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putStr(0, "RIFF"); putLe32(4, 36 + n + pad); putStr(8, "WAVE")
+    putStr(12, "fmt "); putLe32(16, 16); putLe16(20, if (mulaw) 7 else 6)
+    putLe16(22, clip.channels); putLe32(24, clip.sampleRate)
+    putLe32(28, clip.sampleRate * clip.channels) // byte rate: 1 B/sample
+    putLe16(32, clip.channels); putLe16(34, 8) // block align, bps
+    putStr(36, "data"); putLe32(40, n)
+    var i = 0
+    while (i < n) {
+      out(44 + i) =
+        if (mulaw) RawG711.mulawEncode(clip.samples(i))
+        else RawG711.alawEncode(clip.samples(i))
+      i += 1
+    }
+    out
   }
 
   def encodeWav(clip: Clip): Array[Byte] = {
