@@ -485,6 +485,97 @@ object DedupOps {
       |WHERE jaccard >= 0.3 AND doc_b = doc_a + 10000000
       |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Edit-distance fuzzy dedup: the Levenshtein-verified sibling of
+    * [[ngramJaccardPairs]]. Candidates come from the same word-3-gram
+    * inverted index (DF cap 50, >= 2 shared rare shingles); the verify
+    * is Spark's BANDED levenshtein(a, b, threshold) — O(k*n) per pair
+    * instead of O(n*m), returning -1 past the band, so a blown-up
+    * candidate (two long docs sharing boilerplate shingles) costs the
+    * band, not the full DP table. A pair survives if dist <= 40 AND
+    * dist*4 <= max(len) (the relative criterion that makes 40 edits
+    * "near" for a 553-char doc but not a 48-char one). Planted twins
+    * carry a VARYING true distance — text || repeat(" x", doc_id % 4),
+    * i.e. 0/2/4/6 pure insertions — so the oracle checks exact
+    * distances, not just pair survival. Scale shape: the inverted
+    * index shuffles ids only; texts are fetched per *candidate pair*
+    * by two id joins, never carried through the shingle explosion.
+    */
+  def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + TwinOffset).as("doc_id"),
+        concat(col("text"),
+          repeat(lit(" x"), (col("doc_id") % 4).cast("int"))).as("text"))
+    val corpus = base.unionByName(twins)
+    val doc = corpus
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = doc.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
+    val capped = inv
+      .withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= 50)
+      .select(col("shingle"), col("doc_id"))
+    val pairs = capped.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("shingle"), col("doc_id").as("doc_b")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val verified = pairs
+      .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        levenshtein(col("ta"), col("tb"), 40).as("dist"),
+        greatest(length(col("ta")), length(col("tb"))).as("max_len"))
+      .filter(col("dist") >= 0 && col("dist") * 4 <= col("max_len"))
+    verified.select(col("doc_a"), col("doc_b"), col("shared"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Driver entry + FULL semantic oracle for [[editDistancePairs]]:
+    * DuckDB recomputes the shingle blocking as strings and the exact
+    * Levenshtein distances (both engines implement the classic
+    * unit-cost edit distance over an all-ASCII corpus).
+    */
+  val editDistance: Q = Q("dedup_editdist",
+    (s, d) => editDistancePairs(s, d),
+    Some("""WITH base AS (SELECT doc_id, text FROM documents),
+      |corpus AS (SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |         text || REPEAT(' x', CAST(doc_id % 4 AS INT))
+      |  FROM base WHERE doc_id % 20 = 0),
+      |toks AS (SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |                t -> t <> '') tk
+      |  FROM corpus),
+      |sh AS (SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) shs
+      |  FROM toks WHERE LEN(tk) >= 3),
+      |inv AS (SELECT doc_id, UNNEST(shs) shingle FROM sh),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle
+      |         HAVING COUNT(*) <= 50),
+      |capped AS (SELECT inv.doc_id, inv.shingle
+      |           FROM inv JOIN rare USING (shingle)),
+      |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) shared
+      |          FROM capped a JOIN capped b USING (shingle)
+      |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+      |          HAVING COUNT(*) >= 2),
+      |v AS (SELECT doc_a, doc_b, shared,
+      |        LEVENSHTEIN(ca.text, cb.text) dist,
+      |        GREATEST(LEN(ca.text), LEN(cb.text)) max_len
+      |      FROM pairs JOIN corpus ca ON ca.doc_id = doc_a
+      |                 JOIN corpus cb ON cb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, shared, CAST(dist AS INT) dist FROM v
+      |WHERE dist <= 40 AND dist * 4 <= max_len
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
   /** Embedding-cosine near-dup: sign-LSH banding over random hyperplanes,
     * candidate pairs share any band bucket, exact cosine verify.
     *
@@ -814,6 +905,6 @@ object DedupOps {
       |ORDER BY b.doc_id""".stripMargin))
 
   val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, simhashFull,
-    ngramJaccard, embeddingCosine, clusterAssign, survivorQuality,
-    bloomIncremental)
+    ngramJaccard, editDistance, embeddingCosine, clusterAssign,
+    survivorQuality, bloomIncremental)
 }

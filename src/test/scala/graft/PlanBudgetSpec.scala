@@ -74,6 +74,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // one-pass inverted index (the r9 fix: was 6): a/b join over the
     // SHARED index subtree, planted union collapsed by exchange reuse
     "dedup_ngram_jaccard" -> Map("documents" -> 2),
+    // shared-index a/b join (x2 via planted union) + 2 per-pair text
+    // fetches (x2 each): ids-only through the shingle explosion is
+    // the deliberate trade — carrying texts through it would multiply
+    // text bytes by shingle count in the shuffle
+    "dedup_editdist" -> Map("documents" -> 6),
     // planted union x (band join ids + 2 exact-verify vector fetches)
     "dedup_embedding" -> Map("embeddings" -> 6),
     // bloom build + probe + verify-join snapshot side (planted split)
