@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat media as opaque BINARY columns with
   * typed metadata, decode/feature-extract partition-wise.
   *
-  * PPM/BMP/PNG/WAV/Y4M, baseline JPEG, lossless WebP (VP8L,
-  * [[RawWebp]]), FLAC ([[RawFlac]]), G.711 ([[RawG711]]) and IMA
-  * ADPCM ([[RawAdpcm]]) decode for REAL through the engine's pure-JVM
-  * codecs; `decodeStub` is the clearly-marked deterministic FAKE
-  * standing in only for the transform codecs the JVM cannot host here
-  * (lossy VP8, MP3/AAC). Everything around it — the binary column,
-  * the typed
+  * PPM/BMP/PNG/WAV/Y4M, baseline JPEG, lossless AND lossy WebP
+  * ([[RawWebp]]/[[RawVp8]]), FLAC ([[RawFlac]]), G.711 ([[RawG711]])
+  * and IMA ADPCM ([[RawAdpcm]]) decode for REAL through the engine's
+  * pure-JVM codecs; `decodeStub` is the clearly-marked deterministic
+  * FAKE standing in only for the audio transform codecs the JVM
+  * cannot host here (MP3/AAC). Everything around it — the binary
+  * column, the typed
   * Dataset, the mapPartitions batch shape, the output schema — is
   * the real 100 TB-shaped pipeline: decode cost stays on executors,
   * one codec init per partition (not per row), no driver involvement.
@@ -56,17 +56,19 @@ object MultimodalOps {
   }
 
   /** Format dispatch: PPM/BMP decode for REAL through [[RawImage]],
-    * PNG through [[RawPng]], lossless WebP (VP8L) through [[RawWebp]],
-    * baseline JPEG through [[RawJpeg]] (JDK ImageIO; spec-checked only
-    * — lossy DCT output is not DuckDB-mirrorable, see the RawJpeg
-    * header); features = normalized 8-bin luminance histogram.
-    * Everything else (lossy VP8, audio codecs the JVM lacks) falls
-    * back to the stub.
+    * PNG through [[RawPng]], lossless (VP8L) AND lossy (VP8) WebP
+    * through [[RawWebp]]/[[RawVp8]] (lossy YUV is conformance-pinned
+    * byte-exact in Vp8Spec; its RGB presentation is implementation-
+    * defined, like JPEG's), baseline JPEG through [[RawJpeg]] (JDK
+    * ImageIO; spec-checked only — lossy DCT output is not
+    * DuckDB-mirrorable, see the RawJpeg header); features = normalized
+    * 8-bin luminance histogram. Everything else (MP3/AAC) falls back
+    * to the stub.
     */
   def decodeAny(payload: Array[Byte]): (String, Int, Int, Array[Float]) = try {
     (if (RawPng.sniff(payload)) "image/png"
      else if (RawJpeg.sniff(payload)) "image/jpeg"
-     else if (RawWebp.sniffLossless(payload)) "image/webp"
+     else if (RawWebp.sniffLossless(payload) || RawWebp.sniffLossy(payload)) "image/webp"
      else RawImage.sniff(payload)) match {
       case fmt @ ("image/ppm" | "image/bmp" | "image/png" | "image/jpeg" |
           "image/webp") =>
@@ -424,8 +426,9 @@ object MultimodalOps {
     * stub), nearest-neighbor resize to 4x4, per-channel means. The
     * DuckDB oracle recomputes the means straight from the pixel formula
     * (resized pixel (x,y) samples source (2x,2y)), so any header-,
-    * layout- or resample-level decode bug hash-fails. Compressed
-    * formats remain behind decodeStub — the honest codec boundary.
+    * layout- or resample-level decode bug hash-fails. (When this entry
+    * was written the compressed formats were stubbed; PNG/JPEG/WebP —
+    * lossless and lossy — have since become real codecs.)
     */
   val decodePpm: Q = Q("multimodal_decode_ppm",
     (s, d) => {
@@ -548,8 +551,8 @@ object MultimodalOps {
     * sniff + decode through [[decodeAny]], resize, per-channel means.
     * The DuckDB oracle recomputes the means from the pixel formula, so
     * any container-, bitstream-, prefix-code- or raster-level bug
-    * hash-fails. Only lossy VP8 (a DCT video intra-frame codec) and
-    * WebP animation remain behind the stub.
+    * hash-fails. Lossy VP8 decodes for real too ([[RawVp8]], Vp8Spec
+    * conformance); only WebP animation remains out of scope.
     */
   val decodeWebp: Q = Q("multimodal_decode_webp",
     (s, d) => {
@@ -579,6 +582,88 @@ object MultimodalOps {
       |    AS mean_g,
       |  SUM((d.doc_id * 5 + (2 * x) * 2 + (2 * y) * 23) % 256) / 16.0
       |    AS mean_b
+      |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic LOSSY-VP8 payload: 4x4-block-constant planes from a
+    * doc_id formula through the engine's own DC-only VP8 encoder
+    * ([[RawVp8Enc]]); exactly representable at quantizer 0, so decode
+    * reproduces the formula values bit for bit.
+    */
+  def webpLossyPayload(docId: Long): Array[Byte] = {
+    val w = 16; val h = 16
+    val y = new Array[Int](w * h)
+    val u = new Array[Int](64)
+    val v = new Array[Int](64)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        y(yy * w + xx) = ((docId * 31 + (xx / 4) * 17 + (yy / 4) * 29) % 251).toInt
+        xx += 1
+      }
+      yy += 1
+    }
+    yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        u(yy * 8 + xx) = ((docId * 13 + (xx / 4) * 7 + (yy / 4) * 23) % 251).toInt
+        v(yy * 8 + xx) = ((docId * 11 + (xx / 4) * 3 + (yy / 4) * 19) % 251).toInt
+        xx += 1
+      }
+      yy += 1
+    }
+    RawVp8Enc.encodeWebp(w, h, y, u, v)
+  }
+
+  /** REAL lossy-VP8 decode, oracle-checked end to end: encode a 16x16
+    * 'VP8 ' keyframe per document with the engine's DC-only encoder
+    * (block-flat rasters roundtrip losslessly at quantizer 0 —
+    * Vp8EncSpec), sniff + route through [[decodeAny]], then decode the
+    * normative YUV planes with [[RawVp8]] — the full-spec decoder
+    * that Vp8Spec pins byte-exact against reference libwebp across 18
+    * conformance fixtures (all token categories, 4x4/16x16 modes,
+    * segments, multi-partition, both loop filters). The DuckDB oracle
+    * recomputes the exact plane sums from the block formula, so any
+    * bool-coder-, header-, token-, prediction- or container-level bug
+    * on EITHER codec half hash-fails.
+    */
+  val decodeWebpLossy: Q = Q("multimodal_decode_webp_lossy",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val payload = webpLossyPayload(id)
+          val (fmt, w, h, _) = decodeAny(payload)
+          require(fmt == "image/webp", s"sniff routed $fmt")
+          val yuv = RawVp8.decodeWebpYuv(payload)
+          var ySum = 0L; var uSum = 0L; var vSum = 0L
+          var i = 0
+          while (i < yuv.y.length) { ySum += yuv.y(i) & 0xff; i += 1 }
+          i = 0
+          while (i < yuv.u.length) {
+            uSum += yuv.u(i) & 0xff; vSum += yuv.v(i) & 0xff; i += 1
+          }
+          (id, fmt, w, h, ySum, uSum, vSum)
+        }
+      }.toDF("doc_id", "format", "width", "height", "y_sum", "u_sum", "v_sum")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id,
+      |  'image/webp' AS format,
+      |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |  CAST(16 * SUM((d.doc_id * 31 + x * 17 + y * 29) % 251) AS BIGINT)
+      |    AS y_sum,
+      |  CAST(16 * SUM(CASE WHEN x < 2 AND y < 2
+      |    THEN (d.doc_id * 13 + x * 7 + y * 23) % 251 END) AS BIGINT)
+      |    AS u_sum,
+      |  CAST(16 * SUM(CASE WHEN x < 2 AND y < 2
+      |    THEN (d.doc_id * 11 + x * 3 + y * 19) % 251 END) AS BIGINT)
+      |    AS v_sum
       |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
 
@@ -1196,7 +1281,7 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodePng, decodeWebp, resizePng, framesY4m, decodeWav, decodeFlac,
-    decodeG711, decodeAdpcm, audioFeatures, decodeY4mQ, motion,
+    decodePng, decodeWebp, decodeWebpLossy, resizePng, framesY4m, decodeWav,
+    decodeFlac, decodeG711, decodeAdpcm, audioFeatures, decodeY4mQ, motion,
     imageGradients, multimodalGate)
 }

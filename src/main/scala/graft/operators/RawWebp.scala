@@ -14,9 +14,9 @@ package graft.operators
   * with the 14 modes, cross-color, subtract-green, color-indexing with
   * pixel bundling), plus the headerless stream form used by ALPH alpha
   * planes (alpha in the green channel, optional horizontal/vertical/
-  * gradient post-filter). Lossy VP8 stays out of scope (behind
-  * [[MultimodalOps.decodeStub]]) — that is a DCT video intra-frame
-  * codec, a different animal.
+  * gradient post-filter). Lossy VP8 ('VP8 ' chunks) decodes for real
+  * too since round 11 — routed to [[RawVp8]], whose YUV output is
+  * conformance-pinned byte-exact against libwebp (Vp8Spec).
   *
   * Conformance: WebpSpec decodes fixtures produced by the REFERENCE
   * libwebp encoder (tools/gen_webp_golden.py, system libwebp.so via
@@ -40,19 +40,24 @@ object RawWebp {
       p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' &&
       p(11) == 'P'
 
-  /** True when the container carries a LOSSLESS (VP8L) image this codec
-    * can decode — directly or inside an extended VP8X layout. Lossy
-    * ('VP8 ') files return false and stay behind the stub.
+  /** True when the container carries a LOSSLESS (VP8L) image —
+    * directly or inside an extended VP8X layout.
     */
   def sniffLossless(p: Array[Byte]): Boolean =
     sniff(p) && findChunk(p, "VP8L").isDefined
+
+  /** True when the container carries a LOSSY (VP8) keyframe — decoded
+    * for real by [[RawVp8]] since round 11 (no longer stubbed).
+    */
+  def sniffLossy(p: Array[Byte]): Boolean =
+    sniff(p) && findChunk(p, "VP8 ").isDefined
 
   private def le32(p: Array[Byte], off: Int): Int =
     (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
       ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
 
   /** Walk RIFF chunks inside the WEBP form; return (payloadOff, size). */
-  private def findChunk(p: Array[Byte], typ: String): Option[(Int, Int)] = {
+  private[operators] def findChunk(p: Array[Byte], typ: String): Option[(Int, Int)] = {
     var i = 12
     while (i + 8 <= p.length) {
       val t = new String(p, i, 4, "US-ASCII")
@@ -257,6 +262,10 @@ object RawWebp {
   // ------------------------------------------------------------- decode
 
   def decode(p: Array[Byte]): RawImage.Image = {
+    if (findChunk(p, "VP8L").isEmpty && findChunk(p, "VP8 ").isDefined) {
+      // lossy VP8 keyframe: bit-exact YUV (Vp8Spec) + presentation RGB
+      return RawVp8.toRgb(RawVp8.decodeWebpYuv(p))
+    }
     val (w, h, argb) = decodeArgb(p)
     val rgb = new Array[Byte](w * h * 3)
     var i = 0

@@ -102,12 +102,22 @@ class WebpSpec extends AnyFunSuite {
     assert(math.abs(feat.sum - 1.0f) < 1e-4)
   }
 
-  test("lossy VP8 stays behind the stub (sniffLossless false)") {
-    // CPython's test fixture is VP8X + ALPH + lossy VP8 — no VP8L chunk
+  test("lossy VP8 decodes for real since r11 (CPython fixture, conformance)") {
+    // CPython's test fixture is VP8X + ALPH + lossy VP8 — no VP8L
+    // chunk. Through r10 this pinned the stub boundary; RawVp8 now
+    // decodes it for real, byte-exact against libwebp's YUV output
+    // (golden at vp8/python_lossy.yuv) — a real-world stream from a
+    // different encoder generation than the gen_vp8_golden.py set.
     val p = bytes("python_cpython_testdata.webp")
-    assert(RawWebp.sniff(p) && !RawWebp.sniffLossless(p))
-    val (fmt, _, _, _) = MultimodalOps.decodeAny(p)
-    assert(fmt.startsWith("fake/"), s"lossy webp must stub, got $fmt")
+    assert(RawWebp.sniff(p) && !RawWebp.sniffLossless(p) && RawWebp.sniffLossy(p))
+    val out = graft.operators.RawVp8.decodeWebpYuv(p)
+    assert(out.width == 16 && out.height == 16)
+    val golden = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/vp8/python_lossy.yuv"))
+    assert((out.y ++ out.u ++ out.v).sameElements(golden),
+      "YUV planes must match libwebp byte-exactly")
+    val (fmt, w, h, _) = MultimodalOps.decodeAny(p)
+    assert(fmt == "image/webp" && w == 16 && h == 16)
   }
 
   test("decodes the ALPH lossless alpha plane of CPython's python.webp") {
