@@ -69,14 +69,16 @@ object MultimodalOps {
     (if (RawPng.sniff(payload)) "image/png"
      else if (RawJpeg.sniff(payload)) "image/jpeg"
      else if (RawWebp.sniffLossless(payload) || RawWebp.sniffLossy(payload)) "image/webp"
+     else if (RawGif.sniff(payload)) "image/gif"
      else RawImage.sniff(payload)) match {
       case fmt @ ("image/ppm" | "image/bmp" | "image/png" | "image/jpeg" |
-          "image/webp") =>
+          "image/webp" | "image/gif") =>
         val img = fmt match {
           case "image/ppm" => RawImage.decodePpm(payload)
           case "image/bmp" => RawImage.decodeBmp(payload)
           case "image/jpeg" => RawJpeg.decode(payload)
           case "image/webp" => RawWebp.decode(payload)
+          case "image/gif" => RawGif.firstFrameRgb(payload)
           case _ => RawPng.decode(payload)
         }
         val feat = new Array[Float](8)
@@ -665,6 +667,71 @@ object MultimodalOps {
       |    THEN (d.doc_id * 11 + x * 3 + y * 19) % 251 END) AS BIGINT)
       |    AS v_sum
       |FROM documents d, range(0, 4) tx(x), range(0, 4) ty(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic GIF payload: a 16x16 indexed raster + 16-color
+    * palette from doc_id formulas through the engine's own LZW encoder
+    * ([[RawGif]]). GIF is lossless indexed color, so decode reproduces
+    * the formulas bit for bit.
+    */
+  def gifPayload(docId: Long): Array[Byte] = {
+    val w = 16; val h = 16
+    val pal = Array.tabulate(16) { i =>
+      ((((i * 53 + docId * 3) % 256).toInt & 0xff) << 16) |
+        ((((i * 31 + docId * 5) % 256).toInt & 0xff) << 8) |
+        (((i * 17 + docId * 7) % 256).toInt & 0xff)
+    }
+    val idx = Array.tabulate(w * h)(i => ((docId * 7 + i) % 16).toByte)
+    RawGif.encode(w, h, pal, idx)
+  }
+
+  /** REAL GIF decode, oracle-checked end to end: encode a 16x16 GIF89a
+    * per document with the engine's LZW encoder (RawGif — whose decode
+    * half is conformance-pinned index-exact against reference-giflib-
+    * encoded fixtures in GifSpec incl. interlace, animations and all
+    * LZW width boundaries, and whose encode half reference giflib
+    * decodes back exactly, tools/check_gif_encode.py), sniff + route
+    * through [[decodeAny]], composite the first frame to RGB, sum
+    * channels. Lossless, so the DuckDB oracle recomputes the exact
+    * sums from the index/palette formulas — any LZW-, palette-,
+    * framing- or compositing-level bug on either codec half
+    * hash-fails.
+    */
+  val decodeGif: Q = Q("multimodal_decode_gif",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val payload = gifPayload(id)
+          val (fmt, w, h, _) = decodeAny(payload)
+          require(fmt == "image/gif", s"sniff routed $fmt")
+          val img = RawGif.firstFrameRgb(payload)
+          var rSum = 0L; var gSum = 0L; var bSum = 0L
+          var i = 0
+          while (i < w * h) {
+            rSum += img.rgb(i * 3) & 0xff
+            gSum += img.rgb(i * 3 + 1) & 0xff
+            bSum += img.rgb(i * 3 + 2) & 0xff
+            i += 1
+          }
+          (id, fmt, w, h, rSum, gSum, bSum)
+        }
+      }.toDF("doc_id", "format", "width", "height", "r_sum", "g_sum", "b_sum")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id,
+      |  'image/gif' AS format,
+      |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |  CAST(SUM((((d.doc_id * 7 + i) % 16) * 53 + d.doc_id * 3) % 256)
+      |    AS BIGINT) AS r_sum,
+      |  CAST(SUM((((d.doc_id * 7 + i) % 16) * 31 + d.doc_id * 5) % 256)
+      |    AS BIGINT) AS g_sum,
+      |  CAST(SUM((((d.doc_id * 7 + i) % 16) * 17 + d.doc_id * 7) % 256)
+      |    AS BIGINT) AS b_sum
+      |FROM documents d, range(0, 256) t(i)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin))
 
   /** Full PNG TRANSCODE loop oracle-checked: encode -> resizeReal
@@ -1281,7 +1348,7 @@ object MultimodalOps {
       |GROUP BY d.doc_id, f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
-    decodePng, decodeWebp, decodeWebpLossy, resizePng, framesY4m, decodeWav,
-    decodeFlac, decodeG711, decodeAdpcm, audioFeatures, decodeY4mQ, motion,
-    imageGradients, multimodalGate)
+    decodePng, decodeWebp, decodeWebpLossy, decodeGif, resizePng, framesY4m,
+    decodeWav, decodeFlac, decodeG711, decodeAdpcm, audioFeatures, decodeY4mQ,
+    motion, imageGradients, multimodalGate)
 }
