@@ -392,6 +392,12 @@ object ImpalaFunctions {
     temp("dot_vec") { case Seq(a, b) => DotVec(a, b) }
     // packed hyperplane-sign signature (see SignBits) — LSH kernel
     temp("sign_bits") { case Seq(v, p) => SignBits(v, p) }
+    // substring-dedup kernels (see SubstrFingerprints)
+    temp("winnow_grams") {
+      case Seq(e, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        WinnowGrams(e, k, w)
+    }
+    temp("extend_spans") { case Seq(a, b, an) => ExtendSpans(a, b, an) }
     // product-quantization kernels (see PqKernels) — IVF-PQ hot path
     temp("pq_encode") { case Seq(v, b) => PqEncode(v, b) }
     temp("pq_adc") { case Seq(q, c, b) => PqAdc(q, c, b) }

@@ -576,6 +576,103 @@ object DedupOps {
       |WHERE dist <= 40 AND dist * 4 <= max_len
       |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Substring-level exact dedup (the Lee et al. 2022 "ExactSubstr"
+    * primitive): all maximal shared character spans >= minSpan between
+    * document pairs, as (doc_a, doc_b, a_start, b_start, span_len) with
+    * 1-based positions.
+    *
+    * Pipeline: winnowed k-gram fingerprints (one codegen'd
+    * [[graft.functions.WinnowGrams]] pass per doc, density ~2/(w+1) per
+    * character — the scale lever vs a full 1-row-per-character position
+    * index) -> self-join on the 64-bit fingerprint, ids+positions only
+    * (texts never ride the fingerprint shuffle) -> anchors grouped per
+    * doc pair -> texts joined back ONCE per pair -> one
+    * [[graft.functions.ExtendSpans]] kernel call extends every anchor
+    * to its maximal char-equal run and dedupes. For
+    * minSpan >= w + k - 1 the result provably equals the full-index
+    * per-diagonal islands semantics (winnowing theorem — see the kernel
+    * scaladoc); SubstringDedupSpec pins w=12 == w=1 (full index) on the
+    * corpus and the DuckDB oracle recomputes the islands from the full
+    * position index in SQL.
+    *
+    * Skew note: gram DF is naturally long-tail-bounded after winnowing
+    * (max DF 4 on the test corpus); a boilerplate-heavy corpus would cap
+    * fingerprint DF the same way ngramJaccardPairs caps shingle DF —
+    * dropping a >cap fingerprint only loses spans whose every other
+    * fingerprint is also >cap, i.e. corpus-wide boilerplate.
+    */
+  def substringSpans(corpus: DataFrame, k: Int = 40, w: Int = 12,
+      minSpan: Int = 60): DataFrame = {
+    require(minSpan >= w + k - 1,
+      s"minSpan must be >= w+k-1 for exact winnowed recall (got $minSpan < ${w + k - 1})")
+    val fp = corpus
+      .select(col("doc_id"),
+        explode(call_function("winnow_grams", col("text"), lit(k), lit(w)))
+          .as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+    val anchors = fp.select(col("h"), col("doc_id").as("doc_a"),
+        col("pos").as("pa"))
+      .join(fp.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
+    anchors
+      .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        explode(call_function("extend_spans", col("ta"), col("tb"),
+          col("anchors"))).as("sp"))
+      .select(col("doc_a"), col("doc_b"), col("sp.a_start").as("a_start"),
+        col("sp.b_start").as("b_start"), col("sp.span_len").as("span_len"))
+      .filter(col("span_len") >= minSpan)
+  }
+
+  /** Driver entry + FULL semantic oracle for [[substringSpans]]: planted
+    * docs embed a shifted 250-char slice of an original (substr(text, 8,
+    * 250) framed by sentinel chars, so the span is interior on both
+    * sides), and DuckDB recomputes ALL maximal spans — planted AND the
+    * organic prefix-duplicates the corpus generator produces — from the
+    * full k-gram position index as per-diagonal islands
+    * (gaps-and-islands over pa - row_number per (pair, pb-pa) diagonal).
+    */
+  val substringDedup: Q = Q("dedup_substring",
+    (s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + TwinOffset).as("doc_id"),
+          concat(lit("Z#"), substring(col("text"), 8, 250), lit("#Q"))
+            .as("text"))
+      substringSpans(base.unionByName(planted), k = 40, w = 12, minSpan = 60)
+        .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+    },
+    Some("""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 'Z#' || substr(text, 8, 250) || '#Q'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |pos AS (
+      |  SELECT doc_id, i, substr(text, CAST(i AS INT), 40) gram
+      |  FROM corpus, UNNEST(GENERATE_SERIES(1, LEN(text) - 39)) AS u(i)),
+      |m AS (
+      |  SELECT a.doc_id doc_a, b.doc_id doc_b, a.i pa, b.i pb, b.i - a.i delta
+      |  FROM pos a JOIN pos b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT doc_a, doc_b, delta, pa, pb,
+      |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, delta
+      |                            ORDER BY pa) grp
+      |  FROM m),
+      |spans AS (
+      |  SELECT doc_a, doc_b, MIN(pa) a_start, MIN(pb) b_start,
+      |    COUNT(*) + 39 span_len
+      |  FROM isl GROUP BY doc_a, doc_b, delta, grp)
+      |SELECT doc_a, doc_b, CAST(a_start AS INT) a_start,
+      |  CAST(b_start AS INT) b_start, CAST(span_len AS INT) span_len
+      |FROM spans WHERE span_len >= 60
+      |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin))
+
   /** Embedding-cosine near-dup: sign-LSH banding over random hyperplanes,
     * candidate pairs share any band bucket, exact cosine verify.
     *
@@ -905,6 +1002,6 @@ object DedupOps {
       |ORDER BY b.doc_id""".stripMargin))
 
   val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, simhashFull,
-    ngramJaccard, editDistance, embeddingCosine, clusterAssign,
+    ngramJaccard, editDistance, substringDedup, embeddingCosine, clusterAssign,
     survivorQuality, bloomIncremental)
 }

@@ -79,6 +79,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the deliberate trade — carrying texts through it would multiply
     // text bytes by shingle count in the shuffle
     "dedup_editdist" -> Map("documents" -> 6),
+    // planted union x (fingerprint a/b self-join over the shared
+    // winnow subtree + 2 per-pair text fetches): ids+positions only
+    // through the fingerprint shuffle, texts joined once per doc pair
+    "dedup_substring" -> Map("documents" -> 6),
     // planted union x (band join ids + 2 exact-verify vector fetches)
     "dedup_embedding" -> Map("embeddings" -> 6),
     // bloom build + probe + verify-join snapshot side (planted split)
@@ -134,6 +138,11 @@ class PlanBudgetSpec extends AnyFunSuite {
         Map("documents" -> 2)),
       ("ngram_pairs", DedupOps.ngramJaccardPairs(spark, sf, planted = false),
         Map("documents" -> 2)),
+      // fingerprint self-join reuses the winnow exchange (1) + the two
+      // per-pair text fetches
+      ("substring_organic", DedupOps.substringSpans(
+        Engine.table(spark, sf, "documents").select("doc_id", "text")),
+        Map("documents" -> 3)),
       ("ivf_organic", SimilarityOps.ivfTopK(spark, sf, planted = false),
         Map("embeddings" -> 2)),
       ("pq_organic", SimilarityOps.pqTopK(spark, sf, planted = false),
