@@ -72,6 +72,42 @@ object ScaleSweep {
       (DedupOps.simhashStarEdges(spark, dir).count(), ""))
     emit("organic_dedup_simhash_star_full", () =>
       (DedupOps.simhashStarEdgesFull(spark, dir).count(), ""))
+    // substring dedup at scale, three regimes. The sweep corpus is
+    // 100%-duplicated (texts identical across replicas), which is the
+    // adversarial case for SUBSTRING granularity: every replica pair
+    // shares every span, so output (and anchor pairs) grow
+    // quadratically in replication — that is the semantics, not waste.
+    // The prescribed 100 TB composition is therefore:
+    //   exact doc-level collapse FIRST (one md5 groupBy), substring
+    //   spans over distinct texts only ("substring_collapsed" — flat
+    //   output across replication);
+    // "substring_unique" mutates each replica (one extra char every 30
+    // — no 40-gram survives a cross-replica pairing) to measure the
+    // fingerprint/join cost on a dup-free corpus, the dominant regime
+    // after doc-level dedup; "substring_raw" is the quadratic
+    // worst case, run only at small N via the entry filter.
+    def sweepDocs = Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    emit("substring_unique", () => {
+      // 3-char replica code (unique to 26^3 replicas — one char aliased
+      // mod 26 at 100x and reintroduced cross-replica dups); segments
+      // between codes are 30 < k chars, so no cross-replica 40-gram
+      val r = col("doc_id") / 100000000L
+      val code = concat(chr(r % 26 + lit(65)), chr((r / 26) % 26 + lit(65)),
+        chr((r / 676) % 26 + lit(65)))
+      val mutated = sweepDocs.select(col("doc_id"),
+        regexp_replace(col("text"), lit("(.{30})"),
+          concat(lit("$1"), code)).as("text"))
+      (DedupOps.substringSpans(mutated).count(), "")
+    })
+    emit("substring_collapsed", () => {
+      val reps = sweepDocs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+        .select(col("doc_id"), col("text"))
+      (DedupOps.substringSpans(reps).count(), "")
+    })
+    emit("substring_raw", () =>
+      (DedupOps.substringSpans(sweepDocs).count(), ""))
     // streaming MinHash star replay: state rows vs distinct buckets —
     // on the replicated sweep corpus identical texts share buckets, so
     // state must stay ~flat while the corpus grows Nx (bucket-ndv-bound,
