@@ -398,6 +398,10 @@ object ImpalaFunctions {
         WinnowGrams(e, k, w)
     }
     temp("extend_spans") { case Seq(a, b, an) => ExtendSpans(a, b, an) }
+    // BPE trainer/encoder kernels (see BpeKernels)
+    temp("bpe_pairs") { case Seq(e) => BpePairs(e) }
+    temp("bpe_apply") { case Seq(sy, l, r) => BpeApply(sy, l, r) }
+    temp("bpe_encode") { case Seq(wd, m) => BpeEncode(wd, m) }
     // product-quantization kernels (see PqKernels) — IVF-PQ hot path
     temp("pq_encode") { case Seq(v, b) => PqEncode(v, b) }
     temp("pq_adc") { case Seq(q, c, b) => PqAdc(q, c, b) }

@@ -356,6 +356,167 @@ object CorpusOps {
       |SELECT lang, token, tf, df, tfidf_ppm FROM ranked WHERE rk <= 15
       |ORDER BY lang, tfidf_ppm DESC, token""".stripMargin))
 
+  // ---- distributed BPE subword training / encoding ----------------------
+
+  /** Distributed BPE-merge training (Sennrich et al. 2016, word-level,
+    * no end-of-word marker): learn `nMerges` byte-pair merges from the
+    * corpus, returned as (rank, left, right, merged, pair_count).
+    *
+    * Scale shape: the loop state is the WORD-TYPE table — distinct
+    * words with counts — whose size is vocabulary-bounded (tens of
+    * millions of rows at 100 TB, not trillions of tokens), built by one
+    * corpus-wide aggregation. Each round is (a) one partial-aggregated
+    * pair-count shuffle over that small table ([[graft.functions.BpePairs]]
+    * kernel, map-side combine), (b) ONE argmax row to the driver
+    * (count DESC, then lexicographic — deterministic ties), (c) a
+    * map-side rewrite ([[graft.functions.BpeApply]], leftmost-first
+    * non-overlapping, the canonical semantics) materialized with
+    * `localCheckpoint` so lineage stays one round deep (the
+    * connectedComponents pattern). Production trainers amortize further
+    * with incremental pair-count deltas (only words containing the
+    * merged pair change); the full per-round recount here keeps rounds
+    * stateless at the cost of re-aggregating a vocabulary-sized table.
+    *
+    * The word string rides alongside its symbol array so callers (the
+    * encode entry's oracle, BpeSpec) can join tokenizations back to
+    * text; `bpeTrain` returns (merges, finalWords).
+    */
+  def bpeTrainWithVocab(corpus: DataFrame,
+      nMerges: Int): (DataFrame, DataFrame) = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    var words = corpus
+      .select(explode(toks(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = words
+        .select(explode(call_function("bpe_pairs", col("syms"))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, l + r, n))
+        val next = words.select(col("w"),
+          call_function("bpe_apply", col("syms"), lit(l), lit(r)).as("syms"),
+          col("cnt")).localCheckpoint(true)
+        words = next
+        rank += 1
+      }
+    }
+    (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count"),
+      words)
+  }
+
+  def bpeTrain(corpus: DataFrame, nMerges: Int): DataFrame =
+    bpeTrainWithVocab(corpus, nMerges)._1
+
+  /** Oracle-SQL generator: DuckDB replays the trainer exactly — per
+    * round a pair-count aggregate over the current tokenization, the
+    * same (n DESC, l, r) argmax, and a RECURSIVE-CTE retokenizer that
+    * walks each word left to right consuming a pair or a single symbol
+    * per step, i.e. bit-for-bit the leftmost-first non-overlapping
+    * merge semantics of [[graft.functions.BpeApply]] (overlap-safe:
+    * "aaa" + (a,a) -> ["aa","a"] in both engines). Generated
+    * programmatically — one CTE triple per round.
+    */
+  private[operators] def bpeOracleCtes(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT toks[i] l, toks[i+1] r, SUM(cnt) n
+         |  FROM t${i - 1}, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) u(i)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT w, cnt, toks, 1 AS idx, CAST([] AS VARCHAR[]) acc
+         |  FROM t${i - 1}
+         |  UNION ALL
+         |  SELECT s.w, s.cnt, s.toks,
+         |    CASE WHEN s.idx < LEN(s.toks) AND s.toks[s.idx] = m.l
+         |              AND s.toks[s.idx+1] = m.r
+         |         THEN s.idx + 2 ELSE s.idx + 1 END,
+         |    LIST_APPEND(s.acc,
+         |      CASE WHEN s.idx < LEN(s.toks) AND s.toks[s.idx] = m.l
+         |                AND s.toks[s.idx+1] = m.r
+         |           THEN s.toks[s.idx] || s.toks[s.idx+1]
+         |           ELSE s.toks[s.idx] END)
+         |  FROM s$i s, m$i m WHERE s.idx <= LEN(s.toks)),
+         |t$i AS MATERIALIZED (SELECT w, cnt, acc AS toks FROM s$i
+         |        WHERE idx = LEN(toks) + 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) cnt FROM (
+       |    SELECT UNNEST(LIST_FILTER(
+       |      STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) w
+       |    FROM documents) GROUP BY w),
+       |t0 AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w)), i -> w[i]) toks
+       |  FROM w0),
+       |$rounds""".stripMargin
+  }
+
+  private val BpeMerges = 16
+
+  /** Driver entry + FULL semantic oracle: the learned merge table
+    * itself, hash-checked — DuckDB re-trains the same 16 merges from
+    * scratch (generated CTE chain above).
+    */
+  val bpeTrainTable: Q = Q("text_bpe_train",
+    (s, d) => bpeTrain(t(s, d, "documents").select(col("text")), BpeMerges)
+      .orderBy(col("rank")),
+    Some(s"""${bpeOracleCtes(BpeMerges)}
+      |SELECT * FROM (
+      |${(1 to BpeMerges).map(i =>
+        s"  SELECT $i AS rank, l AS \"left\", r AS \"right\", l || r AS merged, CAST(n AS BIGINT) pair_count FROM m$i")
+        .mkString("  UNION ALL\n")}
+      |) ORDER BY rank""".stripMargin))
+
+  /** Production encode path: train on the corpus, then tokenize every
+    * document with the learned table via the [[graft.functions.BpeEncode]]
+    * kernel (merge table rides into the plan as a literal — an implicit
+    * broadcast; works on words never seen in training). Output
+    * (doc_id, n_words, n_tokens); the oracle recomputes n_tokens by
+    * joining doc words to the round-16 tokenization of the vocabulary —
+    * equal because encoding replays the trainer's merge sequence.
+    */
+  val bpeEncode: Q = Q("text_bpe_encode",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val merges = graft.functions.BpeKernels.packMerges(
+        bpeTrain(docs.select(col("text")), BpeMerges)
+          .orderBy(col("rank"))
+          .select(col("left"), col("right")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq)
+      docs.select(col("doc_id"),
+          explode(toks(lower(col("text")))).as("word"))
+        .select(col("doc_id"),
+          size(call_function("bpe_encode", col("word"),
+            lit(merges))).as("toks"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""${bpeOracleCtes(BpeMerges)},
+      |d AS (
+      |  SELECT doc_id, UNNEST(LIST_FILTER(
+      |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) w
+      |  FROM documents)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_words,
+      |  CAST(SUM(LEN(toks)) AS BIGINT) n_tokens
+      |FROM d JOIN t$BpeMerges USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
-    mixtureSample, tokenBudgetSample, termStats)
+    mixtureSample, tokenBudgetSample, termStats, bpeTrainTable, bpeEncode)
 }
