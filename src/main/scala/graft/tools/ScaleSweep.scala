@@ -108,6 +108,15 @@ object ScaleSweep {
     })
     emit("substring_raw", () =>
       (DedupOps.substringSpans(sweepDocs).count(), ""))
+    // BPE training cost is WORD-TYPE-bound, not corpus-bound: the
+    // replicated corpus has the same vocabulary at every N (counts x N),
+    // so per-round cost past the initial word-count aggregation should
+    // be flat across replication
+    emit("bpe_train", () => {
+      val m = graft.operators.CorpusOps.bpeTrain(
+        sweepDocs.select(col("text")), 16)
+      (m.count(), "")
+    })
     // streaming MinHash star replay: state rows vs distinct buckets —
     // on the replicated sweep corpus identical texts share buckets, so
     // state must stay ~flat while the corpus grows Nx (bucket-ndv-bound,
