@@ -398,6 +398,7 @@ object ImpalaFunctions {
         WinnowGrams(e, k, w)
     }
     temp("extend_spans") { case Seq(a, b, an) => ExtendSpans(a, b, an) }
+    temp("cut_spans") { case Seq(txt, iv) => CutSpans(txt, iv) }
     // BPE trainer/encoder kernels (see BpeKernels)
     temp("bpe_pairs") { case Seq(e) => BpePairs(e) }
     temp("bpe_apply") { case Seq(sy, l, r) => BpeApply(sy, l, r) }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -104,6 +104,39 @@ case class ExtendSpans(ta: Expression, tb: Expression, anchors: Expression)
   override def prettyName: String = "extend_spans"
 }
 
+/** cut_spans(text, intervals): remove the given 1-based [s, e) char
+  * intervals from `text` and return the concatenation of what remains.
+  * Intervals are sorted by start internally (collect_list order is
+  * nondeterministic) and are expected non-overlapping (the caller
+  * merges islands first); overlapping input is still handled safely by
+  * cutting from max(cursor, s).
+  */
+case class CutSpans(text: Expression, intervals: Expression)
+    extends BinaryExpression {
+  override def left: Expression = text
+  override def right: Expression = intervals
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, intervals.dataType) match {
+      case (StringType, ArrayType(s: StructType, _))
+          if s.length == 2 && s.forall(_.dataType == IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"cut_spans requires (STRING, ARRAY<STRUCT<INT,INT>>), got " +
+          s"(${a.sql}, ${b.sql})")
+    }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any, iv: Any): Any =
+    SubstrFingerprints.cutSpans(t.asInstanceOf[UTF8String],
+      iv.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, iv) =>
+      s"${ev.value} = graft.functions.SubstrFingerprints.cutSpans($t, $iv);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CutSpans =
+    copy(text = newLeft, intervals = newRight)
+  override def prettyName: String = "cut_spans"
+}
+
 object SubstrFingerprints {
   val FpType: StructType = StructType(Seq(
     StructField("pos", IntegerType, nullable = false),
@@ -174,6 +207,28 @@ object SubstrFingerprints {
 
   private def unsignedGte(a: Long, b: Long): Boolean =
     java.lang.Long.compareUnsigned(a, b) >= 0
+
+  def cutSpans(text: UTF8String, intervals: ArrayData): UTF8String = {
+    val bytes = text.getBytes // ASCII corpus: byte == char positions
+    val n = intervals.numElements()
+    if (n == 0) return text
+    val ivs = Array.tabulate(n) { i =>
+      val r = intervals.getStruct(i, 2)
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var cursor = 0 // 0-based
+    var i = 0
+    while (i < ivs.length) {
+      val s = math.max(ivs(i)._1 - 1, cursor)
+      val e = math.max(ivs(i)._2 - 1, cursor)
+      if (s > cursor) out.write(bytes, cursor, math.min(s, bytes.length) - cursor)
+      cursor = math.max(cursor, math.min(e, bytes.length))
+      i += 1
+    }
+    if (cursor < bytes.length) out.write(bytes, cursor, bytes.length - cursor)
+    UTF8String.fromBytes(out.toByteArray)
+  }
 
   def extendSpans(ta: UTF8String, tb: UTF8String,
       anchors: ArrayData): ArrayData = {

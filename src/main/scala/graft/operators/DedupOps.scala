@@ -638,17 +638,22 @@ object DedupOps {
     * full k-gram position index as per-diagonal islands
     * (gaps-and-islands over pa - row_number per (pair, pb-pa) diagonal).
     */
-  val substringDedup: Q = Q("dedup_substring",
-    (s, d) => {
-      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val planted = base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + TwinOffset).as("doc_id"),
-          concat(lit("Z#"), substring(col("text"), 8, 250), lit("#Q"))
-            .as("text"))
-      substringSpans(base.unionByName(planted), k = 40, w = 12, minSpan = 60)
-        .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
-    },
-    Some("""WITH corpus AS (
+  /** Shared planted corpus for the substring entries (Spark side). */
+  private def substringCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + TwinOffset).as("doc_id"),
+        concat(lit("Z#"), substring(col("text"), 8, 250), lit("#Q"))
+          .as("text"))
+    base.unionByName(planted)
+  }
+
+  /** Shared oracle prefix: corpus + full-index per-diagonal islands ->
+    * `spans` (>= 60 filter applied downstream). MATERIALIZED stops
+    * DuckDB re-expanding the position self-join per consumer.
+    */
+  private val SubstrOracleWith: String =
+    """WITH corpus AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 10000000, 'Z#' || substr(text, 8, 250) || '#Q'
@@ -664,14 +669,112 @@ object DedupOps {
       |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, delta
       |                            ORDER BY pa) grp
       |  FROM m),
-      |spans AS (
+      |spans AS MATERIALIZED (
       |  SELECT doc_a, doc_b, MIN(pa) a_start, MIN(pb) b_start,
       |    COUNT(*) + 39 span_len
-      |  FROM isl GROUP BY doc_a, doc_b, delta, grp)
+      |  FROM isl GROUP BY doc_a, doc_b, delta, grp)""".stripMargin
+
+  val substringDedup: Q = Q("dedup_substring",
+    (s, d) => substringSpans(substringCorpus(s, d), k = 40, w = 12,
+        minSpan = 60)
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start")),
+    Some(s"""$SubstrOracleWith
       |SELECT doc_a, doc_b, CAST(a_start AS INT) a_start,
       |  CAST(b_start AS INT) b_start, CAST(span_len AS INT) span_len
       |FROM spans WHERE span_len >= 60
       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin))
+
+  /** Span REMOVAL — the apply step of exact-substring dedup: every
+    * duplicated span is cut from the pair's HIGHER doc_id (so within a
+    * duplicate cluster the smallest id keeps the only copy), intervals
+    * per victim doc merged (touching counts as one island) before one
+    * [[graft.functions.CutSpans]] kernel call rebuilds the cleaned
+    * text. Interval merge is a per-doc running-max window — one shuffle
+    * on doc_id, linear within; the kernel sees non-overlapping islands.
+    * Docs with no spans pass through untouched (left join).
+    */
+  def substringCut(corpus: DataFrame, k: Int = 40, w: Int = 12,
+      minSpan: Int = 60): DataFrame = {
+    val spans = substringSpans(corpus, k, w, minSpan)
+    val ivRaw = spans.select(col("doc_b").as("doc_id"),
+      col("b_start").as("s"),
+      (col("b_start") + col("span_len")).as("e"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val flagged = ivRaw
+      .withColumn("prev_max", max(col("e"))
+        .over(wOrd.rowsBetween(Long.MinValue, -1)))
+      .withColumn("ni",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(wOrd.rowsBetween(Long.MinValue, 0)))
+    val merged = flagged.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("bigint").as("n_cut"),
+        collect_list(struct(col("s").cast("int").as("s"),
+          col("e").cast("int").as("e"))).as("ivs"))
+    corpus.join(ivs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        when(col("ivs").isNull, col("text"))
+          .otherwise(call_function("cut_spans", col("text"), col("ivs")))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver entry + FULL semantic oracle for [[substringCut]]: DuckDB
+    * merges the same intervals with the same running-max islands and
+    * rebuilds each cleaned text as the ordered STRING_AGG of the kept
+    * segments — cleaned TEXTS hash-compared doc by doc.
+    */
+  val substringCutQ: Q = Q("dedup_substring_cut",
+    (s, d) => substringCut(substringCorpus(s, d), k = 40, w = 12,
+      minSpan = 60),
+    Some(s"""$SubstrOracleWith,
+      |iv AS (
+      |  SELECT doc_b AS doc_id, b_start s, b_start + span_len e
+      |  FROM spans WHERE span_len >= 60),
+      |fl AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+      |           ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND 1 PRECEDING), -1) THEN 1 ELSE 0 END ni
+      |  FROM iv),
+      |isl2 AS (
+      |  SELECT doc_id, s, e, SUM(ni) OVER (PARTITION BY doc_id
+      |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) island
+      |  FROM fl),
+      |mg AS MATERIALIZED (
+      |  SELECT doc_id, island, MIN(s) s, MAX(e) e
+      |  FROM isl2 GROUP BY doc_id, island),
+      |segs AS (
+      |  SELECT doc_id,
+      |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) seg_s,
+      |    s AS seg_e
+      |  FROM mg
+      |  UNION ALL
+      |  SELECT doc_id, MAX(e), NULL FROM mg GROUP BY doc_id),
+      |clean AS (
+      |  SELECT g.doc_id,
+      |    STRING_AGG(SUBSTR(c.text, CAST(seg_s AS INT),
+      |      CAST(COALESCE(seg_e, LEN(c.text) + 1) - seg_s AS INT)),
+      |      '' ORDER BY seg_s) clean_text
+      |  FROM segs g JOIN corpus c USING (doc_id) GROUP BY g.doc_id),
+      |stats AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_spans,
+      |    CAST(SUM(e - s) AS BIGINT) n_cut
+      |  FROM mg GROUP BY doc_id)
+      |SELECT c.doc_id, COALESCE(st.n_spans, 0) n_spans,
+      |  COALESCE(st.n_cut, 0) n_cut,
+      |  COALESCE(cl.clean_text, c.text) clean_text
+      |FROM corpus c
+      |LEFT JOIN stats st USING (doc_id)
+      |LEFT JOIN clean cl USING (doc_id)
+      |ORDER BY c.doc_id""".stripMargin))
 
   /** Embedding-cosine near-dup: sign-LSH banding over random hyperplanes,
     * candidate pairs share any band bucket, exact cosine verify.
@@ -1002,6 +1105,6 @@ object DedupOps {
       |ORDER BY b.doc_id""".stripMargin))
 
   val defs: Seq[Q] = Seq(exact, minhashLsh, simhash, simhashFull,
-    ngramJaccard, editDistance, substringDedup, embeddingCosine, clusterAssign,
+    ngramJaccard, editDistance, substringDedup, substringCutQ, embeddingCosine, clusterAssign,
     survivorQuality, bloomIncremental)
 }

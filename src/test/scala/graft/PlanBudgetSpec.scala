@@ -83,6 +83,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // winnow subtree + 2 per-pair text fetches): ids+positions only
     // through the fingerprint shuffle, texts joined once per doc pair
     "dedup_substring" -> Map("documents" -> 6),
+    // spans path (6) + the cleaned-corpus join-back (x2 planted union)
+    "dedup_substring_cut" -> Map("documents" -> 8),
     // planted union x (band join ids + 2 exact-verify vector fetches)
     "dedup_embedding" -> Map("embeddings" -> 6),
     // bloom build + probe + verify-join snapshot side (planted split)

@@ -110,6 +110,52 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(want.size >= 40)
   }
 
+  /** Reference span removal: merge the doc_b-side intervals of
+    * bruteSpans and cut them with plain string ops.
+    */
+  private def refCut(docs: Seq[(Long, String)],
+      minSpan: Int): Map[Long, (Int, Int, String)] = {
+    val byDoc = bruteSpans(docs, minSpan).toSeq
+      .map { case (_, b, _, bs, l) => (b, (bs, bs + l)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(identity)).toMap
+    docs.map { case (id, text) =>
+      val merged = byDoc.getOrElse(id, Seq.empty)
+        .foldLeft(List.empty[(Int, Int)]) {
+          case (acc, (s, e)) => acc match {
+            case (ps, pe) :: rest if s <= pe =>
+              (ps, math.max(pe, e)) :: rest
+            case _ => (s, e) :: acc
+          }
+        }.reverse
+      val sb = new StringBuilder
+      var cursor = 1
+      merged.foreach { case (s, e) =>
+        sb.append(text.substring(cursor - 1, s - 1)); cursor = e
+      }
+      sb.append(text.substring(cursor - 1))
+      id -> (merged.size, merged.map { case (s, e) => e - s }.sum,
+        sb.toString)
+    }.toMap
+  }
+
+  test("span removal: cut == reference interval-merge-and-cut, fully-contained doc empties") {
+    Engine.configure(spark)
+    val shared = "The quick brown fox jumps over the lazy dog near the river bank today."
+    val docs = Seq(
+      1L -> s"alpha prefix text. $shared And then doc one trails off in its own way.",
+      2L -> s"intro two!! $shared middle bit. $shared outro two.",
+      3L -> shared, // fully contained in 1 and 2 -> cut to empty
+      4L -> "no overlap with anything else at all — short and unique text body.")
+    val got = DedupOps.substringCut(docs.toDF("doc_id", "text"),
+        k = 20, w = 6, minSpan = 30)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2.toInt, r._3.toInt, r._4)).toMap
+    val want = refCut(docs, minSpan = 30)
+    assert(got === want)
+    assert(got(3L)._3 === "") // doc 3 is a pure duplicate: nothing survives
+    assert(got(1L) === ((0, 0, docs.head._2))) // smallest id keeps everything
+  }
+
   test("docs shorter than k produce no fingerprints and no crash") {
     val docs = Seq(1L -> "tiny", 2L -> "tiny", 3L -> "")
     assert(gotSpans(docs, k = 40, w = 12, minSpan = 60).isEmpty)
