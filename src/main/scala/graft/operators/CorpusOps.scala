@@ -517,6 +517,121 @@ object CorpusOps {
       |FROM d JOIN t$BpeMerges USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ---- n-gram LM scoring (CCNet-style corpus filtering) -----------------
+
+  /** N-gram LM scoring for quality filtering, the CCNet recipe
+    * re-expressed exactly: train trigram/bigram/unigram counts on the
+    * bulk of the corpus (`doc_id % 97 <> 0`, the same held-out split
+    * decontaminate uses), score each held-out document by its STUPID
+    * BACKOFF path per trigram position — trigram hit, else bigram
+    * (w2 w3) hit, else unigram w3 hit, else OOV. The output is the
+    * INTEGER path histogram per doc (n_scored, hit3, hit2, hit1, oov):
+    * the log-score is a fixed linear map of these given the backoff
+    * discount, but logs are transcendental and not bit-stable across
+    * engines (NOTES determinism rule 7), so the driver-checked surface
+    * is the exact counts.
+    *
+    * Scale shape: the count tables are the classic distributed-LM
+    * aggregation — corpus-wide explode with map-side combine, sharded
+    * by gram hash; scoring is three LEFT hash joins from the scored
+    * side's exploded trigrams (tiny vs the corpus at a 1% held-out
+    * rate) followed by one per-doc aggregation. Nothing driver-side.
+    */
+  val lmScore: Q = Q("text_lm_score",
+    (s, d) => {
+      // the generated held-out docs never miss a trained bigram, so the
+      // hit1/oov branches would be constant-zero (undiscriminating) —
+      // a deterministic unseen-token suffix forces exactly one oov
+      // (trigram/bigram/unigram all miss on 'zzquux') and one hit1
+      // ('the' is trained, its bigram context 'zzquux the' is not)
+      // per scored doc, the same sentinel trick decontaminate uses
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          toks(lower(when(col("doc_id") % 97 === 0,
+            concat(col("text"), lit(" zzquux the")))
+            .otherwise(col("text")))).as("tk"))
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      def grams(src: DataFrame, n: Int): DataFrame = src.select(
+        explode(when(size(col("tk")) >= n,
+          transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => array_join(slice(col("tk"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val c3 = grams(train, 3).groupBy(col("g").as("tri"))
+        .agg(count(lit(1)).as("c3"))
+      val c2 = grams(train, 2).groupBy(col("g").as("bi"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = grams(train, 1).groupBy(col("g").as("uni"))
+        .agg(count(lit(1)).as("c1"))
+      val positions = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), explode(when(size(col("tk")) >= 3,
+          transform(sequence(lit(1), size(col("tk")) - 2),
+            i => struct(
+              array_join(slice(col("tk"), i, lit(3)), " ").as("tri"),
+              array_join(slice(col("tk"), i + 1, lit(2)), " ").as("bi"),
+              element_at(col("tk"), i + 2).as("uni"))))
+          .otherwise(array().cast(
+            "array<struct<tri:string,bi:string,uni:string>>"))).as("p"))
+        .select(col("doc_id"), col("p.tri").as("tri"), col("p.bi").as("bi"),
+          col("p.uni").as("uni"))
+      positions
+        .join(c3, Seq("tri"), "left_outer")
+        .join(c2, Seq("bi"), "left_outer")
+        .join(c1, Seq("uni"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("c3").isNotNull, 1L).otherwise(0L)).as("hit3"),
+          sum(when(col("c3").isNull && col("c2").isNotNull, 1L)
+            .otherwise(0L)).as("hit2"),
+          sum(when(col("c3").isNull && col("c2").isNull &&
+            col("c1").isNotNull, 1L).otherwise(0L)).as("hit1"),
+          sum(when(col("c3").isNull && col("c2").isNull && col("c1").isNull,
+            1L).otherwise(0L)).as("oov"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(
+      |      CASE WHEN doc_id % 97 = 0 THEN text || ' zzquux the'
+      |           ELSE text END), '\s+'),
+      |                x -> x <> '') tk
+      |  FROM documents),
+      |c3 AS MATERIALIZED (
+      |  SELECT g tri, CAST(COUNT(*) AS BIGINT) c3 FROM (
+      |    SELECT UNNEST(LIST_TRANSFORM(
+      |      GENERATE_SERIES(1, GREATEST(LEN(tk) - 2, 0)),
+      |      i -> ARRAY_TO_STRING(tk[i:i+2], ' '))) g
+      |    FROM tok WHERE doc_id % 97 <> 0) GROUP BY g),
+      |c2 AS MATERIALIZED (
+      |  SELECT g bi, CAST(COUNT(*) AS BIGINT) c2 FROM (
+      |    SELECT UNNEST(LIST_TRANSFORM(
+      |      GENERATE_SERIES(1, GREATEST(LEN(tk) - 1, 0)),
+      |      i -> ARRAY_TO_STRING(tk[i:i+1], ' '))) g
+      |    FROM tok WHERE doc_id % 97 <> 0) GROUP BY g),
+      |c1 AS MATERIALIZED (
+      |  SELECT g uni, CAST(COUNT(*) AS BIGINT) c1 FROM (
+      |    SELECT UNNEST(tk) g FROM tok WHERE doc_id % 97 <> 0) GROUP BY g),
+      |pos AS (
+      |  SELECT doc_id,
+      |    ARRAY_TO_STRING(tk[i:i+2], ' ') tri,
+      |    ARRAY_TO_STRING(tk[i+1:i+2], ' ') bi,
+      |    tk[i+2] uni
+      |  FROM tok, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 2, 0))) u(i)
+      |  WHERE doc_id % 97 = 0)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_scored,
+      |  CAST(SUM(CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) hit3,
+      |  CAST(SUM(CASE WHEN c3.c3 IS NULL AND c2.c2 IS NOT NULL
+      |       THEN 1 ELSE 0 END) AS BIGINT) hit2,
+      |  CAST(SUM(CASE WHEN c3.c3 IS NULL AND c2.c2 IS NULL
+      |       AND c1.c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) hit1,
+      |  CAST(SUM(CASE WHEN c3.c3 IS NULL AND c2.c2 IS NULL
+      |       AND c1.c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) oov
+      |FROM pos
+      |LEFT JOIN c3 USING (tri)
+      |LEFT JOIN c2 USING (bi)
+      |LEFT JOIN c1 USING (uni)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
-    mixtureSample, tokenBudgetSample, termStats, bpeTrainTable, bpeEncode)
+    mixtureSample, tokenBudgetSample, termStats, bpeTrainTable, bpeEncode,
+    lmScore)
 }

@@ -405,6 +405,48 @@ object TextOps {
       |LEFT JOIN kept ON tok.doc_id = kept.doc_id
       |ORDER BY tok.doc_id""".stripMargin))
 
+  /** RAG-style document chunking: fixed 64-token windows with 16-token
+    * overlap (stride 48), whitespace-token boundaries, chunk starts at
+    * 1 + i*stride for i in [0, ceil(max(0, n-64)/48)] — the last chunk
+    * always reaches the final token, a chunk fully inside the previous
+    * one is never emitted. Map-side only (explode of a per-row
+    * transform); at 100 TB chunking is embarrassingly parallel and the
+    * output feeds the embedding/ANN entries.
+    */
+  val chunk: Q = Q("text_chunk",
+    (s, d) => {
+      val C = 64
+      val S = 48 // stride = C - overlap(16)
+      t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .withColumn("n", size(col("tk")))
+        .withColumn("m",
+          expr(s"cast(1 + (greatest(n - $C, 0) + ${S - 1}) div $S as int)"))
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(sequence(lit(0), col("m") - 1),
+            i => struct((i * S + 1).as("start_tok"),
+              least(lit(C), col("n") - i * S).as("n_toks"),
+              array_join(slice(col("tk"), i * S + 1, lit(C)), " ")
+                .as("chunk_text")))).as(Seq("chunk_id", "c")))
+        .select(col("doc_id"), col("chunk_id"),
+          col("c.start_tok").as("start_tok"), col("c.n_toks").as("n_toks"),
+          col("c.chunk_text").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> '') tk
+      |  FROM documents),
+      |sz AS (SELECT doc_id, tk, LEN(tk) n FROM tok WHERE LEN(tk) > 0)
+      |SELECT doc_id, CAST(i AS INT) chunk_id,
+      |  CAST(i * 48 + 1 AS INT) start_tok,
+      |  CAST(LEAST(64, n - i * 48) AS INT) n_toks,
+      |  ARRAY_TO_STRING(tk[i*48+1 : i*48+64], ' ') chunk_text
+      |FROM sz, UNNEST(GENERATE_SERIES(0,
+      |  CAST((GREATEST(n - 64, 0) + 47) // 48 AS INT))) u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount,
-    piiScrub, splitAssign, corpusPipeline, repetition, boilerplate)
+    piiScrub, splitAssign, corpusPipeline, repetition, boilerplate, chunk)
 }
