@@ -403,6 +403,10 @@ object ImpalaFunctions {
     temp("bpe_pairs") { case Seq(e) => BpePairs(e) }
     temp("bpe_apply") { case Seq(sy, l, r) => BpeApply(sy, l, r) }
     temp("bpe_encode") { case Seq(wd, m) => BpeEncode(wd, m) }
+    // MMR diversified re-rank kernel (see MmrKernel)
+    temp("mmr_select") {
+      case Seq(c, Literal(k: Int, IntegerType)) => MmrSelect(c, k)
+    }
     // product-quantization kernels (see PqKernels) — IVF-PQ hot path
     temp("pq_encode") { case Seq(v, b) => PqEncode(v, b) }
     temp("pq_adc") { case Seq(q, c, b) => PqAdc(q, c, b) }

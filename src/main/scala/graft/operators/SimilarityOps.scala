@@ -405,5 +405,86 @@ object SimilarityOps {
       |    (acc, x) -> acc + x) AS score
       |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin))
 
-  val defs: Seq[Q] = Seq(bruteForce, bucketed, ivf, pq)
+  /** Oracle-SQL generator for [[mmr]]: the greedy selection unrolled as
+    * one (pick, state) CTE pair per rank — pick = per-query argmax of
+    * `0.5*rel - 0.5*ms` (ties to the smaller vec_id), state update =
+    * GREATEST(ms, dot(cand, pick)) with the dot as the same
+    * sequential-fold LIST_REDUCE the relevance side uses. Every double
+    * op mirrors the kernel exactly, so the selected ID sequence
+    * hash-matches even though the scores are floats.
+    */
+  private def mmrOracleSql(kCand: Int, kSel: Int): String = {
+    def fold(a: String, b: String): String =
+      s"""LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+         |      LIST_TRANSFORM(LIST_ZIP($a, $b),
+         |        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    val stages = (1 to kSel).map { i =>
+      s"""pick$i AS MATERIALIZED (
+         |  SELECT qid, vec_id, emb FROM (
+         |    SELECT qid, vec_id, emb, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY 0.5 * rel - 0.5 * ms DESC, vec_id) rn
+         |    FROM st${i - 1}) WHERE rn = 1),
+         |st$i AS MATERIALIZED (
+         |  SELECT s.qid, s.vec_id, s.rel, s.emb,
+         |    GREATEST(s.ms, ${fold("s.emb", "p.emb")}) ms
+         |  FROM st${i - 1} s JOIN pick$i p USING (qid)
+         |  WHERE s.vec_id <> p.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to kSel).map(i =>
+      s"  SELECT qid, $i AS rank, vec_id FROM pick$i")
+      .mkString("  UNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |           WHERE vec_id < 10),
+       |p0 AS (
+       |  SELECT q.qid, e.vec_id, e.embedding emb,
+       |    ${fold("q.qe", "e.embedding")} rel
+       |  FROM q, embeddings e WHERE q.qid <> e.vec_id),
+       |st0 AS MATERIALIZED (
+       |  SELECT qid, vec_id, rel, emb, CAST(0.0 AS DOUBLE) ms FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, vec_id) rn FROM p0) WHERE rn <= $kCand),
+       |$stages
+       |SELECT qid, CAST(rank AS INT) rank, vec_id FROM (
+       |$ranks
+       |) ORDER BY qid, rank""".stripMargin
+  }
+
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998): brute-force
+    * top-24 candidates per query (the sim_topk_dot shape — broadcast
+    * query set, one window), then greedy re-rank to 8 via ONE
+    * [[graft.functions.MmrSelect]] kernel call per query — the
+    * selection loop never leaves the executor, and candidates carry
+    * their vectors once through the per-query groupBy (24 x 64 floats
+    * per query, bounded). Output is the integer (qid, rank, vec_id)
+    * sequence; all score arithmetic is sequential-fold double, so the
+    * DuckDB oracle replays the greedy selection exactly (generated
+    * unrolled stages above).
+    */
+  val mmr: Q = Q("sim_mmr",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .filter(col("qid") < 10)
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          dotDouble(col("qe"), col("embedding")).as("rel"), col("embedding"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("vec_id"))
+      val cands = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 24)
+      cands.groupBy(col("qid"))
+        .agg(collect_list(struct(col("vec_id"), col("rel"),
+          col("embedding"))).as("cs"))
+        .select(col("qid"),
+          posexplode(call_function("mmr_select", col("cs"), lit(8)))
+            .as(Seq("r0", "vec_id")))
+        .select(col("qid"), (col("r0") + 1).cast("int").as("rank"),
+          col("vec_id"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(mmrOracleSql(kCand = 24, kSel = 8)))
+
+  val defs: Seq[Q] = Seq(bruteForce, bucketed, ivf, pq, mmr)
 }
