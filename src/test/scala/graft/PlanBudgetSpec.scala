@@ -108,7 +108,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     "pack_sequences" -> Map("documents" -> 1),
     "sample_stratified" -> Map("documents" -> 1),
     "sample_mixture" -> Map("documents" -> 3),
-    "sample_token_budget" -> Map("documents" -> 2))
+    "sample_token_budget" -> Map("documents" -> 2),
+    // one assignment scan feeds the (cell, dim) aggregate; the init
+    // centroid collect is a separate bounded job, not in this plan
+    "kmeans_update" -> Map("embeddings" -> 1),
+    // planted union (x2) x the cell self-join a/b (x2) + anti-join
+    // left side; exchange reuse collapses what it can at HEAD
+    "dedup_semantic" -> Map("embeddings" -> 6),
+    // per-doc feature arrays, pairs + moments from one lambda
+    // explosion: the whole Gram statistic is a single corpus scan
+    "quality_gram" -> Map("documents" -> 1),
+    // two singleton-bucket count fetches + doc spine + the broadcast
+    // 1-row stats subtree
+    "quality_lsq_score" -> Map("documents" -> 4))
 
   test("per-entry scan-count budgets hold over the dedup/similarity/text families") {
     Engine.configure(spark)
