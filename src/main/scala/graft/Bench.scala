@@ -99,7 +99,12 @@ object Bench {
         (() => { SimilarityOps.pqTopK(spark, sfDir, planted = false).count(); () }),
       "organic_sim_lsh" ->
         (() => { SimilarityOps.lshBucket(spark, sfDir, planted = false).count(); () }),
-      "organic_stream_neardedup" -> (() => streamNearDedup()))
+      "organic_stream_neardedup" -> (() => streamNearDedup()),
+      "organic_kmeans_fit" ->
+        (() => { graft.operators.MlOps.kmeansFit(
+          Engine.table(spark, sfDir, "embeddings")
+            .selectExpr("vec_id", "embedding"),
+          "vec_id", "embedding", k = 10, iters = 5); () }))
 
     val thunks: Seq[(String, () => Unit)] =
       SparkEntry.all.map(q =>

@@ -486,5 +486,48 @@ object SimilarityOps {
     },
     Some(mmrOracleSql(kCand = 24, kSel = 8)))
 
-  val defs: Seq[Q] = Seq(bruteForce, bucketed, ivf, pq, mmr)
+  /** Symmetric int8 embedding quantization (per-vector absmax scale,
+    * the standard activation/embedding compression recipe): q_i =
+    * floor(v_i * 127 / absmax + 0.5), dequant error <= absmax/254 per
+    * component, 4x smaller vectors. Purely map-side (scales with
+    * splits). Cross-engine determinism: floor(x + 0.5) instead of
+    * round() — floor is defined identically in both engines at every
+    * input, so there is no half-tie rounding-mode hazard; the checked
+    * surface is the per-vector integer code sums/extremes plus the
+    * raw absmax (a stored float, bit-identical).
+    */
+  val quantizeInt8: Q = Q("embed_quantize_int8",
+    (s, d) => {
+      val amax = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      t(s, d, "embeddings")
+        .withColumn("absmax", amax)
+        .withColumn("q", transform(col("embedding"), x =>
+          when(col("absmax") === 0.0, 0L)
+            .otherwise(floor(x.cast("double") * lit(127.0) / col("absmax")
+              + lit(0.5)).cast("long"))))
+        .select(col("vec_id"), col("absmax"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+          array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH a AS (
+      |  SELECT vec_id, embedding,
+      |    LIST_MAX(LIST_TRANSFORM(embedding,
+      |      x -> ABS(CAST(x AS DOUBLE)))) absmax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, absmax,
+      |    LIST_TRANSFORM(embedding, x ->
+      |      CASE WHEN absmax = 0.0 THEN CAST(0 AS BIGINT)
+      |           ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / absmax + 0.5)
+      |                     AS BIGINT) END) qs
+      |  FROM a)
+      |SELECT vec_id, absmax,
+      |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), qs),
+      |    (acc, x) -> acc + x) qsum,
+      |  LIST_MIN(qs) qmin, LIST_MAX(qs) qmax
+      |FROM q ORDER BY vec_id""".stripMargin))
+
+  val defs: Seq[Q] = Seq(bruteForce, bucketed, ivf, pq, mmr, quantizeInt8)
 }

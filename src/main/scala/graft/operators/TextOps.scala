@@ -447,6 +447,73 @@ object TextOps {
       |  CAST((GREATEST(n - 64, 0) + 47) // 48 AS INT))) u(i)
       |ORDER BY doc_id, chunk_id""".stripMargin))
 
+  /** Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    * the frequency sketch completing the engine's sketch family
+    * (HLL/FM cardinality, reservoir samples, block-Bloom membership):
+    * d = 4 salted hash rows x w = 64 buckets, point query =
+    * min over rows of the hashed cell. The sketch is 256 integer
+    * cells built by one map-side-combinable aggregation and merges by
+    * cell-wise + — at 100 TB each partition sketches independently
+    * and the combine is 256 longs, the whole reason CMS exists.
+    *
+    * Hashes are the cross-engine md5 construction (salted
+    * 'cms<r>' + token, two hex chars -> %64, exactly uniform over
+    * 256 -> 64); everything is integer, so the FULL pipeline —
+    * cells, per-token min estimate, and the est >= exact
+    * overestimation bound — is DuckDB-hash-checked. The exact counts
+    * ride along as the verification surface (the production point of
+    * CMS is precisely NOT needing them; HeavyHitterSpec pins
+    * est >= exact and top-1 recovery).
+    */
+  val heavyHitters: Q = Q("text_heavy_hitters",
+    (s, d) => {
+      val hex = "0123456789abcdef"
+      def bucketOf(r: Int, w: Column): Column = {
+        val h = md5(concat(lit(s"cms$r"), w))
+        (((instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
+          (instr(lit(hex), substring(h, 2, 1)) - 1)) % 64).cast("int")
+      }
+      val cnt = t(s, d, "documents")
+        .select(explode(tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      val hashed = cnt.select(col("w"), col("exact"),
+        explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"), bucketOf(r, col("w")).as("b"))): _*))
+          .as("rb"))
+        .select(col("w"), col("exact"), col("rb.r").as("r"),
+          col("rb.b").as("b"))
+      val cells = hashed.groupBy(col("r"), col("b"))
+        .agg(sum(col("exact")).as("cell"))
+      hashed.join(cells, Seq("r", "b"))
+        .groupBy(col("w"), col("exact"))
+        .agg(min(col("cell")).as("est"))
+        .select(col("w"), col("est"), col("exact"))
+        .orderBy(col("est").desc, col("w"))
+        .limit(10)
+    },
+    Some("""WITH tok AS MATERIALIZED (
+      |  SELECT UNNEST(LIST_FILTER(
+      |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '')) w
+      |  FROM documents),
+      |cnt AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) exact FROM tok GROUP BY w),
+      |hashed AS MATERIALIZED (
+      |  SELECT w, exact, r,
+      |    CAST(((STRPOS('0123456789abcdef',
+      |            SUBSTR(MD5('cms' || CAST(r AS VARCHAR) || w), 1, 1)) - 1)
+      |          * 16 +
+      |          (STRPOS('0123456789abcdef',
+      |            SUBSTR(MD5('cms' || CAST(r AS VARCHAR) || w), 2, 1)) - 1))
+      |         % 64 AS INT) b
+      |  FROM cnt, UNNEST([0, 1, 2, 3]) u(r)),
+      |cells AS MATERIALIZED (
+      |  SELECT r, b, SUM(exact) cell FROM hashed GROUP BY r, b)
+      |SELECT w, CAST(MIN(c.cell) AS BIGINT) est, h.exact
+      |FROM hashed h JOIN cells c USING (r, b)
+      |GROUP BY w, h.exact
+      |ORDER BY est DESC, w LIMIT 10""".stripMargin))
+
   val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount,
-    piiScrub, splitAssign, corpusPipeline, repetition, boilerplate, chunk)
+    piiScrub, splitAssign, corpusPipeline, repetition, boilerplate, chunk,
+    heavyHitters)
 }

@@ -150,6 +150,44 @@ object ScaleSweep {
         .select("band_idx", "band_hash").distinct().count()
       (n, s""","state_rows":$stateRows,"distinct_buckets":$buckets,"docs":${docs.size}""")
     })
+    // full-corpus Lloyd's: per-iteration cost is one assignment scan +
+    // one (k x dim)-row exact-decimal aggregate — wall-clock should be
+    // linear in corpus size with CONSTANT driver/model state (k*dim),
+    // the shape claim kmeansFit's scaladoc makes
+    emit("kmeans_fit", () => {
+      val cents = graft.operators.MlOps.kmeansFit(
+        Engine.table(spark, dir, "embeddings")
+          .selectExpr("vec_id", "embedding"),
+        "vec_id", "embedding", k = 10, iters = 5)
+      (cents.length.toLong, "")
+    })
+    // SemDeDup on the replicated corpus: replicas are NEAR-identical
+    // (perturbed floats), so organic near-dups appear and the
+    // within-cluster pair stage works against cluster sizes that grow
+    // linearly with replication — the quadratic-in-cluster-size cost
+    // the paper accepts (k should grow with the corpus in production)
+    emit("dedup_semantic_organic", () => {
+      val emb = Engine.table(spark, dir, "embeddings")
+        .selectExpr("vec_id", "embedding")
+      val cents = graft.operators.MlOps.kmeansFit(
+        emb, "vec_id", "embedding", k = 10, iters = 2)
+      (graft.operators.MlOps.semanticDedup(
+        emb, "vec_id", "embedding", cents, 0.64).count(), "")
+    })
+    // the paper's prescribed composition: k grows with the corpus so
+    // the expected cluster size (and with it the within-cluster
+    // quadratic) stays CONSTANT — the fixed-k row above is the honest
+    // worst case (cluster size x100 -> pair count x10^4)
+    emit("dedup_semantic_scaledk", () => {
+      val emb = Engine.table(spark, dir, "embeddings")
+        .selectExpr("vec_id", "embedding")
+      val k = math.max(10, (emb.count() / 50L).toInt)
+      val cents = graft.operators.MlOps.kmeansFit(
+        emb, "vec_id", "embedding", k, iters = 2)
+      (graft.operators.MlOps.semanticDedup(
+        emb, "vec_id", "embedding", cents, 0.64).count(),
+        s""","k":$k""")
+    })
     spark.stop()
   }
 }

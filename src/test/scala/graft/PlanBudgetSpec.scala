@@ -120,7 +120,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     "quality_gram" -> Map("documents" -> 1),
     // two singleton-bucket count fetches + doc spine + the broadcast
     // 1-row stats subtree
-    "quality_lsq_score" -> Map("documents" -> 4))
+    "quality_lsq_score" -> Map("documents" -> 4),
+    // token-count subtree feeds cells AND the estimate join
+    "text_heavy_hitters" -> Map("documents" -> 3),
+    // pure map-side quantization
+    "embed_quantize_int8" -> Map("embeddings" -> 1),
+    // left/right side filters of the same events table
+    "join_asof" -> Map("events" -> 2))
 
   test("per-entry scan-count budgets hold over the dedup/similarity/text families") {
     Engine.configure(spark)
