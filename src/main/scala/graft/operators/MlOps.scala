@@ -86,11 +86,17 @@ object MlOps {
   /** Nearest-centroid cell per row via the codegen'd cell_dists kernel
     * (broadcast centroid literal); ties resolve to the smallest cell
     * index (first index of the array minimum).
+    *
+    * The centroid matrix is ONE `Literal.create` node, not composed
+    * `array(lit, ...)` expressions — at k = 10000 the composed form is
+    * a 640k-node expression tree and Catalyst analysis alone pegs the
+    * driver for tens of minutes (the k-wide-literal lesson from the
+    * IVF kernels, one level up).
     */
   def assignCells(df: DataFrame, vecCol: String,
       cents: Array[Array[Double]]): DataFrame = {
-    val lits = array(cents.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)): _*)
+    val lits = typedlit[Seq[Seq[Double]]](
+      cents.toIndexedSeq.map(_.toIndexedSeq))
     df.withColumn("__kd", call_function("cell_dists", col(vecCol), lits))
       .withColumn("cell",
         (array_position(col("__kd"), array_min(col("__kd"))) - 1).cast("int"))
@@ -190,9 +196,17 @@ object MlOps {
     * sequential-fold double, bit-identical across engines.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Array[Double]], tauSq: Double): DataFrame = {
-    val v = assignCells(emb, vecCol, cents)
+      cents: Array[Array[Double]], tauSq: Double,
+      materialize: Boolean = false): DataFrame = {
+    // the assigned relation feeds BOTH self-join sides and the final
+    // anti-join: `materialize = true` localCheckpoints it so the
+    // O(n*k*dim) assignment kernel runs ONCE (at k = 10000 on a 500k
+    // corpus the recompute-per-branch costs more than the join
+    // itself). The oracle entry keeps the plan-pure form so
+    // PlanBudgetSpec can keep pinning its scan shape.
+    val v0 = assignCells(emb, vecCol, cents)
       .withColumn("__nn", call_function("dot_vec", col(vecCol), col(vecCol)))
+    val v = if (materialize) v0.localCheckpoint(true) else v0
     val a = v.select(col(idCol).as("__ida"), col("cell").as("__cella"),
       col(vecCol).as("__va"), col("__nn").as("__nna"))
     val dot = call_function("dot_vec", col("__va"), col(vecCol))

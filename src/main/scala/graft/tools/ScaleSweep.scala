@@ -154,11 +154,15 @@ object ScaleSweep {
     // one (k x dim)-row exact-decimal aggregate — wall-clock should be
     // linear in corpus size with CONSTANT driver/model state (k*dim),
     // the shape claim kmeansFit's scaladoc makes
+    // sweep corpora are ONE parquet row group (single-task scan, the
+    // local-file artifact in NOTES "Bench facts") — repartition so the
+    // map-side explode parallelizes the way a many-split cluster scan
+    // would natively
+    def sweepEmb = Engine.table(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding").repartition(32)
     emit("kmeans_fit", () => {
       val cents = graft.operators.MlOps.kmeansFit(
-        Engine.table(spark, dir, "embeddings")
-          .selectExpr("vec_id", "embedding"),
-        "vec_id", "embedding", k = 10, iters = 5)
+        sweepEmb, "vec_id", "embedding", k = 10, iters = 5)
       (cents.length.toLong, "")
     })
     // SemDeDup on the replicated corpus: replicas are NEAR-identical
@@ -167,25 +171,25 @@ object ScaleSweep {
     // linearly with replication — the quadratic-in-cluster-size cost
     // the paper accepts (k should grow with the corpus in production)
     emit("dedup_semantic_organic", () => {
-      val emb = Engine.table(spark, dir, "embeddings")
-        .selectExpr("vec_id", "embedding")
+      val emb = sweepEmb
       val cents = graft.operators.MlOps.kmeansFit(
         emb, "vec_id", "embedding", k = 10, iters = 2)
       (graft.operators.MlOps.semanticDedup(
-        emb, "vec_id", "embedding", cents, 0.64).count(), "")
+        emb, "vec_id", "embedding", cents, 0.64,
+        materialize = true).count(), "")
     })
     // the paper's prescribed composition: k grows with the corpus so
     // the expected cluster size (and with it the within-cluster
     // quadratic) stays CONSTANT — the fixed-k row above is the honest
     // worst case (cluster size x100 -> pair count x10^4)
     emit("dedup_semantic_scaledk", () => {
-      val emb = Engine.table(spark, dir, "embeddings")
-        .selectExpr("vec_id", "embedding")
+      val emb = sweepEmb
       val k = math.max(10, (emb.count() / 50L).toInt)
       val cents = graft.operators.MlOps.kmeansFit(
         emb, "vec_id", "embedding", k, iters = 2)
       (graft.operators.MlOps.semanticDedup(
-        emb, "vec_id", "embedding", cents, 0.64).count(),
+        emb, "vec_id", "embedding", cents, 0.64,
+        materialize = true).count(),
         s""","k":$k""")
     })
     spark.stop()
