@@ -126,7 +126,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // pure map-side quantization
     "embed_quantize_int8" -> Map("embeddings" -> 1),
     // left/right side filters of the same events table
-    "join_asof" -> Map("events" -> 2))
+    "join_asof" -> Map("events" -> 2),
+    // map-side bit interleave over one scan
+    "layout_zorder" -> Map("orders" -> 1))
 
   test("per-entry scan-count budgets hold over the dedup/similarity/text families") {
     Engine.configure(spark)
