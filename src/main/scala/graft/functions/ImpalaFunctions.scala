@@ -398,6 +398,8 @@ object ImpalaFunctions {
         WinnowGrams(e, k, w)
     }
     temp("extend_spans") { case Seq(a, b, an) => ExtendSpans(a, b, an) }
+    // per-doc Gram/moment rows of the linear probe (see GramKernel)
+    temp("gram_rows") { case Seq(f, y) => GramRows(f, y) }
     temp("cut_spans") { case Seq(txt, iv) => CutSpans(txt, iv) }
     // BPE trainer/encoder kernels (see BpeKernels)
     temp("bpe_pairs") { case Seq(e) => BpePairs(e) }

@@ -344,13 +344,11 @@ object MlOps {
         lit(0L))
     val labeled = perDoc.withColumn("y",
       when(cntOf(DataBkt) > cntOf(KeyBkt), 1L).otherwise(-1L))
-    val rows = labeled.select(explode(flatten(transform(col("f"), a =>
-      concat(
-        transform(filter(col("f"), b => b("bucket") >= a("bucket")), b =>
-          struct(a("bucket").as("i"), b("bucket").as("j"),
-            (a("cnt") * b("cnt")).as("v"))),
-        array(struct(a("bucket").as("i"), lit(-1).cast("int").as("j"),
-          (a("cnt") * col("y")).as("v"))))))).as("r"))
+    // the (F^2/2 + F)-struct per-doc explosion runs as the codegen'd
+    // gram_rows kernel — as a transform/filter/flatten lambda pipeline
+    // it evaluated interpreted per row (NOTES hot-path rule)
+    val rows = labeled.select(
+      explode(call_function("gram_rows", col("f"), col("y"))).as("r"))
     rows.groupBy(col("r.i").as("i"), col("r.j").as("j"))
       .agg(sum(col("r.v")).as("v"))
   }
