@@ -69,6 +69,37 @@ case class BpeApply(syms: Expression, l: Expression, r: Expression)
   override def prettyName: String = "bpe_apply"
 }
 
+/** bpe_has_pair(syms, l, r): true when the symbol array contains the
+  * (l, r) adjacency — the delta-update trainer's change filter (only
+  * such words can alter pair statistics under a merge of (l, r)).
+  * Codegen'd predicate: the filter runs over the full word-type table
+  * every round, so it must stay out of interpreted HOF lambdas.
+  */
+case class BpeHasPair(syms: Expression, l: Expression, r: Expression)
+    extends TernaryExpression {
+  override def first: Expression = syms
+  override def second: Expression = l
+  override def third: Expression = r
+  override def checkInputDataTypes(): TypeCheckResult =
+    (syms.dataType, l.dataType, r.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_has_pair requires (ARRAY<STRING>, STRING, STRING), got " +
+          s"(${a.sql}, ${b.sql}, ${c.sql})")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(s: Any, lv: Any, rv: Any): Any =
+    BpeKernels.hasPair(s.asInstanceOf[ArrayData],
+      lv.asInstanceOf[UTF8String], rv.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, lv, rv) =>
+      s"${ev.value} = graft.functions.BpeKernels.hasPair($s, $lv, $rv);")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): BpeHasPair = copy(syms = f, l = s, r = t)
+  override def prettyName: String = "bpe_has_pair"
+}
+
 /** bpe_encode(word, merges): tokenize one word with a learned merge
   * table — split to characters, then apply each merge in rank order,
   * leftmost-first (the original Sennrich encode loop; equivalent to
@@ -144,6 +175,17 @@ object BpeKernels {
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+  def hasPair(syms: ArrayData, l: UTF8String, r: UTF8String): Boolean = {
+    val n = syms.numElements()
+    var i = 0
+    while (i < n - 1) {
+      if (syms.getUTF8String(i).equals(l) &&
+        syms.getUTF8String(i + 1).equals(r)) return true
+      i += 1
+    }
+    false
   }
 
   /** Merge-table wire format for bpe_encode's literal argument:

@@ -404,6 +404,7 @@ object ImpalaFunctions {
     // BPE trainer/encoder kernels (see BpeKernels)
     temp("bpe_pairs") { case Seq(e) => BpePairs(e) }
     temp("bpe_apply") { case Seq(sy, l, r) => BpeApply(sy, l, r) }
+    temp("bpe_has_pair") { case Seq(sy, l, r) => BpeHasPair(sy, l, r) }
     temp("bpe_encode") { case Seq(wd, m) => BpeEncode(wd, m) }
     // MMR diversified re-rank kernel (see MmrKernel)
     temp("mmr_select") {
@@ -413,6 +414,7 @@ object ImpalaFunctions {
     temp("pq_encode") { case Seq(v, b) => PqEncode(v, b) }
     temp("pq_adc") { case Seq(q, c, b) => PqAdc(q, c, b) }
     temp("cell_dists") { case Seq(v, c) => CellDists(v, c) }
+    temp("cell_assign_coarse") { case Seq(v, c, m) => CellAssignCoarse(v, c, m) }
 
     // ---- aggregates (aggregate-functions.h) -----------------------------
     // avg over TIMESTAMP (aggregate-functions.cc TimestampAvgUpdate);

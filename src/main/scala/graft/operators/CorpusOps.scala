@@ -370,12 +370,24 @@ object CorpusOps {
     * kernel, map-side combine), (b) ONE argmax row to the driver
     * (count DESC, then lexicographic — deterministic ties), (c) a
     * map-side rewrite ([[graft.functions.BpeApply]], leftmost-first
-    * non-overlapping, the canonical semantics) materialized with
-    * `localCheckpoint` so lineage stays one round deep (the
-    * connectedComponents pattern). Production trainers amortize further
-    * with incremental pair-count deltas (only words containing the
-    * merged pair change); the full per-round recount here keeps rounds
-    * stateless at the cost of re-aggregating a vocabulary-sized table.
+    * non-overlapping, the canonical semantics).
+    *
+    * DELTA-UPDATED pair statistics (r11 verdict #3 — the classic
+    * production-trainer fix): the full pair-count aggregate runs ONCE;
+    * every later round maintains it incrementally. Under a merge of
+    * (l, r), only words CONTAINING that adjacency
+    * ([[graft.functions.BpeHasPair]]) can change any pair count, so
+    * the round aggregates (new pairs - old pairs) over that shrinking
+    * subset — typically a tiny fraction of the vocabulary once the
+    * high-frequency merges are done — instead of re-exploding every
+    * symbol of every word type. The maintained table is exactly equal
+    * to a full recount (integer adds, no approximation; BpeSpec pins
+    * the equality per round), so the argmax — and therefore the merge
+    * table, which the DuckDB oracle RE-TRAINS from scratch — is
+    * bit-identical to the naive trainer's. The word-type rewrite
+    * itself is map-only; its lineage is cut every few rounds rather
+    * than per round, keeping steady-state cost at ~2 small jobs per
+    * merge instead of 2 vocabulary-wide shuffles.
     *
     * The word string rides alongside its symbol array so callers (the
     * encode entry's oracle, BpeSpec) can join tokenizations back to
@@ -390,16 +402,20 @@ object CorpusOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
       .localCheckpoint(true)
+    def pairCounts(of: DataFrame, sign: Long): DataFrame = of
+      .select(explode(call_function("bpe_pairs", col("syms"))).as("p"),
+        (col("cnt") * sign).as("cnt"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
+    var pairStats = pairCounts(words, 1L)
+      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("n"))
+      .localCheckpoint(true)
     val merges =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var rank = 1
     var exhausted = false
+    var wordsLineage = 0
     while (rank <= nMerges && !exhausted) {
-      val top = words
-        .select(explode(call_function("bpe_pairs", col("syms"))).as("p"),
-          col("cnt"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
+      val top = pairStats
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -407,15 +423,32 @@ object CorpusOps {
         val (l, r, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, l + r, n))
-        val next = words.select(col("w"),
+        val changed = words.filter(
+          call_function("bpe_has_pair", col("syms"), lit(l), lit(r)))
+        val applied = changed.select(col("w"),
           call_function("bpe_apply", col("syms"), lit(l), lit(r)).as("syms"),
-          col("cnt")).localCheckpoint(true)
-        words = next
+          col("cnt"))
+        val delta = pairCounts(changed, -1L).unionAll(pairCounts(applied, 1L))
+          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("dn"))
+        pairStats = pairStats.join(delta, Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint(true)
+        words = words.select(col("w"),
+          call_function("bpe_apply", col("syms"), lit(l), lit(r)).as("syms"),
+          col("cnt"))
+        wordsLineage += 1
+        // map-only rewrites: cut lineage every few rounds, not per round
+        if (wordsLineage >= 4 || rank == nMerges) {
+          words = words.localCheckpoint(true); wordsLineage = 0
+        }
         rank += 1
       }
     }
     (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count"),
-      words)
+      if (wordsLineage > 0) words.localCheckpoint(true) else words)
   }
 
   def bpeTrain(corpus: DataFrame, nMerges: Int): DataFrame =

@@ -103,6 +103,31 @@ object MlOps {
       .drop("__kd")
   }
 
+  /** EXACT nearest-centroid assignment via two-level triangle-pruned
+    * search ([[graft.functions.CoarseKernels]], r11 verdict #7) —
+    * bit-identical cells to [[assignCells]] (MlOpsSpec pins equality)
+    * at ~O(n * (sqrt(k) + visited) * dim) instead of O(n * k * dim).
+    * The scale path once k grows with the corpus (SemDeDup's
+    * prescribed composition); at small k the flat scan's simpler
+    * kernel wins, so callers switch on k.
+    */
+  def assignCellsCoarse(df: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val lits = typedlit[Seq[Seq[Double]]](
+      cents.toIndexedSeq.map(_.toIndexedSeq))
+    val m = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    df.withColumn("cell",
+      call_function("cell_assign_coarse", col(vecCol), lits, lit(m)))
+  }
+
+  /** Assignment dispatch: flat scan at small k, coarse-pruned exact
+    * search once the centroid matrix is the dominant per-row cost.
+    */
+  def assignCellsAuto(df: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    if (cents.length >= 256) assignCellsCoarse(df, vecCol, cents)
+    else assignCells(df, vecCol, cents)
+
   /** The exact-integer component sums of one Lloyd's update: per
     * (cell, dim) the DECIMAL(38,0) sum of `v * 2^53` plus the member
     * count. This is the distributed half of [[kmeansFit]]'s iteration,
@@ -111,7 +136,7 @@ object MlOps {
     */
   def lloydUpdate(df: DataFrame, vecCol: String,
       cents: Array[Array[Double]]): DataFrame =
-    assignCells(df, vecCol, cents)
+    assignCellsAuto(df, vecCol, cents)
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "__v")))
       .groupBy(col("cell"), col("pos"))
       .agg(count(lit(1)).as("n"),
@@ -204,7 +229,7 @@ object MlOps {
     // corpus the recompute-per-branch costs more than the join
     // itself). The oracle entry keeps the plan-pure form so
     // PlanBudgetSpec can keep pinning its scan shape.
-    val v0 = assignCells(emb, vecCol, cents)
+    val v0 = assignCellsAuto(emb, vecCol, cents)
       .withColumn("__nn", call_function("dot_vec", col(vecCol), col(vecCol)))
     val v = if (materialize) v0.localCheckpoint(true) else v0
     val a = v.select(col(idCol).as("__ida"), col("cell").as("__cella"),

@@ -25,6 +25,14 @@ object ZOrder {
   /** Morton key: bit i of dimension d lands at position i * dims + d.
     * Composed from shiftright/and/shiftleft expressions — integer
     * ops, exact at every magnitude (no fractional Divide hazards).
+    *
+    * Inputs MUST sit in [0, 2^bits): a negative or over-wide value
+    * would contribute a truncated bit pattern, silently producing a
+    * non-monotone interleave that destroys the min/max pruning
+    * property the operator exists for — so each dimension carries a
+    * runtime guard that fails the job loudly instead of writing a
+    * badly clustered 100 TB table (r11 ADVICE). One guard term per
+    * dimension (adds 0 to the key), not per bit.
     */
   def zOrderKey(cols: Seq[Column], bits: Int): Column = {
     require(cols.nonEmpty && bits * cols.length <= 62,
@@ -34,7 +42,16 @@ object ZOrder {
       i <- 0 until bits
     } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
       i * cols.length + d)
-    terms.reduce(_ + _)
+    val guards = cols.zipWithIndex.map { case (c, d) =>
+      val v = c.cast("long")
+      when(v < 0 || shiftright(v, bits) =!= 0,
+        raise_error(concat(
+          lit(s"zOrderKey: dimension $d value "), v.cast("string"),
+          lit(s" outside [0, 2^$bits) — rank-normalize the column first")))
+          .cast("long"))
+        .otherwise(lit(0L))
+    }
+    (terms ++ guards).reduce(_ + _)
   }
 
   /** The DuckDB mirror of [[zOrderKey]] for oracle construction. */

@@ -79,9 +79,19 @@ object StreamAsof {
     else {
       state.update(Buf(pending.map(_._1).toArray, pending.map(_._2).toArray,
         keepRights.map(_._1), keepRights.map(_._2)))
-      // wake when the earliest pending left becomes emittable; for a
-      // rights-only buffer, age it out one day past the frontier
-      val base = if (pending.nonEmpty) pending.map(_._1).min
+      // wake when the earliest pending left becomes emittable. An
+      // event-time timeout registered at ts fires once the watermark
+      // STRICTLY exceeds ts, while draining uses ts <= wm — so
+      // register event_time - 1, not event_time, or a left whose
+      // event time exactly equals the final watermark value is never
+      // flushed (r11 ADVICE liveness gap). Pending lefts satisfy
+      // ts > wm, so min - 1 >= wm; the clamp to wm + 1 (Spark
+      // validates timeouts strictly above the eviction watermark —
+      // the r11 watermark-jump crash class) only binds when
+      // min == wm + 1, the one boundary where Spark's API cannot
+      // express "fire at wm == ts" and strict passage is required.
+      // For a rights-only buffer, age it out one day past the frontier.
+      val base = if (pending.nonEmpty) pending.map(_._1).min - 1L
         else wm + 86400000L
       state.setTimeoutTimestamp(math.max(base, wm + 1L))
     }

@@ -182,6 +182,18 @@ object ScaleSweep {
     // the expected cluster size (and with it the within-cluster
     // quadratic) stays CONSTANT — the fixed-k row above is the honest
     // worst case (cluster size x100 -> pair count x10^4)
+    // BPE merges-count curve (r11 verdict #3): seconds-per-merge at
+    // growing merge budgets — with delta-updated pair stats the
+    // steady-state round touches only words containing the merged
+    // pair, so the curve should flatten, not stay linear-in-vocab
+    for (m <- Seq(16, 64, 256)) {
+      emit(s"bpe_train_m$m", () => {
+        val merges = graft.operators.CorpusOps.bpeTrain(
+          Engine.table(spark, dir, "documents").select(col("text")), m)
+        val n = merges.count()
+        (n, s""","merges":$m""")
+      })
+    }
     emit("dedup_semantic_scaledk", () => {
       val emb = sweepEmb
       val k = math.max(10, (emb.count() / 50L).toInt)

@@ -84,6 +84,19 @@ class BpeSpec extends AnyFunSuite {
     assert(gotTrain(texts, 16) === refTrain(texts, 16))
   }
 
+  test("delta-maintained pair stats stay exact deep into training " +
+    "(48 merges vs sequential full recount)") {
+    // 48 rounds exercise the incremental pair-count maintenance far
+    // past the first-order merges: merged symbols re-pair with
+    // neighbors, counts decay to zero and must drop out, and ties are
+    // broken on maintained (not recounted) statistics — any drift in
+    // the delta update diverges the argmax somewhere in 48 rounds.
+    Engine.configure(spark)
+    val texts = Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("text")).as[String].collect().toSeq
+    assert(gotTrain(texts, 48) === refTrain(texts, 48))
+  }
+
   test("encode kernel replays training: kernel tokens == final vocab tokens") {
     Engine.configure(spark)
     val docs = Engine.table(spark, TestSpark.sf, "documents")

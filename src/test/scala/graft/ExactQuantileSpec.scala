@@ -39,6 +39,78 @@ class ExactQuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-k shared refinement equals repeated single-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vals = Seq.fill(4000)(rnd.nextLong() % 1000000L)
+    val df = vals.toDF("v").repartition(5)
+    val ks = Seq(1L, 7L, 2000L, 3600L, 3999L)
+    val (multi, _) = ExactQuantile.kthSmallestMulti(df, col("v"), ks)
+    ks.foreach { k =>
+      assert(multi(k) == ExactQuantile.kthSmallest(df, col("v"), k)._1,
+        s"k=$k")
+    }
+  }
+
+  test("exact at the top of the long domain (upper-edge overflow guard)") {
+    import spark.implicits._
+    // hi within one bucket width of Long.MaxValue: the naive
+    // lo + width - 1 upper edge wraps negative (r11 ADVICE medium)
+    val vals = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MaxValue - 7,
+      Long.MaxValue / 2 + 3, Long.MaxValue / 2)
+    val df = vals.toDF("v").repartition(2)
+    val sorted = vals.sorted
+    for (k <- 1 to vals.size) {
+      val (got, _) = ExactQuantile.kthSmallest(df, col("v"), k.toLong)
+      assert(got == sorted(k - 1), s"k=$k")
+    }
+  }
+
+  test("three percentiles cost one bounds pass plus shared rounds") {
+    import spark.implicits._
+    val vals = (1L to 5000L).map(i => (i * 2654435761L) % 100000L)
+    val df = vals.toDF("v").repartition(4)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener events are async: poll until the count stops moving
+    def settled(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      var waited = 0
+      while (cur != prev && waited < 5000) {
+        prev = cur; Thread.sleep(200); waited += 200; cur = jobs.get()
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE materializes each query stage as its own job, which would
+    // make the count a multiple of the pass count — switch it off so
+    // one pass over the data is exactly one job.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = df.count() // not part of the operator's budget
+      settled()
+      jobs.set(0)
+      val got = ExactQuantile.percentiles(df, col("v"), Seq(50, 90, 99))
+      // range < 2^17 -> at most ceil(17/8)=3 shared rounds + 1 count
+      // + 1 bounds pass; the pre-multi implementation spent 12 jobs
+      val ran = settled()
+      assert(ran <= 5, s"multi-k refinement ran $ran jobs")
+      val sorted = vals.sorted
+      def ref(p: Int): Long = sorted((math.max(1L,
+        (p * n + 99) / 100) - 1).toInt)
+      assert(got == Map(50 -> ref(50), 90 -> ref(90), 99 -> ref(99)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("driver entry matches DuckDB-style order statistics") {
     val out = SparkEntry.queries("exact_quantiles")(spark, TestSpark.sf)
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap

@@ -128,6 +128,39 @@ class MlOpsSpec extends AnyFunSuite {
     assert(cents.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
   }
 
+  test("coarse triangle-pruned assignment == flat scan, organically " +
+    "and at adversarial k") {
+    Engine.configure(spark)
+    // organic: the sf corpus at a k where coarse pruning is active
+    val cents = MlOps.kmeansFit(emb, "vec_id", "embedding", k = 32,
+      iters = 2)
+    val flat = MlOps.assignCells(emb, "embedding", cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val coarse = MlOps.assignCellsCoarse(emb, "embedding", cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(coarse == flat, "coarse assignment diverged on the sf corpus")
+    // adversarial: centroid TIES (duplicated centroids — the argmin
+    // must still be the FIRST index) and near-boundary vectors
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val k = 300
+    val dupCents = Array.tabulate(k)(i =>
+      Array.tabulate(8)(j => ((i / 2) * 31 + j * 7 % 13).toDouble / 7.0))
+    val vecs = Seq.tabulate(1500)(i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (rnd.nextDouble() * 60.0).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val f2 = MlOps.assignCells(vecs, "embedding", dupCents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c2 = MlOps.assignCellsCoarse(vecs, "embedding", dupCents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c2 == f2, "coarse assignment diverged under duplicate-centroid ties")
+  }
+
   test("semanticDedup drops within-cluster near-dups, keeps min id") {
     import spark.implicits._
     // identical triple (ids 5, 6, 7) + two isolated vectors

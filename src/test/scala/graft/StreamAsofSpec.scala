@@ -109,6 +109,64 @@ class StreamAsofSpec extends AnyFunSuite {
       s"state not pruned: $stateRows rows")
   }
 
+  test("events replay (bench row shape): every click emitted once, " +
+    "final state bounded by one dominant right per key + in-flight") {
+    Engine.configure(spark)
+    import spark.implicits._
+    val ev = Engine.table(spark, TestSpark.sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "click", 1).otherwise(0).as("side"),
+        (col("ts") / 1000000L).cast("long").as("ms"))
+      .orderBy(col("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    val nClicks = ev.count(_._3 == 1)
+    val nUsers = ev.map(_._1).distinct.size
+    val (got, stateRows) = replay(ev, 8, sentinelTs = Long.MaxValue / 2000)
+    assert(got.size == nClicks, s"${got.size} of $nClicks clicks emitted")
+    assert(got.map(_._1).distinct.size == nClicks, "duplicate emissions")
+    // one dominant right per key survives (plus the sentinel's key);
+    // pending lefts are all flushed once the watermark passed them
+    assert(stateRows >= 0 && stateRows <= nUsers + 1,
+      s"state $stateRows exceeds per-key dominant-right bound $nUsers + 1")
+  }
+
+  test("left whose event time equals the final watermark is flushed " +
+    "without further input (timeout liveness at the boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Int, Long)]
+    val name = s"stream_asof_live_${System.nanoTime()}"
+    // delay 0: after the only batch the watermark rests EXACTLY on the
+    // left's event time. Pre-fix, the timeout was registered AT the
+    // event time and event-time timeouts fire only on strict passage,
+    // so this row was never emitted unless a later batch arrived (the
+    // r11 ADVICE liveness gap, masked by sentinel batches elsewhere).
+    val q = StreamAsof.asofMatches(
+      input.toDF().toDF("key", "id", "side", "ms")
+        .select(col("key"), col("id"), col("side"),
+          (col("ms") / 1000.0).cast("timestamp").as("event_time")),
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 7L, 0, 40_000L), (1L, 100L, 1, 50_000L))
+      q.processAllAvailable()
+      // the flush rides the no-data micro-batch; poll briefly
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (spark.table(name).count() == 0 &&
+          System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      val got = spark.table(name)
+        .select(col("left_id"), col("right_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(100L -> 7L),
+        "boundary-timestamp left not flushed by its own timeout")
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+  }
+
   test("watermark jumping far past the horizon in one batch does not " +
     "crash (timeout clamp)") {
     implicit val sqlCtx = spark.sqlContext
