@@ -1085,6 +1085,72 @@ object MultimodalOps {
       |  'unsupported_typed' AS pcm_decode
       |FROM p ORDER BY doc_id""".stripMargin))
 
+  final case class AacStats(doc_id: Long, format: String, profile: String,
+      channels: Int, sample_rate: Int, frames: Int, samples: Long,
+      duration_ms: Long, avg_kbps: Int, crc_frames: Int, pcm_decode: String)
+
+  /** REAL AAC/ADTS FRAMING metadata + the TYPED PCM boundary
+    * ([[RawAdts]] — the sibling of [[decodeMp3]], closing the second
+    * half of the "MP3/AAC" cap): spec-valid ADTS frame sequences
+    * across the profile/sample-rate/channel tables, CRC-protected and
+    * not, framed by [[RawAdts.framingPayload]] and re-parsed by
+    * [[RawAdts.info]]; the oracle recomputes the table lookups,
+    * 1024-samples-per-block accounting and integer duration IN SQL.
+    * `pcm_decode` pins the typed rejection.
+    */
+  val decodeAac: Q = Q("multimodal_decode_aac",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val profileIdx = (id % 4).toInt
+          val srIdx = (id % 13).toInt
+          val chanCfg = 1 + (id % 6).toInt
+          val nF = 2 + (id % 5).toInt
+          val withCrc = id % 4 == 0
+          val p = RawAdts.framingPayload(profileIdx, srIdx, chanCfg, nF,
+            payloadBytes = 40 + (id % 100).toInt, withCrc, seed = id)
+          require(RawAdts.sniff(p), "adts sniff failed")
+          val inf = RawAdts.info(p)
+          val pcm =
+            try { RawAdts.decode(p); "decoded" }
+            catch {
+              case _: RawMp3.Mp3DecodeUnsupported => "unsupported_typed"
+            }
+          AacStats(id, "audio/aac", inf.profile, inf.channels,
+            inf.sampleRate, inf.frames, inf.samples, inf.durationMs,
+            inf.avgBitrateKbps, inf.crcFrames, pcm)
+        }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (
+      |  SELECT doc_id,
+      |    (['Main','LC','SSR','LTP'])[CAST(1 + doc_id % 4 AS INT)]
+      |      AS profile,
+      |    ([96000,88200,64000,48000,44100,32000,24000,22050,16000,
+      |      12000,11025,8000,7350])[CAST(1 + doc_id % 13 AS INT)] AS sr,
+      |    CAST(1 + doc_id % 6 AS INT) AS ch,
+      |    CAST(2 + doc_id % 5 AS INT) AS nf,
+      |    7 + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END
+      |      + 40 + doc_id % 100 AS fb
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'audio/aac' AS format,
+      |  profile,
+      |  ch AS channels,
+      |  CAST(sr AS INT) AS sample_rate,
+      |  nf AS frames,
+      |  CAST(nf * 1024 AS BIGINT) AS samples,
+      |  CAST(nf * 1024 * 1000 // sr AS BIGINT) AS duration_ms,
+      |  CAST(nf * fb * 8 // (nf * 1024 * 1000 // sr) AS INT) AS avg_kbps,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN nf ELSE 0 END AS INT)
+      |    AS crc_frames,
+      |  'unsupported_typed' AS pcm_decode
+      |FROM p ORDER BY doc_id""".stripMargin))
+
   /** REAL sequential-state lossy-audio decode, oracle-checked end to
     * end: IMA ADPCM (WAV format tag 0x0011, [[RawAdpcm]]) — each
     * 4-bit nibble updates a (predictor, step-index) machine shared by
@@ -1432,6 +1498,6 @@ object MultimodalOps {
 
   val defs: Seq[Q] = Seq(features, resized, frames, embedKnn, decodePpm,
     decodePng, decodeWebp, decodeWebpLossy, decodeGif, resizePng, framesY4m,
-    decodeWav, decodeFlac, decodeG711, decodeAdpcm, decodeMp3, audioFeatures,
-    decodeY4mQ, motion, imageGradients, multimodalGate)
+    decodeWav, decodeFlac, decodeG711, decodeAdpcm, decodeMp3, decodeAac,
+    audioFeatures, decodeY4mQ, motion, imageGradients, multimodalGate)
 }
