@@ -107,17 +107,30 @@ object PqKernels {
   }
 
   /** Per-centroid comparison keys |c|^2 - 2 x.c in one loop nest. */
+  // row-vector extraction buffer: the per-element ArrayData accessor
+  // (virtual call + float/double branch) costs ~20 ns/element — at
+  // k x dim accessor calls per row it WAS the scan wall (see
+  // CoarseKernels.assignCoarse, same fix). Values are bit-identical:
+  // the same doubles flow through the same multiply-add order.
+  private val vecScratch = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](0)
+  }
+
   def cellDists(v: ArrayData, cents: Array[Array[Double]],
       norms: Array[Double], float: Boolean): ArrayData = {
     val out = new Array[Double](cents.length)
     val n = v.numElements()
+    var q = vecScratch.get()
+    if (q.length < n) { q = new Array[Double](n); vecScratch.set(q) }
+    var i = 0
+    while (i < n) { q(i) = get(v, i, float); i += 1 }
     var c = 0
     while (c < cents.length) {
       val ct = cents(c)
       val d = math.min(n, ct.length)
       var acc = 0.0
-      var i = 0
-      while (i < d) { acc += get(v, i, float) * ct(i); i += 1 }
+      i = 0
+      while (i < d) { acc += q(i) * ct(i); i += 1 }
       out(c) = norms(c) - 2.0 * acc
       c += 1
     }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Engine, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Distributed training-data ML primitives: full-corpus k-means
   * (Lloyd's), SemDeDup semantic deduplication (Abbas et al. 2023,
@@ -115,7 +115,37 @@ object MlOps {
       cents: Array[Array[Double]]): DataFrame = {
     val lits = typedlit[Seq[Seq[Double]]](
       cents.toIndexedSeq.map(_.toIndexedSeq))
-    val m = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val m0 = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    // bounded driver sample of REAL rows tunes the super count — the
+    // centroids alone are a misleading pruning proxy (see
+    // CoarseKernels.chooseM); 512 vectors, the IVF-fit precedent for
+    // a scale-invariant driver collect. The choice only affects
+    // speed; the assignment is exact for any index.
+    // spread across the corpus by seeded-random order (TakeOrdered:
+    // one scan, no full shuffle). A bare limit() short-circuits on the
+    // first partitions (head rows = the centroids' own replicas in
+    // replica-blocked layouts), and CONTENT-hash order degenerates
+    // under exact duplicates: all copies tie at the minimum hash and
+    // tie-resolution hands back 512 clones of one centroid row —
+    // both measured to bias the tuner to a uselessly small m. The
+    // seeded rand is repeatable for a fixed partitioning, and the
+    // choice only affects speed, never assignment values.
+    val sample = df.select(col(vecCol))
+      .orderBy(rand(42).asc)
+      .limit(512).collect().map { r =>
+      r.get(0) match {
+        // Spark hands array columns back as mutable.ArraySeq — the
+        // bare `Seq` (immutable in 2.13) silently missed it and the
+        // tuner fell back to centroid queries
+        case s: scala.collection.Seq[_] => s.map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case x => x.toString.toDouble
+        }.toArray
+        case _ => Array.empty[Double]
+      }
+    }.filter(_.nonEmpty)
+    val m = graft.functions.CoarseKernels.chooseM(cents, m0, sample)
     df.withColumn("cell",
       call_function("cell_assign_coarse", col(vecCol), lits, lit(m)))
   }
@@ -135,15 +165,47 @@ object MlOps {
     * scale-proof, no double cast).
     */
   def lloydUpdate(df: DataFrame, vecCol: String,
-      cents: Array[Array[Double]]): DataFrame =
-    assignCellsAuto(df, vecCol, cents)
+      cents: Array[Array[Double]]): DataFrame = {
+    // EXACT integer sums on the LONG fast path (the r12 scaled-k
+    // profile put ~110 of 124 s inside this aggregate when it summed
+    // DECIMAL(38,0) — BigDecimal-backed, off the codegen fast path,
+    // 8M rows per iteration at the 1000x sweep). v * 2^53 is an
+    // exactly-representable integer double (power-of-two scaling
+    // never rounds); split it into hi = floor(v53 / 2^31) and
+    // lo = v53 - hi * 2^31 in [0, 2^31) — both exact doubles, both
+    // long-safe for |v| < 2^10 (any unit-ish embedding) — and sum the
+    // two LONGs (overflow-free for < 2^32 members per cell). The
+    // exact decimal string 2^31 * hi + lo is reconstructed AFTER
+    // aggregation, on k*dim rows, not n*dim. Bit-identical output to
+    // the old DECIMAL(38,0) path (the kmeans_update oracle pins it).
+    val v53 = col("__v").cast(DoubleType) * lit(Scale)
+    val two31 = 2147483648.0
+    val hi = floor(v53 / lit(two31))
+    val assigned0 = assignCellsAuto(df, vecCol, cents)
+    // At large k, MATERIALIZE the assignment through an exchange on
+    // `cell` before the explode: CollapseProject substitutes the
+    // single-use `cell` alias into the aggregate's grouping key, and
+    // the assignment kernel then re-evaluates once per EXPLODED row —
+    // dim x the work (measured 44.5 s vs 0.8 s for the scan itself at
+    // k=10000, dim=64, 500k rows). The exchange pins one evaluation
+    // per input row, and hashpartitioning(cell) already satisfies the
+    // (cell, pos) clustering, so the aggregate adds no second shuffle.
+    // At small k the kernel is cheap and the skewed low-cardinality
+    // exchange would cost more than it saves.
+    val assigned = if (cents.length >= 256)
+      assigned0.repartition(col("cell")) else assigned0
+    assigned
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .select(col("cell"), col("pos"), hi.cast(LongType).as("__h"),
+        (v53 - hi * lit(two31)).cast(LongType).as("__l"))
       .groupBy(col("cell"), col("pos"))
-      .agg(count(lit(1)).as("n"),
-        sum((col("__v").cast(DoubleType) * lit(Scale))
-          .cast(DecimalType(38, 0))).as("__s"))
+      .agg(count(lit(1)).as("n"), sum(col("__h")).as("__sh"),
+        sum(col("__l")).as("__sl"))
       .select(col("cell"), col("pos").cast("int").as("pos"), col("n"),
-        col("__s").cast("string").as("csum"))
+        (col("__sh").cast(DecimalType(38, 0)) * lit(2147483648L) +
+          col("__sl").cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).cast("string").as("csum"))
+  }
 
   /** Full-corpus distributed Lloyd's: init = the k smallest ids'
     * vectors; each iteration is one assignment scan + one
