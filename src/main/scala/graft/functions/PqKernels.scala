@@ -55,7 +55,15 @@ object PqKernels {
     val m = books.length
     if (m == 0) return new GenericArrayData(Array.empty[Int])
     val sub = books(0)(0).length
-    if (v.numElements() != m * sub) return null
+    val n = m * sub
+    if (v.numElements() != n) return null
+    // extract once: the scan reads every element K (=book size) times
+    // otherwise, each through the ~20 ns ArrayData accessor (same fix
+    // as cellDists below — identical doubles, identical fold order)
+    var q = vecScratch.get()
+    if (q.length < n) { q = new Array[Double](n); vecScratch.set(q) }
+    var j = 0
+    while (j < n) { q(j) = get(v, j, float); j += 1 }
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -68,7 +76,7 @@ object PqKernels {
         val c = book(k)
         var acc = 0.0
         var i = 0
-        while (i < sub) { acc += get(v, base + i, float) * c(i); i += 1 }
+        while (i < sub) { acc += q(base + i) * c(i); i += 1 }
         val score = acc - halfNorms(mi)(k)
         if (score > bestScore) { bestScore = score; best = k }
         k += 1

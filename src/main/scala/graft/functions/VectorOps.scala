@@ -85,24 +85,35 @@ case class SignBits(vec: Expression, planes: Expression)
 }
 
 object SignBits {
+  // the planes re-read every element P times otherwise, each through
+  // the ArrayData accessor (~20 ns/element — the r12 kernel lesson);
+  // extraction preserves the exact doubles and fold order
+  private val vecScratch = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](0)
+  }
+
   /** All-planes sign computation in one loop nest; element-order double
     * accumulation matches DotVec exactly.
     */
   def compute(v: ArrayData, planes: Array[Array[Double]],
       isFloat: Boolean): Long = {
     val n = v.numElements()
+    var q = vecScratch.get()
+    if (q.length < n) { q = new Array[Double](n); vecScratch.set(q) }
+    var i = 0
+    if (isFloat) {
+      while (i < n) { q(i) = v.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { q(i) = v.getDouble(i); i += 1 }
+    }
     var bits = 0L
     var p = 0
     while (p < planes.length) {
       val pl = planes(p)
       val d = math.min(n, pl.length)
       var acc = 0.0
-      var i = 0
-      if (isFloat) {
-        while (i < d) { acc += v.getFloat(i).toDouble * pl(i); i += 1 }
-      } else {
-        while (i < d) { acc += v.getDouble(i) * pl(i); i += 1 }
-      }
+      i = 0
+      while (i < d) { acc += q(i) * pl(i); i += 1 }
       if (acc >= 0) bits |= (1L << p)
       p += 1
     }
