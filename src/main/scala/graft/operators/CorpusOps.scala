@@ -664,7 +664,143 @@ object CorpusOps {
       |LEFT JOIN c1 USING (uni)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Weighted PRIORITY sampling (Duffield-Lund-Thorup, JACM 54(6)
+    * 2007): keep the k items with the largest priority w_i / u_i and
+    * estimate any subset sum unbiasedly via max(w_i, tau), tau = the
+    * (k+1)-th priority. The scheme of choice for "sample documents
+    * proportional to quality/length in ONE pass with principled
+    * weights attached" — near-optimal variance among k-sample
+    * estimators, and the per-item state is a single priority.
+    *
+    * Determinism at 100 TB (the auditable-sampling rule of
+    * [[sampleStratified]]): u_i is NOT an RNG but THREE MINSTD steps
+    * from the id — r = ((id mod (M-1)) + 1) * 48271^3 step-wise mod
+    * M, u = r / M, M = 2^31 - 1 (one step never wraps for small ids,
+    * leaving u tiny and id-correlated — three wraps mix; every
+    * product stays under 2^47, overflow-free in both engines) — so
+    * every engine re-derives the sample; priority
+    * = w * M / r uses two correctly-rounded IEEE ops on exact integer
+    * inputs, so DuckDB hash-matches the doubles exactly (no
+    * transcendentals — the reason for choosing DLT's w/u priorities
+    * over Efraimidis-Spirakis' u^(1/w) keys).
+    *
+    * Scale shape: one map-side priority projection + ONE TopK
+    * (TakeOrdered — no global sort, no shuffle of the corpus), a
+    * 1-row driver tau, and a bounded k-row result.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val M = 2147483647L
+    val r0 = (pmod(col(idCol), lit(M - 1)) + 1) * lit(48271L) % lit(M)
+    val r1 = r0 * lit(48271L) % lit(M)
+    val r = r1 * lit(48271L) % lit(M)
+    val keyed = df
+      .withColumn("__pr",
+        col(weightCol).cast("double") * lit(M.toDouble) /
+          r.cast("double"))
+    val top = keyed
+      .orderBy(col("__pr").desc, col(idCol).asc)
+      .limit(k + 1)
+      .localCheckpoint(true) // k+1 rows; cut so TopK runs once
+    val tauRow = top.agg(count(lit(1)), min(col("__pr"))).head()
+    val tau = if (tauRow.getLong(0) < k + 1) 0.0 else tauRow.getDouble(1)
+    top.orderBy(col("__pr").desc, col(idCol).asc).limit(k)
+      .select(col(idCol), col(weightCol),
+        col("__pr").as("priority"),
+        greatest(col(weightCol).cast("double"), lit(tau))
+          .as("est_weight"))
+  }
+
+  private val PriorityK = 100
+
+  /** Driver entry + full oracle: DLT priority sample of documents
+    * weighted by byte length; DuckDB re-derives the MINSTD uniforms,
+    * the priorities, the (k+1)-th threshold and the estimator — every
+    * double hash-compared exactly.
+    */
+  val prioritySampleQ: Q = Q("sample_priority",
+    (s, d) => prioritySample(
+      t(s, d, "documents").select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("w")),
+      "doc_id", "w", PriorityK).orderBy(col("doc_id")),
+    Some(s"""WITH pr AS (
+      |  SELECT doc_id, CAST(STRLEN(text) AS BIGINT) AS w,
+      |    CAST(STRLEN(text) AS DOUBLE) * 2147483647.0 /
+      |      CAST((((doc_id % 2147483646) + 1) * 48271 % 2147483647)
+      |           * 48271 % 2147483647 * 48271 % 2147483647
+      |           AS DOUBLE) AS priority
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) rn
+      |  FROM pr),
+      |tau AS (
+      |  SELECT COALESCE(MAX(CASE WHEN rn = ${PriorityK + 1}
+      |    THEN priority END), 0.0) t FROM ranked)
+      |SELECT doc_id, w, priority,
+      |  GREATEST(CAST(w AS DOUBLE), t) AS est_weight
+      |FROM ranked, tau WHERE rn <= $PriorityK
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Per-stratum DLT priority sampling — the corpus-BALANCING recipe:
+    * top-k priorities WITHIN each group (source here), so every shard
+    * contributes k quality-weighted documents with per-stratum
+    * estimator thresholds. One window rank over (group, priority) —
+    * a single shuffle on the group key, no driver state at all (the
+    * per-group tau rides in the same window as the (k+1)-th
+    * priority). The grouped twin of [[prioritySample]], same MINSTD
+    * determinism.
+    */
+  def prioritySampleGrouped(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val M = 2147483647L
+    val r0 = (pmod(col(idCol), lit(M - 1)) + 1) * lit(48271L) % lit(M)
+    val r = r0 * lit(48271L) % lit(M) * lit(48271L) % lit(M)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pr").desc, col(idCol).asc)
+    df.withColumn("__pr",
+        col(weightCol).cast("double") * lit(M.toDouble) / r.cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__tau",
+        coalesce(max(when(col("__rn") === k + 1, col("__pr")))
+          .over(Window.partitionBy(col(groupCol))), lit(0.0)))
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol),
+        col("__pr").as("priority"),
+        greatest(col(weightCol).cast("double"), col("__tau"))
+          .as("est_weight"))
+  }
+
+  /** Driver entry + full oracle for the grouped variant: k = 40 per
+    * source, per-group thresholds re-derived by DuckDB's own window.
+    */
+  val prioritySampleGroupedQ: Q = Q("sample_priority_grouped",
+    (s, d) => prioritySampleGrouped(
+      t(s, d, "documents").select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("w")),
+      "source", "doc_id", "w", 40)
+      .orderBy(col("source"), col("doc_id")),
+    Some("""WITH pr AS (
+      |  SELECT source, doc_id, CAST(STRLEN(text) AS BIGINT) AS w,
+      |    CAST(STRLEN(text) AS DOUBLE) * 2147483647.0 /
+      |      CAST((((doc_id % 2147483646) + 1) * 48271 % 2147483647)
+      |           * 48271 % 2147483647 * 48271 % 2147483647
+      |           AS DOUBLE) AS priority
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY priority DESC, doc_id) rn
+      |  FROM pr),
+      |tau AS (
+      |  SELECT source,
+      |    COALESCE(MAX(CASE WHEN rn = 41 THEN priority END), 0.0) t
+      |  FROM ranked GROUP BY source)
+      |SELECT r.source, doc_id, w, priority,
+      |  GREATEST(CAST(w AS DOUBLE), t.t) AS est_weight
+      |FROM ranked r JOIN tau t ON r.source = t.source WHERE rn <= 40
+      |ORDER BY r.source, doc_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
-    mixtureSample, tokenBudgetSample, termStats, bpeTrainTable, bpeEncode,
-    lmScore)
+    mixtureSample, tokenBudgetSample, prioritySampleQ,
+    prioritySampleGroupedQ, termStats,
+    bpeTrainTable, bpeEncode, lmScore)
 }

@@ -189,4 +189,82 @@ class CorpusOpsSpec extends AnyFunSuite {
     val again = run("text_tfidf").collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("sample_priority: DLT selection, threshold and estimator are " +
+    "exact and partitioning-independent") {
+    import graft.operators.CorpusOps
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("w"))
+    val n = docs.count()
+    val k = 100
+    // in-memory reference of the full scheme
+    val M = 2147483647L
+    val wById = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pri(id: Long, w: Long): Double = {
+      val r = ((id % (M - 1)) + 1) * 48271L % M * 48271L % M * 48271L % M
+      w.toDouble * M.toDouble / r.toDouble
+    }
+    val ranked = wById.toSeq
+      .map { case (id, w) => (id, w, pri(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val expTau = if (n < k + 1) 0.0 else ranked(k)._3
+    val expSel = ranked.take(k).map(t => t._1 -> t._2).toMap
+
+    val got = run("sample_priority").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == math.min(n, k).toInt)
+    assert(got.map(g => g._1 -> g._2).toMap == expSel,
+      "selected set diverges from the top-k priorities")
+    got.foreach { case (id, w, p, est) =>
+      assert(p == pri(id, w), s"priority of $id")
+      assert(est == math.max(w.toDouble, expTau), s"estimator of $id")
+      // every kept item's priority clears the threshold
+      assert(p >= expTau, s"priority below tau for $id")
+    }
+    // DLT unbiasedness sanity on this single draw: the estimator total
+    // should be in the neighbourhood of the true corpus weight
+    val trueSum = wById.values.sum.toDouble
+    val estSum = got.map(_._4).sum
+    assert(estSum > trueSum * 0.5 && estSum < trueSum * 2.0,
+      s"estimator total $estSum vs true $trueSum")
+    // pure function of the data: identical after a repartition
+    val again = CorpusOps.prioritySample(docs.repartition(13), "doc_id",
+      "w", k).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(again.sameElements(got), "result depends on partitioning")
+  }
+
+  test("sample_priority_grouped: per-stratum top-k, per-group tau, " +
+    "partitioning-independent") {
+    import graft.operators.CorpusOps
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("w"))
+    val k = 40
+    val M = 2147483647L
+    def pri(id: Long, w: Long): Double = {
+      val r = ((id % (M - 1)) + 1) * 48271L % M * 48271L % M * 48271L % M
+      w.toDouble * M.toDouble / r.toDouble
+    }
+    val ref = docs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).flatMap { case (src, rows) =>
+        val ranked = rows.map { case (_, id, w) => (id, w, pri(id, w)) }
+          .sortBy { case (id, _, p) => (-p, id) }
+        val tau = if (ranked.length < k + 1) 0.0 else ranked(k)._3
+        ranked.take(k).map { case (id, w, p) =>
+          (src, id) -> (w, p, math.max(w.toDouble, tau))
+        }
+      }.toMap
+    val got = run("sample_priority_grouped").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == ref, "grouped DLT sample diverges from the reference")
+    // stable under repartition
+    val again = CorpusOps.prioritySampleGrouped(docs.repartition(17),
+      "source", "doc_id", "w", k).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(again == got)
+  }
 }
