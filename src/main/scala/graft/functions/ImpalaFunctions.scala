@@ -528,6 +528,13 @@ object ImpalaFunctions {
     }
     // histogram / appx_median_rs: the reference's 20k-reservoir aggregates
     // (aggregate-functions.h:126-167) — see ReservoirAgg.
+    // kmv_sketch(hash_long[, k]): bottom-k distinct-hash sketch for
+    // set-operation estimates between corpus slices — see KmvSketch.
+    temp("kmv_sketch") {
+      case Seq(e) => KmvAgg(e).toAggregateExpression()
+      case Seq(e, Literal(k: Int, IntegerType)) =>
+        KmvAgg(e, k).toAggregateExpression()
+    }
     temp("histogram") { case Seq(e) => DialectHistogram(e) }
     temp("appx_median_rs") { case Seq(e) =>
       AppxMedianAgg(Cast(e, DoubleType)).toAggregateExpression()

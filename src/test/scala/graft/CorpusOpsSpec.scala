@@ -248,7 +248,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     val ref = docs.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1).flatMap { case (src, rows) =>
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
         val ranked = rows.map { case (_, id, w) => (id, w, pri(id, w)) }
           .sortBy { case (id, _, p) => (-p, id) }
         val tau = if (ranked.length < k + 1) 0.0 else ranked(k)._3
