@@ -102,14 +102,19 @@ object SketchOps {
   val setOverlap: Q = Q("set_overlap_kmv",
     (s, d) => {
       val doc = t(s, d, "documents")
-      def sketch(f: Column): DataFrame = doc.filter(f)
-        .agg(call_function("kmv_sketch", hash52(col("text")), lit(SetK)))
-      val a = sketch(col("doc_id") % 2 === 0).toDF("ska")
-      val b = sketch(col("doc_id") % 3 === 0).toDF("skb")
+      // ONE corpus scan builds BOTH sketches: the aggregate skips the
+      // NULLs a non-member row contributes (PlanBudgetSpec pins the
+      // single-scan shape — at 100 TB this is the whole point)
+      val h = hash52(col("text"))
+      val both = doc.agg(
+        call_function("kmv_sketch",
+          when(col("doc_id") % 2 === 0, h), lit(SetK)).as("ska"),
+        call_function("kmv_sketch",
+          when(col("doc_id") % 3 === 0, h), lit(SetK)).as("skb"))
       def thetaL(sk: Column): Column =
         when(size(sk) < SetK, lit((1L << 52)))
           .otherwise(element_at(sk, SetK))
-      val joined = a.crossJoin(b)
+      val joined = both
         .withColumn("__th",
           least(thetaL(col("ska")), thetaL(col("skb"))))
         .withColumn("__fa", filter(col("ska"), x => x < col("__th")))

@@ -107,6 +107,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     "decontaminate" -> Map("documents" -> 3),
     "pack_sequences" -> Map("documents" -> 1),
     "sample_stratified" -> Map("documents" -> 1),
+    // DLT priority sampling: TopK + tau over a k+1-row localCheckpoint
+    // (the checkpoint is the only corpus read); grouped = one window
+    "sample_priority" -> Map("documents" -> 1),
+    "sample_priority_grouped" -> Map("documents" -> 1),
+    // KMV sketches: per-lang = one agg scan; overlap = ONE scan
+    // building BOTH conditional sketches (the single-scan rewrite)
+    "agg_kmv_ndv" -> Map("documents" -> 1),
+    "set_overlap_kmv" -> Map("documents" -> 1),
     "sample_mixture" -> Map("documents" -> 3),
     "sample_token_budget" -> Map("documents" -> 2),
     // one assignment scan feeds the (cell, dim) aggregate; the init
