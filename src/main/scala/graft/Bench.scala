@@ -52,11 +52,25 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // Streaming rows run with state partitioning sized to their key
+    // cardinality (8 instead of the batch-side 32): a micro-batch pays
+    // per-partition state-store commit/snapshot file ops EVERY batch,
+    // and at 1.5k-77k state rows 32 partitions is pure fixed overhead
+    // (measured on the as-of row: 18.5 s at 32 -> 5.7 s at 8, same
+    // 19,863 emissions). A cluster deployment sizes this to executor
+    // count; the semantic outputs are partitioning-independent (the
+    // specs pin them). Restored after each row.
+    def withStreamingPartitions[A](f: => A): A = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
     // streaming near-dup throughput: the sf corpus replayed as 8
     // micro-batches through the stateful MinHash star (r9 verdict #5).
     // State metrics from the final progress land on stderr for NOTES.
     var streamStateRows = -1L
-    def streamNearDedup(): Unit = {
+    def streamNearDedup(): Unit = withStreamingPartitions {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
@@ -88,7 +102,7 @@ object Bench {
     // is per-key dominant-right + in-flight lefts, not history.
     var asofStateRows = -1L
     var asofEmitted = -1L
-    def streamAsof(): Unit = {
+    def streamAsof(): Unit = withStreamingPartitions {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions.{col, when}
       implicit val sqlCtx = spark.sqlContext
