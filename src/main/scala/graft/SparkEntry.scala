@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, PrimitiveQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, TpcdsQueries, WindowQueries}
-import graft.operators.{AsofJoin, CorpusOps, DedupOps, ExactQuantile, MlOps, MultimodalOps, SimilarityOps, SketchOps, TextOps, ZOrder}
+import graft.operators.{AsofJoin, CorpusOps, DedupOps, ExactQuantile, IntervalJoin, MlOps, MultimodalOps, SimilarityOps, SketchOps, TextOps, ZOrder}
 import graft.functions.Udx
 import graft.sources.{Formats, MixedFormat, TableSink}
 
@@ -19,7 +19,8 @@ object SparkEntry {
       TpcdsQueries.defs ++ PrimitiveQueries.defs ++
       RelationalQueries.defs ++ JoinQueries.defs ++
       WindowQueries.defs ++ NestedQueries.defs ++ PredicateQueries.defs ++
-      AsofJoin.defs ++ ExactQuantile.defs ++ ZOrder.defs ++
+      AsofJoin.defs ++ IntervalJoin.defs ++ ExactQuantile.defs ++
+      ZOrder.defs ++
       TextOps.defs ++ CorpusOps.defs ++ DedupOps.defs ++ MlOps.defs ++
       SketchOps.defs ++
       SimilarityOps.defs ++

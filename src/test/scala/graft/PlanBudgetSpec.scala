@@ -135,6 +135,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "embed_quantize_int8" -> Map("embeddings" -> 1),
     // left/right side filters of the same events table
     "join_asof" -> Map("events" -> 2),
+    // spans side + incidents side (different groupings of the same scan)
+    "join_interval" -> Map("events" -> 2),
     // map-side bit interleave over one scan
     "layout_zorder" -> Map("orders" -> 1))
 
