@@ -114,6 +114,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // KMV sketches: per-lang = one agg scan; overlap = ONE scan
     // building BOTH conditional sketches (the single-scan rewrite)
     "agg_kmv_ndv" -> Map("documents" -> 1),
+    // per-doc projection + 1-row stats aggregate
+    "retrieval_bm25" -> Map("documents" -> 2),
+    // everything hangs off one tokenize+groupBy(doc_id) exchange;
+    // 2 = that exchange's subtree reused imperfectly by the stats agg
+    "retrieval_multiquery" -> Map("documents" -> 2),
     "set_overlap_kmv" -> Map("documents" -> 1),
     "sample_mixture" -> Map("documents" -> 3),
     "sample_token_budget" -> Map("documents" -> 2),
