@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph centrality — fixed-point integer PageRank. For a
+  * crawled training corpus the link graph IS the quality signal
+  * (PageRank/harmonic centrality feeds the keep-or-drop score in
+  * CommonCrawl-scale pipelines); here the organic graph is the
+  * customer<->supplier purchase graph (distinct order lines),
+  * symmetrized so every node has in- and out-edges.
+  *
+  * Arithmetic: the classic double-precision PageRank cannot be
+  * hash-checked across engines (association order), so ranks are
+  * FIXED-POINT INTEGERS — rank_0 = B per node, one update is
+  * `rank' (v) = (3B)/20 + Σ_{u→v} (rank(u)·17) div (20·deg(u))`
+  * (damping 17/20 = 0.85 exactly). Every operation is int64
+  * multiply / floor-divide / add: deterministic under ANY
+  * partitioning, and DuckDB reproduces it with `//`. Floor losses
+  * leak ≤ 1 per (edge, round) of mass — bounded, identical in both
+  * engines, and irrelevant to ranking. Overflow headroom: total mass
+  * ≈ N·B, so the contract is N·B·17 < 2^63 (guarded below); at
+  * 100 TB scale drop B accordingly.
+  *
+  * Execution shape per iteration: ONE hash join of the (src-keyed)
+  * edge list against the (node-keyed) rank table + ONE groupBy(dst)
+  * aggregate — the standard distributed PageRank cost. Edges are
+  * localCheckpoint-ed once (like [[MlOps.kmeansFit]]); ranks stay a
+  * nodes-sized relation.
+  */
+object GraphOps {
+
+  /** `edges`: (src: long, dst: long), every node present as a src
+    * (symmetrize first if needed). Returns (node, deg, rank) after
+    * `iters` fixed-point updates.
+    */
+  def pageRank(edges: DataFrame, iters: Int, base: Long,
+      materialize: Boolean = true): DataFrame = {
+    require(iters >= 1 && base > 0, "pageRank: iters >= 1, base > 0")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e0 = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+    val e = if (materialize) e0.localCheckpoint() else e0
+    val n = e.select(col("src")).distinct().count()
+    require(n > 0 && base <= Long.MaxValue / 17 / math.max(n, 1L),
+      s"pageRank: N*base*17 overflows int64 (n=$n, base=$base)")
+    val teleport = 3L * base / 20L
+    var ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(base))
+    for (_ <- 1 to iters) {
+      ranks = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * 17L) div (20L * deg)").as("__c"))
+        .groupBy(col("dst"))
+        .agg((lit(teleport) + sum(col("__c"))).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    ranks.join(deg, ranks("node") === deg("src"))
+      .select(col("node"), col("deg"), col("rank"))
+  }
+
+  /** Driver entry + FULL oracle: 3 PageRank rounds over the
+    * symmetrized customer<->supplier graph (node id = 2·custkey for
+    * customers, 2·suppkey+1 for suppliers), top 25 by rank. DuckDB
+    * unrolls the same three integer updates as chained CTEs — bit
+    * equality on every rank.
+    */
+  val pagerankEntry: Q = Q("graph_pagerank",
+    (s, d) => {
+      Engine.configure(s)
+      val pairs = Engine.table(s, d, "orders")
+        .join(Engine.table(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = pairs
+        .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+        .unionAll(pairs
+          .select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      pageRank(edges, iters = 3, base = 1000000000000L)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("node div 2").as("key"), col("deg"), col("rank"))
+        .orderBy(col("rank").desc, col("kind"), col("key"))
+        .limit(25)
+    },
+    Some("""WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (
+      |  SELECT 2*c AS src, 2*sp+1 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 2*sp+1 AS src, 2*c AS dst FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank
+      |       FROM deg),
+      |r1 AS (SELECT e.dst AS node,
+      |         CAST(150000000000 + SUM((r.rank*17)//(20*d.deg)) AS BIGINT)
+      |           AS rank
+      |       FROM edges e JOIN r0 r ON e.src = r.node
+      |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node,
+      |         CAST(150000000000 + SUM((r.rank*17)//(20*d.deg)) AS BIGINT)
+      |           AS rank
+      |       FROM edges e JOIN r1 r ON e.src = r.node
+      |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS node,
+      |         CAST(150000000000 + SUM((r.rank*17)//(20*d.deg)) AS BIGINT)
+      |           AS rank
+      |       FROM edges e JOIN r2 r ON e.src = r.node
+      |       JOIN deg d ON e.src = d.src GROUP BY e.dst)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+      |    AS kind,
+      |  node // 2 AS key, deg, rank
+      |FROM r3 JOIN deg ON node = src
+      |ORDER BY rank DESC, kind, key
+      |LIMIT 25""".stripMargin))
+
+  val defs: Seq[Q] = Seq(pagerankEntry)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** Pins for fixed-point integer PageRank: a sequential scalar
+  * reference (bit equality), partitioning independence, the mass
+  * bound, and the overflow guard.
+  */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Base = 1000000000000L
+
+  /** Sequential reference of the same integer recurrence. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+      base: Long): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = deg.keys.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          rank(src) * 17L / (20L * deg(src)) }.sum
+      }
+      rank = in.map { case (n, s) => n -> (3L * base / 20L + s) }
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+      parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("src", "dst").repartition(parts),
+        iters, Base, materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  private def symmetrize(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    s ++ s.map(_.swap)
+
+  test("matches the sequential integer reference bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val edges = symmetrize(
+      Seq.tabulate(400)(_ =>
+        (rnd.nextInt(40).toLong, 100L + rnd.nextInt(25)))
+        .distinct)
+    val got = run(edges, iters = 4)
+    val want = ref(edges, iters = 4, Base)
+    assert(got == want)
+  }
+
+  test("hub outranks leaves on a star") {
+    val edges = symmetrize((1L to 9L).map(i => (0L, i)))
+    val got = run(edges, iters = 3)
+    assert((1L to 9L).forall(i => got(0L) > got(i)))
+    assert((1L to 9L).map(got).distinct.size == 1) // symmetric leaves tie
+  }
+
+  test("partitioning independence: 3 vs 17 partitions identical") {
+    val rnd = new scala.util.Random(5)
+    val edges = symmetrize(
+      Seq.tabulate(300)(_ =>
+        (rnd.nextInt(30).toLong, 50L + rnd.nextInt(20))).distinct)
+    assert(run(edges, 3, parts = 3) == run(edges, 3, parts = 17))
+  }
+
+  test("total mass never exceeds N*base (floor only leaks downward)") {
+    val rnd = new scala.util.Random(23)
+    val edges = symmetrize(
+      Seq.tabulate(200)(_ =>
+        (rnd.nextInt(25).toLong, 30L + rnd.nextInt(12))).distinct)
+    val got = run(edges, 5)
+    assert(got.values.sum <= got.size.toLong * Base)
+    assert(got.values.forall(_ >= 3L * Base / 20L))
+  }
+
+  test("overflow guard fails loudly instead of wrapping") {
+    import spark.implicits._
+    val edges = symmetrize(Seq((1L, 2L), (2L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges.toDF("src", "dst"), 1,
+        Long.MaxValue / 20, materialize = false).collect()
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+}
