@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, PrimitiveQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, TpcdsQueries, WindowQueries}
-import graft.operators.{AsofJoin, CorpusOps, DedupOps, ExactQuantile, GraphOps, IntervalJoin, MlOps, RetrievalOps, MultimodalOps, SimilarityOps, SketchOps, TextOps, ZOrder}
+import graft.operators.{AsofJoin, CorpusOps, DedupOps, ExactQuantile, GraphOps, HilbertCurve, IntervalJoin, MlOps, RetrievalOps, MultimodalOps, SimilarityOps, SketchOps, TextOps, ZOrder}
 import graft.functions.Udx
 import graft.sources.{Formats, MixedFormat, TableSink}
 
@@ -20,7 +20,7 @@ object SparkEntry {
       RelationalQueries.defs ++ JoinQueries.defs ++
       WindowQueries.defs ++ NestedQueries.defs ++ PredicateQueries.defs ++
       AsofJoin.defs ++ IntervalJoin.defs ++ ExactQuantile.defs ++
-      ZOrder.defs ++
+      ZOrder.defs ++ HilbertCurve.defs ++
       TextOps.defs ++ CorpusOps.defs ++ DedupOps.defs ++ MlOps.defs ++
       SketchOps.defs ++ RetrievalOps.defs ++ GraphOps.defs ++
       SimilarityOps.defs ++

@@ -415,6 +415,10 @@ object ImpalaFunctions {
     temp("pq_adc") { case Seq(q, c, b) => PqAdc(q, c, b) }
     temp("cell_dists") { case Seq(v, c) => CellDists(v, c) }
     temp("cell_assign_coarse") { case Seq(v, c, m) => CellAssignCoarse(v, c, m) }
+    // Hilbert layout key (see HilbertKernel) — the ZOrder sibling
+    temp("hilbert_key") {
+      case Seq(x, y, Literal(b: Int, IntegerType)) => HilbertKey(x, y, b)
+    }
 
     // ---- aggregates (aggregate-functions.h) -----------------------------
     // avg over TIMESTAMP (aggregate-functions.cc TimestampAvgUpdate);

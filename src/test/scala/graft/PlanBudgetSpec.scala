@@ -143,7 +143,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // spans side + incidents side (different groupings of the same scan)
     "join_interval" -> Map("events" -> 2),
     // map-side bit interleave over one scan
-    "layout_zorder" -> Map("orders" -> 1))
+    "layout_zorder" -> Map("orders" -> 1),
+    // map-side state-machine kernel over one scan
+    "layout_hilbert" -> Map("orders" -> 1))
 
   test("per-entry scan-count budgets hold over the dedup/similarity/text families") {
     Engine.configure(spark)
