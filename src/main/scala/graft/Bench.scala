@@ -136,6 +136,35 @@ object Bench {
       spark.catalog.dropTempView(name)
     }
 
+    // streaming CMS throughput: the sf corpus replayed as 8
+    // micro-batches through the stateful sketch; state is bounded by
+    // the 256 sketch cells — the stderr line records the bound held.
+    var cmsStateRows = -1L
+    def streamCms(): Unit = withStreamingPartitions {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val docs = Engine.table(spark, sfDir, "documents")
+        .selectExpr("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val name = s"bench_stream_cms_${System.nanoTime()}"
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamHeavyHitters
+        .cells(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        docs.grouped(math.max(1, (docs.size + 7) / 8)).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          cmsStateRows = p.stateOperators(0).numRowsTotal
+      } finally q.stop()
+      spark.table(name).count()
+      spark.catalog.dropTempView(name)
+    }
+
     import graft.operators.{DedupOps, SimilarityOps}
     // organic-path timings (r7 verdict #6): the REAL thresholds, not the
     // planted-twin projections — bench-visible but not oracle entries
@@ -165,6 +194,7 @@ object Bench {
         (() => { SimilarityOps.lshBucket(spark, sfDir, planted = false).count(); () }),
       "organic_stream_neardedup" -> (() => streamNearDedup()),
       "organic_stream_asof" -> (() => streamAsof()),
+      "organic_stream_cms" -> (() => streamCms()),
       "organic_kmeans_fit" ->
         (() => { graft.operators.MlOps.kmeansFit(
           Engine.table(spark, sfDir, "embeddings")
@@ -193,6 +223,11 @@ object Bench {
         s"[bench] organic_stream_asof state_rows=$asofStateRows " +
           s"emitted=$asofEmitted (state is dominant-right + in-flight " +
           "lefts per key, not history)")
+    }
+    if (cmsStateRows >= 0) {
+      System.err.println(
+        s"[bench] organic_stream_cms state_rows=$cmsStateRows " +
+          "(bound: 256 sketch cells, vocabulary-independent)")
     }
     if (streamStateRows >= 0) {
       val buckets = DedupOps.minhashBandify(

@@ -465,14 +465,20 @@ object TextOps {
     * CMS is precisely NOT needing them; HeavyHitterSpec pins
     * est >= exact and top-1 recovery).
     */
+  /** CMS row-r bucket of a token: salted md5, first two hex chars,
+    * %64 — shared by the batch entry and [[graft.streaming.StreamHeavyHitters]]
+    * (their cells must be the same function of the data).
+    */
+  def cmsBucket(r: Int, w: Column): Column = {
+    val hex = "0123456789abcdef"
+    val h = md5(concat(lit(s"cms$r"), w))
+    (((instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
+      (instr(lit(hex), substring(h, 2, 1)) - 1)) % 64).cast("int")
+  }
+
   val heavyHitters: Q = Q("text_heavy_hitters",
     (s, d) => {
-      val hex = "0123456789abcdef"
-      def bucketOf(r: Int, w: Column): Column = {
-        val h = md5(concat(lit(s"cms$r"), w))
-        (((instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
-          (instr(lit(hex), substring(h, 2, 1)) - 1)) % 64).cast("int")
-      }
+      def bucketOf(r: Int, w: Column): Column = cmsBucket(r, w)
       val cnt = t(s, d, "documents")
         .select(explode(tokens(lower(col("text")))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("exact"))
