@@ -36,7 +36,23 @@ object GraphOps {
     * `iters` fixed-point updates.
     */
   def pageRank(edges: DataFrame, iters: Int, base: Long,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true): DataFrame =
+    prLoop(edges, iters, base, materialize, seeds = None)
+
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands ONLY on `seeds` (a (node: long) relation) — ranks
+    * measure graph proximity to the seed set, the seed-based corpus
+    * EXPANSION primitive (curated seed docs -> neighborhood at 100 TB
+    * without per-seed traversals). Same integer recurrence with the
+    * teleport term gated on seed membership; seed relations are small
+    * curated sets, broadcast into each round.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      base: Long, materialize: Boolean = true): DataFrame =
+    prLoop(edges, iters, base, materialize, Some(seeds))
+
+  private def prLoop(edges: DataFrame, iters: Int, base: Long,
+      materialize: Boolean, seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && base > 0, "pageRank: iters >= 1, base > 0")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e0 = edges.join(deg, "src")
@@ -46,14 +62,33 @@ object GraphOps {
     require(n > 0 && base <= Long.MaxValue / 17 / math.max(n, 1L),
       s"pageRank: N*base*17 overflows int64 (n=$n, base=$base)")
     val teleport = 3L * base / 20L
+    val seedSet = seeds.map(s =>
+      s.select(col("node")).distinct().withColumn("__seed", lit(1)))
+    def tele(nodeCol: Column, seedFlag: Column): Column = seedSet match {
+      case Some(_) => when(seedFlag.isNotNull, lit(teleport)).otherwise(lit(0L))
+      case None => lit(teleport)
+    }
     var ranks = e.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(base))
+    ranks = seedSet match {
+      case Some(ss) => ranks.join(broadcast(ss), Seq("node"), "left")
+        .select(col("node"),
+          when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L))
+            .as("rank"))
+      case None => ranks.withColumn("rank", lit(base))
+    }
     for (_ <- 1 to iters) {
-      ranks = e.join(ranks, e("src") === ranks("node"))
+      val in = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("(rank * 17L) div (20L * deg)").as("__c"))
         .groupBy(col("dst"))
-        .agg((lit(teleport) + sum(col("__c"))).as("rank"))
-        .select(col("dst").as("node"), col("rank"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = (seedSet match {
+        case Some(ss) => in.join(broadcast(ss),
+            in("dst") === ss("node"), "left")
+          .select(col("dst"), (tele(col("dst"), col("__seed")) +
+            col("__in")).as("rank"))
+        case None =>
+          in.select(col("dst"), (lit(teleport) + col("__in")).as("rank"))
+      }).select(col("dst").as("node"), col("rank"))
     }
     ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node"), col("deg"), col("rank"))
@@ -117,5 +152,77 @@ object GraphOps {
       |ORDER BY rank DESC, kind, key
       |LIMIT 25""".stripMargin))
 
-  val defs: Seq[Q] = Seq(pagerankEntry)
+  /** Driver entry + FULL oracle: personalized PageRank seeded on the
+    * suppliers of one nation group (s_nationkey % 5 = 3 — present at every SF) — "which customers/suppliers sit closest
+    * to this curated set in purchase space". Same graph and integer
+    * recurrence as `graph_pagerank`, teleport gated on the seed set.
+    */
+  val pprEntry: Q = Q("graph_ppr",
+    (s, d) => {
+      Engine.configure(s)
+      val pairs = Engine.table(s, d, "orders")
+        .join(Engine.table(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = pairs
+        .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+        .unionAll(pairs
+          .select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      val seeds = Engine.table(s, d, "supplier")
+        .filter(col("s_nationkey") % 5 === 3)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      personalizedPageRank(edges, seeds, iters = 3,
+        base = 1000000000000L)
+        .filter(col("rank") > 0)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("node div 2").as("key"), col("deg"), col("rank"))
+        .orderBy(col("rank").desc, col("kind"), col("key"))
+        .limit(25)
+    },
+    Some("""WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (
+      |  SELECT 2*c AS src, 2*sp+1 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 2*sp+1 AS src, 2*c AS dst FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      |seeds AS (
+      |  SELECT 2*s_suppkey+1 AS node FROM supplier
+      |  WHERE s_nationkey % 5 = 3),
+      |r0 AS (
+      |  SELECT src AS node,
+      |    CAST(CASE WHEN src IN (SELECT node FROM seeds)
+      |         THEN 1000000000000 ELSE 0 END AS BIGINT) AS rank
+      |  FROM deg),
+      |r1 AS (SELECT e.dst AS node,
+      |    CAST(CASE WHEN e.dst IN (SELECT node FROM seeds)
+      |         THEN 150000000000 ELSE 0 END
+      |      + SUM((r.rank*17)//(20*d.deg)) AS BIGINT) AS rank
+      |  FROM edges e JOIN r0 r ON e.src = r.node
+      |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node,
+      |    CAST(CASE WHEN e.dst IN (SELECT node FROM seeds)
+      |         THEN 150000000000 ELSE 0 END
+      |      + SUM((r.rank*17)//(20*d.deg)) AS BIGINT) AS rank
+      |  FROM edges e JOIN r1 r ON e.src = r.node
+      |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS node,
+      |    CAST(CASE WHEN e.dst IN (SELECT node FROM seeds)
+      |         THEN 150000000000 ELSE 0 END
+      |      + SUM((r.rank*17)//(20*d.deg)) AS BIGINT) AS rank
+      |  FROM edges e JOIN r2 r ON e.src = r.node
+      |  JOIN deg d ON e.src = d.src GROUP BY e.dst)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+      |    AS kind,
+      |  node // 2 AS key, deg, rank
+      |FROM r3 JOIN deg ON node = src
+      |WHERE rank > 0
+      |ORDER BY rank DESC, kind, key
+      |LIMIT 25""".stripMargin))
+
+  val defs: Seq[Q] = Seq(pagerankEntry, pprEntry)
 }

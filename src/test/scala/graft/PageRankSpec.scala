@@ -76,6 +76,41 @@ class PageRankSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= 3L * Base / 20L))
   }
 
+  /** Sequential reference for the personalized variant. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, base: Long): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = deg.keys.map(n => n -> (if (seeds(n)) base else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          rank(src) * 17L / (20L * deg(src)) }.sum
+      }
+      rank = in.map { case (n, s) =>
+        n -> ((if (seeds(n)) 3L * base / 20L else 0L) + s) }
+    }
+    rank
+  }
+
+  test("personalized variant matches its sequential reference and " +
+    "concentrates mass near the seeds") {
+    import spark.implicits._
+    // path graph 0-1-2-...-9, seed at node 0
+    val edges = symmetrize((0L until 9L).map(i => (i, i + 1)))
+    val seeds = Set(0L)
+    val got = GraphOps.personalizedPageRank(
+        edges.toDF("src", "dst").repartition(5),
+        Seq(0L).toDF("node"), iters = 4, Base, materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == refPpr(edges, seeds, 4, Base))
+    // the seed holds the most mass (note: a path graph is bipartite, so
+    // per-hop masses OSCILLATE with walk parity — no monotone chain)
+    assert((1L to 9L).forall(i => got(0L) > got(i)))
+    // nodes beyond the walk horizon (4 hops) hold zero mass
+    assert(got(6L) == 0L && got(9L) == 0L)
+    assert(got(4L) > 0L)
+  }
+
   test("overflow guard fails loudly instead of wrapping") {
     import spark.implicits._
     val edges = symmetrize(Seq((1L, 2L), (2L, 3L)))
