@@ -194,6 +194,76 @@ object ScaleSweep {
         (n, s""","merges":$m""")
       })
     }
+    // retrieval over the replicated corpus: vocabulary constant,
+    // tf/df/N grow Nx — cost should be scan-bound (2 scans / 1
+    // exchange, the PlanBudget shapes)
+    emit("retrieval_bm25", () =>
+      (SparkEntry.queries("retrieval_bm25")(spark, dir).count(), ""))
+    emit("retrieval_multiquery", () =>
+      (SparkEntry.queries("retrieval_multiquery")(spark, dir).count(), ""))
+    // fixed-point PageRank on a synthetic expander sized to the corpus
+    // (the organic purchase graph's distinct pairs don't grow under
+    // replication): N = 4x docs, 3 modular arcs symmetrized (~6N
+    // directed edges); per-iteration cost = one edge join + one
+    // groupBy(dst) — wall should be linear in N with 3 rounds
+    emit("graph_pagerank_synth", () => {
+      val docsN = Engine.table(spark, dir, "documents").count()
+      val n = docsN * 4
+      val ids = spark.range(n).select(col("id").as("src"))
+      val arcs = Seq(3L, 7L, 11L)
+      val fwd = arcs.map(a => ids.select(col("src"),
+          ((col("src") * a + 1) % n).as("dst")))
+        .reduce(_ unionAll _)
+        .filter(col("src") =!= col("dst"))
+      val edges = fwd.unionAll(
+        fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val pr = graft.operators.GraphOps.pageRank(edges, iters = 3,
+        base = 100000000000L)
+      (pr.count(), s""","nodes":$n""")
+    })
+    // interval-overlap join on synthetic spans sized to the corpus:
+    // ~2-3 overlaps per probe window, bucket fan-out 2-3 — cost should
+    // be linear in N (explode + one equi-join)
+    emit("join_interval_synth", () => {
+      val m = Engine.table(spark, dir, "documents").count()
+      val a = spark.range(m).select(col("id").as("a_id"),
+        (col("id") * 1000L).as("a_s"), (col("id") * 1000L + 1500L).as("a_e"))
+      val b = spark.range(math.max(1L, m / 5)).select(col("id").as("b_id"),
+        (col("id") * 5000L + 200L).as("b_s"),
+        (col("id") * 5000L + 800L).as("b_e"))
+      val joined = graft.operators.IntervalJoin.overlapJoin(
+        a, b, "a_s", "a_e", "b_s", "b_e", shift = 10)
+      (joined.count(), "")
+    })
+    // streaming CMS replay: the 256-cell state bound must hold at any
+    // corpus size (run <= 100x — the replay harness collects docs to
+    // the driver like the near-dedup row)
+    emit("organic_stream_cms", () => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val docs = Engine.table(spark, dir, "documents")
+        .selectExpr("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val name = s"sweep_cms_${System.nanoTime()}"
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamHeavyHitters
+        .cells(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      var stateRows = -1L
+      try {
+        docs.grouped(math.max(1, (docs.size + 7) / 8)).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows = p.stateOperators(0).numRowsTotal
+      } finally q.stop()
+      val nOut = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      (nOut, s""","state_rows":$stateRows,"docs":${docs.size}""")
+    })
     emit("dedup_semantic_scaledk", () => {
       val emb = sweepEmb
       val k = math.max(10, (emb.count() / 50L).toInt)

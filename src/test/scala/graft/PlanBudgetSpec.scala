@@ -116,6 +116,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "agg_kmv_ndv" -> Map("documents" -> 1),
     // per-doc projection + 1-row stats aggregate
     "retrieval_bm25" -> Map("documents" -> 2),
+    // all B replicates from ONE scan (explode over the kept sequence)
+    "stat_bootstrap" -> Map("documents" -> 1),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the hash-based m-out-of-n bootstrap: replicate membership
+  * is a pure function of the data (partition-independent), replicate
+  * sizes sit in binomial bounds around n/4, and the b = -1 row is the
+  * exact full-corpus point estimate.
+  */
+class StatOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(sf: String) =
+    SparkEntry.queries("stat_bootstrap")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("b = -1 is the exact full-corpus point estimate") {
+    val d = "/root/testdata/sf0.001"
+    val all = rows(d)
+    val full = all.find(_._1 == -1).get
+    val docs = Engine.table(spark, d, "documents")
+      .selectExpr("text").collect()
+      .map(_.getString(0).split("\\s+").count(_.nonEmpty).toLong)
+    assert(full._2 == docs.length.toLong)
+    assert(full._3 == docs.sum)
+    assert(full._4 == docs.sum.toDouble / docs.length.toDouble)
+  }
+
+  test("32 replicates, sizes in binomial bounds around n/4, means " +
+    "spread around the point estimate") {
+    val all = rows("/root/testdata/sf0.001")
+    assert(all.map(_._1).toSeq == (-1 to 31))
+    val n = all.find(_._1 == -1).get._2
+    val reps = all.filter(_._1 >= 0)
+    // p = 1/4, sd = sqrt(n p (1-p)); 5 sd bounds are astronomically safe
+    val sd = math.sqrt(n * 0.25 * 0.75)
+    reps.foreach { case (b, m, _, _) =>
+      assert(math.abs(m - n / 4.0) <= 5 * sd, s"replicate $b size $m")
+    }
+    val full = all.find(_._1 == -1).get._4
+    val means = reps.map(_._4)
+    assert(means.min < full && full < means.max,
+      "point estimate should sit inside the replicate spread")
+  }
+
+  test("replicate membership is partitioning-independent") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val a = rows(d).toSeq
+    // re-run with a different shuffle width; the output is a pure
+    // function of the data so it must be identical
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(rows(d).toSeq == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
