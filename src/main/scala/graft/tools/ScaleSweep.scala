@@ -196,11 +196,16 @@ object ScaleSweep {
     }
     // retrieval over the replicated corpus: vocabulary constant,
     // tf/df/N grow Nx — cost should be scan-bound (2 scans / 1
-    // exchange, the PlanBudget shapes)
+    // exchange, the PlanBudget shapes). Like sweepEmb, the input is
+    // repartitioned first: the sweep file is ONE row group, and the
+    // map-side tokenization would otherwise run single-task (a shape a
+    // many-split cluster scan never has)
+    def sweepDocsWide = Engine.table(spark, dir, "documents")
+      .selectExpr("doc_id", "text").repartition(32)
     emit("retrieval_bm25", () =>
-      (SparkEntry.queries("retrieval_bm25")(spark, dir).count(), ""))
-    emit("retrieval_multiquery", () =>
-      (SparkEntry.queries("retrieval_multiquery")(spark, dir).count(), ""))
+      (graft.operators.RetrievalOps
+        .scoreDocs(sweepDocsWide, Seq("spark", "vector", "stream"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20).count(), ""))
     // fixed-point PageRank on a synthetic expander sized to the corpus
     // (the organic purchase graph's distinct pairs don't grow under
     // replication): N = 4x docs, 3 modular arcs symmetrized (~6N
