@@ -65,5 +65,89 @@ object StatOps {
       |    CAST(COUNT(*) AS DOUBLE) AS mean_tokens
       |FROM rep GROUP BY b ORDER BY b""".stripMargin))
 
-  val defs: Seq[Q] = Seq(bootstrapEntry)
+  /** Driver entry + FULL oracle: the exact SECOND-MOMENT MATRIX of the
+    * embedding corpus — Σ v̂ᵢ v̂ⱼ over all vectors for every dimension
+    * pair i <= j — the one-scan sufficient statistic behind PCA /
+    * whitening / Mahalanobis at 100 TB (the matrix is dim², the scan
+    * is everything; a driver eigensolve on dim x dim is then free, the
+    * [[MlOps.kmeansFit]] state pattern).
+    *
+    * Determinism: components are quantized v̂ = floor(v·2^26) — one
+    * IEEE multiply (exact exponent shift for |v| >= 2^-2, floor makes
+    * the tail deterministic either way), |v̂| <= 2^26 fits DECIMAL(19),
+    * each pair product fits DECIMAL(38) exactly, and decimal sums are
+    * association-free — so all 2080 matrix cells hash-check against
+    * DuckDB's HUGEINT sums (emitted as strings, the kmeans_update
+    * precedent). Plan shape: one scan, a 2080-key aggregate with
+    * map-side partial combine — shuffle is KB whatever the corpus.
+    */
+  val covarianceEntry: Q = Q("embed_covariance",
+    (s, d) => {
+      Engine.configure(s)
+      val q = Engine.table(s, d, "embeddings").select(
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(67108864.0))
+            .cast("decimal(19,0)")).as("qv"))
+      q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "vi")))
+        .select(col("i"), col("vi"),
+          posexplode(col("qv")).as(Seq("j", "vj")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("vi") * col("vj")).cast("string").as("s"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH q AS (
+      |  SELECT LIST_TRANSFORM(embedding,
+      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 67108864.0) AS BIGINT))
+      |    AS qv
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT CAST(i AS INT) - 1 AS i, qv[CAST(i AS INT)] AS vi,
+      |         CAST(j AS INT) - 1 AS j, qv[CAST(j AS INT)] AS vj
+      |  FROM q, RANGE(1, 65) ri(i), RANGE(1, 65) rj(j)
+      |  WHERE j >= i)
+      |SELECT i, j, CAST(SUM(CAST(vi AS HUGEINT) * vj) AS VARCHAR) AS s
+      |FROM e GROUP BY i, j ORDER BY i, j""".stripMargin))
+
+  /** The scan side of [[covarianceEntry]] over an arbitrary
+    * (embedding: array<float>) relation — upper-triangle quantized
+    * second-moment cells.
+    */
+  def secondMoment(emb: DataFrame, embCol: String): DataFrame = {
+    val q = emb.select(
+      transform(col(embCol),
+        v => floor(v.cast("double") * lit(67108864.0))
+          .cast("decimal(19,0)")).as("qv"))
+    q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"),
+        posexplode(col("qv")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi") * col("vj")).as("s"))
+  }
+
+  /** Driver-side power iteration on the dim x dim matrix collected
+    * from [[secondMoment]] (dim² driver state — the kmeansFit
+    * pattern): returns the dominant eigenvector, unit-normalized.
+    * The EXACT part is the distributed scan; this driver solve is
+    * ordinary double math (not oracle-checked, like the full-F lsqFit
+    * solve).
+    */
+  def dominantDirection(cells: Seq[(Int, Int, BigDecimal)], dim: Int,
+      iters: Int = 30): Array[Double] = {
+    val a = Array.ofDim[Double](dim, dim)
+    cells.foreach { case (i, j, s) =>
+      a(i)(j) = s.toDouble; a(j)(i) = s.toDouble
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => a(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / n)
+    }
+    v
+  }
+
+  val defs: Seq[Q] = Seq(bootstrapEntry, covarianceEntry)
 }

@@ -118,6 +118,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "retrieval_bm25" -> Map("documents" -> 2),
     // all B replicates from ONE scan (explode over the kept sequence)
     "stat_bootstrap" -> Map("documents" -> 1),
+    // one scan -> 2080-key aggregate with map-side combine
+    "embed_covariance" -> Map("embeddings" -> 1),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),

@@ -44,6 +44,32 @@ class StatOpsSpec extends AnyFunSuite {
       "point estimate should sit inside the replicate spread")
   }
 
+  test("second-moment cells equal a scalar reference and feed a " +
+    "correct dominant direction on planted anisotropic data") {
+    import spark.implicits._
+    import graft.operators.StatOps
+    val rnd = new scala.util.Random(41)
+    val dim = 8
+    // variance concentrated on axis 3, noise elsewhere
+    val vecs = Seq.fill(300)(Array.tabulate(dim)(i =>
+      (if (i == 3) 10.0 * rnd.nextGaussian() else 0.1 * rnd.nextGaussian())
+        .toFloat))
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    val got = StatOps.secondMoment(df, "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), BigDecimal(r.getDecimal(2))))
+    // scalar reference with the same quantization
+    def qz(v: Float): Long = math.floor(v.toDouble * 67108864.0).toLong
+    val want = (for (i <- 0 until dim; j <- i until dim) yield
+      (i, j) -> vecs.map(v => BigInt(qz(v(i))) * BigInt(qz(v(j)))).sum).toMap
+    got.foreach { case (i, j, s) =>
+      assert(s.toBigInt == want((i, j)), s"cell ($i,$j)")
+    }
+    val dir = StatOps.dominantDirection(got.toSeq, dim)
+    assert(math.abs(dir(3)) > 0.999,
+      s"dominant direction should align with axis 3: ${dir.mkString(",")}")
+  }
+
   test("replicate membership is partitioning-independent") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
