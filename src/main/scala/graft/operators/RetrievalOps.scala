@@ -146,8 +146,16 @@ object RetrievalOps {
   val multiQueryEntry: Q = Q("retrieval_multiquery",
     (s, d) => {
       Engine.configure(s)
+      multiQuery(s, Engine.table(s, d, "documents"))
+    },
+    multiQueryOracle)
+
+  /** The multi-query scorer over an arbitrary (doc_id, text)
+    * relation — the entry body, reusable by sweeps/pipelines.
+    */
+  def multiQuery(s: SparkSession, doc: DataFrame): DataFrame = {
+    {
       import s.implicits._
-      val doc = Engine.table(s, d, "documents")
       val vocab = queries.map(_._2).distinct
       // ONE corpus scan + ONE doc_id exchange carries everything the
       // scorer needs: token count (dl) AND the per-doc list of query-
@@ -188,8 +196,10 @@ object RetrievalOps {
         .select(col("query_id"), col("doc_id"), col("n_terms"),
           col("score"))
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
-    },
-    Some {
+    }
+  }
+
+  private def multiQueryOracle: Option[String] = Some {
       val qvals = queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
       val vocab = queries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
       s"""WITH q(query_id, term) AS (VALUES $qvals),
@@ -226,7 +236,7 @@ object RetrievalOps {
       |SELECT query_id, doc_id, n_terms, score
       |FROM rk WHERE rk <= 5
       |ORDER BY query_id, score DESC, doc_id""".stripMargin
-    })
+  }
 
   val defs: Seq[Q] = Seq(bm25Entry, multiQueryEntry)
 }

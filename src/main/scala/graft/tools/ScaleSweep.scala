@@ -206,6 +206,9 @@ object ScaleSweep {
       (graft.operators.RetrievalOps
         .scoreDocs(sweepDocsWide, Seq("spark", "vector", "stream"))
         .orderBy(col("score").desc, col("doc_id")).limit(20).count(), ""))
+    emit("retrieval_multiquery", () =>
+      (graft.operators.RetrievalOps
+        .multiQuery(spark, sweepDocsWide).count(), ""))
     // fixed-point PageRank on a synthetic expander sized to the corpus
     // (the organic purchase graph's distinct pairs don't grow under
     // replication): N = 4x docs, 3 modular arcs symmetrized (~6N
