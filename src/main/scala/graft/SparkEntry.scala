@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, PrimitiveQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, TpcdsQueries, WindowQueries}
-import graft.operators.{AsofJoin, CorpusOps, DedupOps, ExactQuantile, GraphOps, HilbertCurve, IntervalJoin, MlOps, RetrievalOps, MultimodalOps, SimilarityOps, SketchOps, StatOps, TextOps, ZOrder}
+import graft.operators.{AsofJoin, CorpusOps, DedupOps, ExactQuantile, GraphOps, HilbertCurve, ImageDedup, IntervalJoin, MlOps, RetrievalOps, MultimodalOps, SimilarityOps, SketchOps, StatOps, TextOps, ZOrder}
 import graft.functions.Udx
 import graft.sources.{Formats, MixedFormat, TableSink}
 
@@ -24,7 +24,7 @@ object SparkEntry {
       TextOps.defs ++ CorpusOps.defs ++ DedupOps.defs ++ MlOps.defs ++
       SketchOps.defs ++ RetrievalOps.defs ++ GraphOps.defs ++ StatOps.defs ++
       SimilarityOps.defs ++
-      MultimodalOps.defs ++ Udx.defs ++ TableSink.defs ++ Formats.defs ++
+      MultimodalOps.defs ++ ImageDedup.defs ++ Udx.defs ++ TableSink.defs ++ Formats.defs ++
       MixedFormat.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

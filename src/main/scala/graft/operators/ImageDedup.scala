@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Image near-duplicate detection via difference hash (dHash) —
+  * completing the multimodal half of the dedup family: text has
+  * MinHash/SimHash/substring, embeddings have sign-LSH/SemDeDup, and
+  * images get the perceptual-hash pipeline every multimodal corpus
+  * dedups with (dHash/pHash + Hamming banding): decode -> grayscale
+  * grid -> horizontal gradient signs -> 56-bit hash -> band-bucketed
+  * candidate pairs -> exact Hamming verify.
+  *
+  * 100 TB shape: the decode+hash is fused into the scan
+  * (mapPartitions over the binary payloads, 8 output bytes per image
+  * — the payload never shuffles, the [[MultimodalOps]] contract); the
+  * join is SimHash-style Hamming LSH — 8 bands x 7 bits, a pair at
+  * Hamming <= h collides on >= (8 - h) bands, so band equality is a
+  * complete blocking for h <= 7 — then one exact bit_count verify per
+  * candidate.
+  *
+  * Oracle: images are the deterministic grayscale quadratic-residue
+  * pattern (pixel = ((k%65536)^2 / 256) % 256 with k linear in
+  * (id, x, y)); the Spark side DECODES real PPM bytes while DuckDB
+  * recomputes the pixels, the hash, and the quadratic Hamming join
+  * analytically — a decode-, hash- or banding-level bug hash-fails.
+  * Planted twins (one pixel +128 mod 256) land at Hamming 0-2;
+  * organic near-pairs are rare by construction (pseudo-random bits).
+  */
+object ImageDedup {
+
+  /** Deterministic grayscale pixel both engines can compute. */
+  def pixel(docId: Long, x: Int, y: Int): Int = {
+    val k = docId * 2654435761L + x * 40503L + y * 65599L
+    val m = k % 65536L
+    ((m * m / 256L) % 256L).toInt
+  }
+
+  /** 8x8 grayscale PPM payload; the twin variant perturbs pixel (3,4)
+    * by +128 mod 256 (a near-duplicate, not an identical copy).
+    */
+  def grayPpmPayload(docId: Long, twin: Boolean): Array[Byte] = {
+    val rgb = new Array[Byte](8 * 8 * 3)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var p = pixel(docId, x, y)
+        if (twin && x == 3 && y == 4) p = (p + 128) % 256
+        val i = (y * 8 + x) * 3
+        rgb(i) = p.toByte; rgb(i + 1) = p.toByte; rgb(i + 2) = p.toByte
+        x += 1
+      }
+      y += 1
+    }
+    RawImage.encodePpm(RawImage.Image(8, 8, rgb))
+  }
+
+  /** dHash of a decoded 8x8 image: bit k(y*7+x) = 1 iff
+    * gray(x,y) < gray(x+1,y) — 56 horizontal gradient signs.
+    */
+  def dhashOf(img: RawImage.Image): Long = {
+    var bits = 0L
+    var k = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        val a = img.rgb((y * 8 + x) * 3) & 0xff
+        val b = img.rgb((y * 8 + x + 1) * 3) & 0xff
+        if (a < b) bits |= 1L << k
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  final case class ImgHash(doc_id: Long, dhash: Long)
+
+  /** Decode + hash every document's image (plus its planted twin at
+    * id + 10,000,000) through the REAL PPM codec.
+    */
+  def hashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Engine.table(s, d, "documents")
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val base = RawImage.decodePpm(grayPpmPayload(id, twin = false))
+        val tw = RawImage.decodePpm(grayPpmPayload(id, twin = true))
+        Iterator(ImgHash(id, dhashOf(base)),
+          ImgHash(id + 10000000L, dhashOf(tw)))
+      }
+    }.toDF()
+  }
+
+  /** Near-dup pairs at Hamming <= maxHam via 8x7-bit band blocking +
+    * exact verify.
+    */
+  def nearDupPairs(hashes: DataFrame, maxHam: Int): DataFrame = {
+    require(maxHam <= 7,
+      "band blocking is complete only for maxHam <= 7 (8 bands)")
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).as("band_idx"),
+          shiftright(col("dhash"), 7 * i).bitwiseAND(lit(0x7fL))
+            .as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("dhash"),
+        col("b.band_idx"), col("b.band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("dhash").as("ha"))
+    val b = banded.select(col("band_idx").as("bi2"),
+      col("band_val").as("bv2"),
+      col("doc_id").as("doc_b"), col("dhash").as("hb"))
+    a.join(b, col("band_idx") === col("bi2") &&
+        col("band_val") === col("bv2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
+  }
+
+  /** Driver entry + FULL oracle: decode-hash-band-verify end to end;
+    * DuckDB re-derives pixels, hashes and the quadratic Hamming join
+    * from the shared formula.
+    */
+  val dhashDedup: Q = Q("multimodal_dhash_dedup",
+    (s, d) => {
+      Engine.configure(s)
+      nearDupPairs(hashes(s, d), maxHam = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL SELECT doc_id + 10000000 FROM documents),
+      |g AS (
+      |  SELECT i.doc_id, x, y,
+      |    CASE WHEN i.doc_id >= 10000000 THEN i.doc_id - 10000000
+      |         ELSE i.doc_id END AS src,
+      |    CASE WHEN i.doc_id >= 10000000 AND x = 3 AND y = 4
+      |         THEN 128 ELSE 0 END AS bump
+      |  FROM ids i, RANGE(0, 8) tx(x), RANGE(0, 8) ty(y)),
+      |m AS (
+      |  SELECT doc_id, x, y, bump,
+      |    (src * 2654435761 + x * 40503 + y * 65599) % 65536 AS mv
+      |  FROM g),
+      |pxm AS (
+      |  SELECT doc_id, x, y, ((mv * mv // 256) % 256 + bump) % 256 AS p
+      |  FROM m),
+      |dh AS (
+      |  SELECT a.doc_id,
+      |    CAST(SUM(CASE WHEN a.p < b.p
+      |      THEN 1::BIGINT << CAST(a.y * 7 + a.x AS INT) ELSE 0 END)
+      |      AS BIGINT) AS dhash
+      |  FROM pxm a JOIN pxm b
+      |    ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 7
+      |  GROUP BY a.doc_id)
+      |SELECT h1.doc_id AS doc_a, h2.doc_id AS doc_b,
+      |  CAST(BIT_COUNT(XOR(h1.dhash, h2.dhash)) AS INT) AS hamming
+      |FROM dh h1 JOIN dh h2 ON h1.doc_id < h2.doc_id
+      |WHERE BIT_COUNT(XOR(h1.dhash, h2.dhash)) <= 4
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val defs: Seq[Q] = Seq(dhashDedup)
+}

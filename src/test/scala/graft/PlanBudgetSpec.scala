@@ -120,6 +120,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "stat_bootstrap" -> Map("documents" -> 1),
     // one scan -> 2080-key aggregate with map-side combine
     "embed_covariance" -> Map("embeddings" -> 1),
+    // decode+hash subtree feeds the band self-join a/b sides
+    "multimodal_dhash_dedup" -> Map("documents" -> 2),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),
