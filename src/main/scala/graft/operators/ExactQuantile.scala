@@ -154,5 +154,46 @@ object ExactQuantile {
       |  SELECT 99, c FROM v WHERE rn = GREATEST(1, (99 * n + 99) // 100))
       |ORDER BY p""".stripMargin))
 
-  val defs: Seq[Q] = Seq(quantiles)
+  /** Driver entry + FULL oracle: exact per-GROUP percentiles — the
+    * complementary recipe to the global histogram-refinement path:
+    * when groups are many, ONE hash shuffle + per-group sort computes
+    * every group's order statistics in parallel (rank k = max(1,
+    * ceil(p·n/100)), the same definition as the global operator); a
+    * single pathological giant group is what the global multi-pass
+    * selection is for. Ties cost nothing: the VALUE at sorted position
+    * k is well-defined whatever order row_number gives equal keys.
+    */
+  val quantilesGrouped: Q = Q("exact_quantiles_grouped",
+    (s, d) => {
+      Engine.configure(s)
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+      val v = Engine.table(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"), cents.as("c"))
+      val w = Window.partitionBy(col("g")).orderBy(col("c"))
+      v.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .withColumn("p", explode(array(lit(50), lit(90), lit(99))))
+        .filter(col("rn") ===
+          greatest(lit(1L), expr("(p * n + 99) div 100")))
+        .select(col("g"), col("p"),
+          (col("c").cast("double") / 100.0).as("value"))
+        .orderBy(col("g"), col("p"))
+    },
+    Some("""WITH v AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) c,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |        AS BIGINT)) rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) n
+      |  FROM lineitem),
+      |e AS (SELECT g, c, rn, n, p
+      |      FROM v, UNNEST([50, 90, 99]) u(p))
+      |SELECT g, CAST(p AS INT) AS p, CAST(c AS DOUBLE) / 100.0 AS value
+      |FROM e WHERE rn = GREATEST(1, (p * n + 99) // 100)
+      |ORDER BY g, p""".stripMargin))
+
+  val defs: Seq[Q] = Seq(quantiles, quantilesGrouped)
 }

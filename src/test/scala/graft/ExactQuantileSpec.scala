@@ -120,4 +120,23 @@ class ExactQuantileSpec extends AnyFunSuite {
     def ref(p: Int): Double = qs(math.max(1, (p * qs.length + 99) / 100) - 1)
     assert(out == Map(50 -> ref(50), 90 -> ref(90), 99 -> ref(99)))
   }
+
+  test("grouped percentiles equal a per-group scalar sort reference at " +
+    "sf0.001, duplicates included") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("exact_quantiles_grouped")(spark, d)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val rows = Engine.table(spark, d, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      Seq(50, 90, 99).map { p =>
+        val k = math.max(1L, (p.toLong * sorted.length + 99) / 100)
+        (g, p, sorted((k - 1).toInt) / 100.0)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expect)
+  }
 }
