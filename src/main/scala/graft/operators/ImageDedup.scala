@@ -165,5 +165,131 @@ object ImageDedup {
       |WHERE BIT_COUNT(XOR(h1.dhash, h2.dhash)) <= 4
       |ORDER BY doc_a, doc_b""".stripMargin))
 
-  val defs: Seq[Q] = Seq(dhashDedup)
+  // ---- video: frame-fingerprint dedup ------------------------------
+
+  /** Deterministic luma for frame f of a doc's video. */
+  def lumaPixel(docId: Long, f: Int, x: Int, y: Int): Int = {
+    val k = docId * 2654435761L + f * 99991L + x * 40503L + y * 65599L
+    val m = k % 65536L
+    ((m * m / 256L) % 256L).toInt
+  }
+
+  /** 6-frame 8x8 Y4M payload; the twin perturbs ONE pixel of frame 2
+    * (a sampled frame) by +128 — a near-duplicate video whose other
+    * sampled frames fingerprint identically.
+    */
+  def y4mQrPayload(docId: Long, twin: Boolean): Array[Byte] = {
+    val lumas = (0 until 6).map { f =>
+      val l = new Array[Byte](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var p = lumaPixel(docId, f, x, y)
+          if (twin && f == 2 && x == 3 && y == 4) p = (p + 128) % 256
+          l(y * 8 + x) = p.toByte
+          x += 1
+        }
+        y += 1
+      }
+      l
+    }
+    RawVideo.encodeY4m(8, 8, 25, 1, lumas)
+  }
+
+  /** dHash of one 8x8 luma plane. */
+  def lumaDhash(luma: Array[Byte]): Long = {
+    var bits = 0L
+    var k = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if ((luma(y * 8 + x) & 0xff) < (luma(y * 8 + x + 1) & 0xff))
+          bits |= 1L << k
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  final case class FrameHash(doc_id: Long, f: Int, dhash: Long)
+
+  /** Video near-dup via frame fingerprints (the content-ID shape):
+    * decode the REAL Y4M stream, dHash every OTHER frame (0, 2, 4),
+    * equi-join videos on any equal (frame_idx, hash), keep pairs
+    * matching on >= 2 of the 3 sampled frames. Signature is 24 bytes
+    * per video whatever its length; the join is an ordinary shuffled
+    * equi-join on the fingerprint key — no pairwise video comparison
+    * ever happens. DuckDB recomputes frames, hashes and the
+    * match-count join analytically from the shared luma formula.
+    */
+  val videoDhashDedup: Q = Q("multimodal_video_dhash",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      val fh = ids.mapPartitions { it =>
+        it.flatMap { id =>
+          def hashesOf(docId: Long, twin: Boolean): Seq[FrameHash] = {
+            val v = RawVideo.decodeY4m(y4mQrPayload(id, twin))
+            Seq(0, 2, 4).map(f =>
+              FrameHash(docId, f, lumaDhash(v.frames(f).luma)))
+          }
+          hashesOf(id, twin = false) ++
+            hashesOf(id + 10000000L, twin = true)
+        }
+      }.toDF()
+      val a = fh.select(col("f"), col("dhash"), col("doc_id").as("doc_a"))
+      val b = fh.select(col("f").as("f2"), col("dhash").as("h2"),
+        col("doc_id").as("doc_b"))
+      a.join(b, col("f") === col("f2") && col("dhash") === col("h2") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).cast("int").as("frames_matched"))
+        .filter(col("frames_matched") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL SELECT doc_id + 10000000 FROM documents),
+      |g AS (
+      |  SELECT i.doc_id, f, x, y,
+      |    CASE WHEN i.doc_id >= 10000000 THEN i.doc_id - 10000000
+      |         ELSE i.doc_id END AS src,
+      |    CASE WHEN i.doc_id >= 10000000 AND f = 2 AND x = 3 AND y = 4
+      |         THEN 128 ELSE 0 END AS bump
+      |  FROM ids i, UNNEST([0, 2, 4]) tf(f),
+      |    RANGE(0, 8) tx(x), RANGE(0, 8) ty(y)),
+      |m AS (
+      |  SELECT doc_id, f, x, y, bump,
+      |    (src * 2654435761 + f * 99991 + x * 40503 + y * 65599) % 65536
+      |      AS mv
+      |  FROM g),
+      |pxm AS (
+      |  SELECT doc_id, f, x, y,
+      |    ((mv * mv // 256) % 256 + bump) % 256 AS p
+      |  FROM m),
+      |dh AS (
+      |  SELECT a.doc_id, a.f,
+      |    CAST(SUM(CASE WHEN a.p < b.p
+      |      THEN 1::BIGINT << CAST(a.y * 7 + a.x AS INT) ELSE 0 END)
+      |      AS BIGINT) AS dhash
+      |  FROM pxm a JOIN pxm b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND b.y = a.y
+      |      AND b.x = a.x + 1
+      |  WHERE a.x < 7
+      |  GROUP BY a.doc_id, a.f)
+      |SELECT h1.doc_id AS doc_a, h2.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS INT) AS frames_matched
+      |FROM dh h1 JOIN dh h2
+      |  ON h1.f = h2.f AND h1.dhash = h2.dhash AND h1.doc_id < h2.doc_id
+      |GROUP BY h1.doc_id, h2.doc_id
+      |HAVING COUNT(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val defs: Seq[Q] = Seq(dhashDedup, videoDhashDedup)
 }

@@ -39,6 +39,34 @@ class ImageDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("video twins match on exactly the 2 unperturbed sampled frames; " +
+    "decoded luma equals the analytic formula") {
+    val d = "/root/testdata/sf0.001"
+    // decode path == formula
+    for (id <- Seq(0L, 42L); twin <- Seq(false, true)) {
+      val v = graft.operators.RawVideo.decodeY4m(
+        ImageDedup.y4mQrPayload(id, twin))
+      for (f <- Seq(0, 2, 4); y <- 0 until 8; x <- 0 until 8) {
+        val base = ImageDedup.lumaPixel(id, f, x, y)
+        val want = if (twin && f == 2 && x == 3 && y == 4) (base + 128) % 256
+          else base
+        assert((v.frames(f).luma(y * 8 + x) & 0xff) == want,
+          s"id=$id twin=$twin f=$f ($x,$y)")
+      }
+    }
+    val got = SparkEntry.queries("multimodal_video_dhash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nDocs = Engine.table(spark, d, "documents").count()
+    assert(got.length == nDocs)
+    got.foreach { case (a, b, m) =>
+      assert(b == a + 10000000L, s"unexpected organic pair ($a,$b)")
+      // frame 2 is perturbed: its dHash may or may not survive, the
+      // other two sampled frames ALWAYS match
+      assert(m == 2 || m == 3)
+    }
+    assert(got.exists(_._3 == 2), "perturbation never changed a hash?")
+  }
+
   test("entry finds every planted twin at Hamming <= 2 and matches a " +
     "brute-force Hamming join at sf0.001") {
     val d = "/root/testdata/sf0.001"

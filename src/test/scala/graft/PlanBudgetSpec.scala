@@ -122,6 +122,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "embed_covariance" -> Map("embeddings" -> 1),
     // decode+hash subtree feeds the band self-join a/b sides
     "multimodal_dhash_dedup" -> Map("documents" -> 2),
+    // decode+fingerprint subtree feeds the frame-join a/b sides
+    "multimodal_video_dhash" -> Map("documents" -> 2),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),
