@@ -291,5 +291,132 @@ object ImageDedup {
       |HAVING COUNT(*) >= 2
       |ORDER BY doc_a, doc_b""".stripMargin))
 
-  val defs: Seq[Q] = Seq(dhashDedup, videoDhashDedup)
+  // ---- audio: energy-gradient fingerprint dedup ---------------------
+
+  /** Deterministic 16-bit PCM sample t of a doc's clip. */
+  def audioSample(docId: Long, t: Int): Int = {
+    val m = (docId * 2654435761L + t * 48271L) % 65536L
+    (((m * m / 256L) % 65536L) - 32768L).toInt
+  }
+
+  /** 256-sample mono WAV; the twin wrap-shifts the 8 samples of
+    * window 10 (t = 80..87) by +16384 — a re-encode-style perturbation
+    * that moves one window's energy and leaves the rest untouched.
+    */
+  def wavQrPayload(docId: Long, twin: Boolean): Array[Byte] = {
+    val s = new Array[Short](256)
+    var t = 0
+    while (t < 256) {
+      var v = audioSample(docId, t)
+      if (twin && t >= 80 && t < 88)
+        v = ((v + 32768 + 16384) % 65536) - 32768
+      s(t) = v.toShort
+      t += 1
+    }
+    RawAudio.encodeWav(RawAudio.Clip(8000, 1, s))
+  }
+
+  /** Energy-gradient fingerprint: 32 windows of 8 samples, bit w = 1
+    * iff sum|s| of window w < window w+1 — 31 bits, the dHash idea on
+    * the time axis.
+    */
+  def audioFingerprint(samples: Array[Short]): Long = {
+    val e = Array.tabulate(32) { w =>
+      var sum = 0L
+      var i = 0
+      while (i < 8) { sum += math.abs(samples(w * 8 + i).toLong); i += 1 }
+      sum
+    }
+    var bits = 0L
+    var w = 0
+    while (w < 31) {
+      if (e(w) < e(w + 1)) bits |= 1L << w
+      w += 1
+    }
+    bits
+  }
+
+  final case class AudioFp(doc_id: Long, fp: Long)
+
+  /** Audio near-dup via the 31-bit energy-gradient fingerprint —
+    * completing the image/video/audio perceptual-dedup trio. Decode
+    * the REAL WAV bytes, fingerprint, band into 4 x 8 bits (complete
+    * blocking for Hamming <= 3), verify <= 2. DuckDB recomputes
+    * samples, window energies, bits and the quadratic Hamming join
+    * from the shared formula.
+    */
+  val audioFpDedup: Q = Q("multimodal_audio_fp",
+    (s, d) => {
+      Engine.configure(s)
+      import s.implicits._
+      val ids = Engine.table(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+      val fps = ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val base = RawAudio.decodeWav(wavQrPayload(id, twin = false))
+          val tw = RawAudio.decodeWav(wavQrPayload(id, twin = true))
+          Iterator(AudioFp(id, audioFingerprint(base.samples)),
+            AudioFp(id + 10000000L, audioFingerprint(tw.samples)))
+        }
+      }.toDF()
+      val banded = fps.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band_idx"),
+            shiftright(col("fp"), 8 * i).bitwiseAND(lit(0xffL))
+              .as("band_val"))): _*)).as("b"))
+        .select(col("doc_id"), col("fp"),
+          col("b.band_idx"), col("b.band_val"))
+      val a = banded.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_a"), col("fp").as("fa"))
+      val b = banded.select(col("band_idx").as("bi2"),
+        col("band_val").as("bv2"),
+        col("doc_id").as("doc_b"), col("fp").as("fb"))
+      a.join(b, col("band_idx") === col("bi2") &&
+          col("band_val") === col("bv2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+        .filter(col("hamming") <= 2)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL SELECT doc_id + 10000000 FROM documents),
+      |g AS (
+      |  SELECT i.doc_id, t,
+      |    CASE WHEN i.doc_id >= 10000000 THEN i.doc_id - 10000000
+      |         ELSE i.doc_id END AS src,
+      |    CASE WHEN i.doc_id >= 10000000 AND t >= 80 AND t < 88
+      |         THEN 1 ELSE 0 END AS bump
+      |  FROM ids i, RANGE(0, 256) tt(t)),
+      |m AS (
+      |  SELECT doc_id, t, bump,
+      |    (src * 2654435761 + t * 48271) % 65536 AS mv
+      |  FROM g),
+      |sm AS (
+      |  SELECT doc_id, t,
+      |    CASE WHEN bump = 1
+      |      THEN ((((mv * mv // 256) % 65536 - 32768) + 32768 + 16384)
+      |            % 65536) - 32768
+      |      ELSE (mv * mv // 256) % 65536 - 32768
+      |    END AS s
+      |  FROM m),
+      |en AS (
+      |  SELECT doc_id, t // 8 AS w, SUM(ABS(s)) AS e
+      |  FROM sm GROUP BY doc_id, t // 8),
+      |fp AS (
+      |  SELECT a.doc_id,
+      |    CAST(SUM(CASE WHEN a.e < b.e
+      |      THEN 1::BIGINT << CAST(a.w AS INT) ELSE 0 END) AS BIGINT)
+      |      AS fp
+      |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      |  WHERE a.w < 31
+      |  GROUP BY a.doc_id)
+      |SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b,
+      |  CAST(BIT_COUNT(XOR(f1.fp, f2.fp)) AS INT) AS hamming
+      |FROM fp f1 JOIN fp f2 ON f1.doc_id < f2.doc_id
+      |WHERE BIT_COUNT(XOR(f1.fp, f2.fp)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val defs: Seq[Q] = Seq(dhashDedup, videoDhashDedup, audioFpDedup)
 }

@@ -67,6 +67,38 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(got.exists(_._3 == 2), "perturbation never changed a hash?")
   }
 
+  test("audio fingerprint dedup: decoded samples equal the formula; " +
+    "every twin found at Hamming <= 2; matches brute force") {
+    import graft.operators.RawAudio
+    val d = "/root/testdata/sf0.001"
+    for (id <- Seq(0L, 99L); twin <- Seq(false, true)) {
+      val clip = RawAudio.decodeWav(ImageDedup.wavQrPayload(id, twin))
+      assert(clip.samples.length == 256)
+      for (t <- 0 until 256) {
+        val base = ImageDedup.audioSample(id, t)
+        val want = if (twin && t >= 80 && t < 88)
+          ((base + 32768 + 16384) % 65536) - 32768 else base
+        assert(clip.samples(t).toInt == want, s"id=$id twin=$twin t=$t")
+      }
+    }
+    val got = SparkEntry.queries("multimodal_audio_fp")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = Engine.table(spark, d, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val fps = (ids.map(id => id -> ImageDedup.audioFingerprint(
+      RawAudio.decodeWav(ImageDedup.wavQrPayload(id, false)).samples)) ++
+      ids.map(id => (id + 10000000L) -> ImageDedup.audioFingerprint(
+        RawAudio.decodeWav(ImageDedup.wavQrPayload(id, true)).samples)))
+      .toMap
+    val expect = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      ham = java.lang.Long.bitCount(fps(a) ^ fps(b)) if ham <= 2
+    } yield (a, b, ham)).toSeq.sorted
+    assert(got.toSeq.sorted == expect)
+    val twins = got.filter { case (a, b, _) => b == a + 10000000L }
+    assert(twins.length == ids.length && twins.forall(_._3 <= 2))
+  }
+
   test("entry finds every planted twin at Hamming <= 2 and matches a " +
     "brute-force Hamming join at sf0.001") {
     val d = "/root/testdata/sf0.001"

@@ -124,6 +124,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "multimodal_dhash_dedup" -> Map("documents" -> 2),
     // decode+fingerprint subtree feeds the frame-join a/b sides
     "multimodal_video_dhash" -> Map("documents" -> 2),
+    "multimodal_audio_fp" -> Map("documents" -> 2),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),
