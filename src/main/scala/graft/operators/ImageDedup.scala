@@ -134,13 +134,12 @@ object ImageDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some("""WITH ids AS (
-      |  SELECT doc_id FROM documents
-      |  UNION ALL SELECT doc_id + 10000000 FROM documents),
+      |  SELECT doc_id, doc_id AS src, 0 AS tw FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents),
       |g AS (
-      |  SELECT i.doc_id, x, y,
-      |    CASE WHEN i.doc_id >= 10000000 THEN i.doc_id - 10000000
-      |         ELSE i.doc_id END AS src,
-      |    CASE WHEN i.doc_id >= 10000000 AND x = 3 AND y = 4
+      |  SELECT i.doc_id, x, y, i.src,
+      |    CASE WHEN i.tw = 1 AND x = 3 AND y = 4
       |         THEN 128 ELSE 0 END AS bump
       |  FROM ids i, RANGE(0, 8) tx(x), RANGE(0, 8) ty(y)),
       |m AS (
@@ -254,13 +253,12 @@ object ImageDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some("""WITH ids AS (
-      |  SELECT doc_id FROM documents
-      |  UNION ALL SELECT doc_id + 10000000 FROM documents),
+      |  SELECT doc_id, doc_id AS src, 0 AS tw FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents),
       |g AS (
-      |  SELECT i.doc_id, f, x, y,
-      |    CASE WHEN i.doc_id >= 10000000 THEN i.doc_id - 10000000
-      |         ELSE i.doc_id END AS src,
-      |    CASE WHEN i.doc_id >= 10000000 AND f = 2 AND x = 3 AND y = 4
+      |  SELECT i.doc_id, f, x, y, i.src,
+      |    CASE WHEN i.tw = 1 AND f = 2 AND x = 3 AND y = 4
       |         THEN 128 ELSE 0 END AS bump
       |  FROM ids i, UNNEST([0, 2, 4]) tf(f),
       |    RANGE(0, 8) tx(x), RANGE(0, 8) ty(y)),
@@ -380,13 +378,12 @@ object ImageDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some("""WITH ids AS (
-      |  SELECT doc_id FROM documents
-      |  UNION ALL SELECT doc_id + 10000000 FROM documents),
+      |  SELECT doc_id, doc_id AS src, 0 AS tw FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents),
       |g AS (
-      |  SELECT i.doc_id, t,
-      |    CASE WHEN i.doc_id >= 10000000 THEN i.doc_id - 10000000
-      |         ELSE i.doc_id END AS src,
-      |    CASE WHEN i.doc_id >= 10000000 AND t >= 80 AND t < 88
+      |  SELECT i.doc_id, t, i.src,
+      |    CASE WHEN i.tw = 1 AND t >= 80 AND t < 88
       |         THEN 1 ELSE 0 END AS bump
       |  FROM ids i, RANGE(0, 256) tt(t)),
       |m AS (
