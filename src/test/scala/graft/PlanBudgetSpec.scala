@@ -125,6 +125,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // decode+fingerprint subtree feeds the frame-join a/b sides
     "multimodal_video_dhash" -> Map("documents" -> 2),
     "multimodal_audio_fp" -> Map("documents" -> 2),
+    // operator cost is ONE snapshot scan (the anti-join left side);
+    // the other six are the ORACLE HARNESS deriving the changelog
+    // from the same table (3 filter branches x imperfect reuse) — a
+    // production changelog is its own (small) table
+    "snapshot_merge" -> Map("documents" -> 7),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),
