@@ -224,5 +224,88 @@ object GraphOps {
       |ORDER BY rank DESC, kind, key
       |LIMIT 25""".stripMargin))
 
-  val defs: Seq[Q] = Seq(pagerankEntry, pprEntry)
+  /** Triangle count with DEGREE ORIENTATION — the classic trick that
+    * makes wedge enumeration tractable at scale: orient every
+    * undirected edge from its lower-(deg, node) endpoint to the
+    * higher, enumerate wedges only from each node's oriented
+    * out-neighborhood (out-degree is O(sqrt(m)) after orientation, so
+    * wedge count is bounded by m^1.5 instead of sum(deg²) — the
+    * difference between feasible and not on a skewed 100 TB graph),
+    * and close each wedge with one hash join back against the
+    * oriented edges. Every triangle is counted exactly once, from its
+    * lowest-rank vertex.
+    *
+    * `edges`: undirected, x < y, distinct. Returns one row
+    * (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("x").as("n"))
+      .unionAll(edges.select(col("y").as("n")))
+    val deg = nodes.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // sortable rank key: degree-major, node-minor (nodes < 2^20 here;
+    // production would zip with a rank column instead)
+    val keyed = edges
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+      .select(col("x"), col("y"),
+        (col("dx") * 1048576L + col("x")).as("rx"),
+        (col("dy") * 1048576L + col("y")).as("ry"))
+    val oriented = keyed.select(
+      when(col("rx") < col("ry"), col("x")).otherwise(col("y")).as("src"),
+      when(col("rx") < col("ry"), col("y")).otherwise(col("x")).as("dst"),
+      greatest(col("rx"), col("ry")).as("rdst"))
+    val o1 = oriented.select(col("src"), col("dst").as("v"),
+      col("rdst").as("rv"))
+    val o2 = oriented.select(col("src").as("src2"), col("dst").as("w"),
+      col("rdst").as("rw"))
+    val wedges = o1.join(o2,
+        col("src") === col("src2") && col("rv") < col("rw"))
+      .select(col("v"), col("w"))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tri = wedges.join(closing, Seq("v", "w")).count()
+    val sess = edges.sparkSession
+    import sess.implicits._
+    Seq((deg.count(), edges.count(), tri))
+      .toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
+  /** Driver entry + FULL oracle: triangles of the user co-occurrence
+    * graph (users sharing a (event_type, 5-minute window) cell). The
+    * oracle counts triangles with the textbook 3-way self-join — the
+    * oriented distributed plan must land on the same number.
+    */
+  val trianglesEntry: Q = Q("graph_triangles",
+    (s, d) => {
+      Engine.configure(s)
+      val b = Engine.table(s, d, "events")
+        .select(col("user_id").as("u"), col("event_type").as("t"),
+          // µs-aligned first (NOTES rule 2) so a ts within 1 µs of a
+          // window boundary can't land differently across engines
+          expr("(ts - ts % 1000) div 300000000000").as("w"))
+        .distinct()
+      val b2 = b.select(col("u").as("u2"), col("t").as("t2"),
+        col("w").as("w2"))
+      val edges = b.join(b2, col("t") === col("t2") &&
+          col("w") === col("w2") && col("u") < col("u2"))
+        .select(col("u").as("x"), col("u2").as("y"))
+        .distinct()
+      triangleCount(edges)
+    },
+    Some("""WITH b AS (
+      |  SELECT DISTINCT user_id u, event_type t,
+      |    epoch_ns(ts) // 300000000000 w
+      |  FROM events),
+      |ed AS (
+      |  SELECT DISTINCT a.u AS x, c.u AS y
+      |  FROM b a JOIN b c ON a.t = c.t AND a.w = c.w AND a.u < c.u),
+      |nd AS (SELECT COUNT(DISTINCT n) AS n_nodes FROM (
+      |  SELECT x AS n FROM ed UNION ALL SELECT y FROM ed)),
+      |tr AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM ed e1 JOIN ed e2 ON e1.x = e2.x AND e1.y < e2.y
+      |  JOIN ed e3 ON e3.x = e1.y AND e3.y = e2.y)
+      |SELECT n_nodes, (SELECT COUNT(*) FROM ed) AS n_edges, n_triangles
+      |FROM nd, tr""".stripMargin))
+
+  val defs: Seq[Q] = Seq(pagerankEntry, pprEntry, trianglesEntry)
 }

@@ -111,6 +111,36 @@ class PageRankSpec extends AnyFunSuite {
     assert(got(4L) > 0L)
   }
 
+  private def triCount(edges: Seq[(Long, Long)]): Long = {
+    import spark.implicits._
+    GraphOps.triangleCount(edges.toDF("x", "y"))
+      .collect().head.getLong(2)
+  }
+
+  test("oriented triangle count equals brute force on random graphs " +
+    "and planted shapes") {
+    // K4 has 4 triangles; a path has none
+    assert(triCount(for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)) == 4L)
+    assert(triCount(Seq((0L, 1L), (1L, 2L), (2L, 3L))) == 0L)
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong,
+        rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var brute = 0L
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      k <- j + 1 until nodes.size
+      if es((nodes(i), nodes(j))) && es((nodes(i), nodes(k))) &&
+        es((nodes(j), nodes(k)))
+    } brute += 1
+    assert(triCount(edges) == brute)
+  }
+
   test("overflow guard fails loudly instead of wrapping") {
     import spark.implicits._
     val edges = symmetrize(Seq((1L, 2L), (2L, 3L)))
