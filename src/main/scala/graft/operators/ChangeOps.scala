@@ -91,5 +91,65 @@ object ChangeOps {
       |SELECT doc_id, text, lang FROM last WHERE op = 'upsert'
       |ORDER BY doc_id""".stripMargin))
 
-  val defs: Seq[Q] = Seq(mergeEntry)
+  /** SCD2 historization of a changelog: every upsert becomes a
+    * version row with a validity interval [valid_from, valid_to) —
+    * valid_to = the NEXT operation's seq on that key (any op closes
+    * the predecessor; NULL = still current unless the closer was a
+    * delete). One window (lead over the per-key seq order) — the
+    * standard slowly-changing-dimension type-2 build, at changelog
+    * (not snapshot) cost.
+    */
+  def scd2(changelog: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("seq"))
+    changelog
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") === "upsert")
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed("seq", "valid_from")
+      .drop("op")
+  }
+
+  /** Driver entry + FULL oracle: SCD2 over an organic multi-version
+    * changelog — every doc gets version 1; doc_id % 5 = 0 gets a
+    * version-2 rewrite (closing v1); doc_id % 7 = 0 gets a delete at
+    * seq 3 (closing the latest version without opening a new one).
+    */
+  val scd2Entry: Q = Q("scd2_history",
+    (s, d) => {
+      Engine.configure(s)
+      val snap = Engine.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val v1 = snap.select(col("doc_id"), lit(1L).as("seq"),
+        lit("upsert").as("op"), col("text"))
+      val v2 = snap.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          upper(col("text")).as("text"))
+      val del = snap.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"))
+      scd2(v1.unionByName(v2).unionByName(del), "doc_id")
+        .select(col("doc_id"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("text"))
+        .orderBy(col("doc_id"), col("valid_from"))
+    },
+    Some("""WITH snap AS (SELECT doc_id, text FROM documents),
+      |log AS (
+      |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text FROM snap
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'upsert', UPPER(text)
+      |  FROM snap WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'delete', CAST(NULL AS VARCHAR)
+      |  FROM snap WHERE doc_id % 7 = 0),
+      |v AS (
+      |  SELECT doc_id, seq AS valid_from, op, text,
+      |    LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+      |  FROM log)
+      |SELECT doc_id, CAST(valid_from AS BIGINT) AS valid_from,
+      |  CAST(valid_to AS BIGINT) AS valid_to,
+      |  valid_to IS NULL AS is_current, text
+      |FROM v WHERE op = 'upsert'
+      |ORDER BY doc_id, valid_from""".stripMargin))
+
+  val defs: Seq[Q] = Seq(mergeEntry, scd2Entry)
 }

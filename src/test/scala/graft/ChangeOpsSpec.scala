@@ -52,6 +52,53 @@ class ChangeOpsSpec extends AnyFunSuite {
     assert(twice == once)
   }
 
+  test("scd2: intervals chain without gaps, deletes close without " +
+    "opening, exactly one current version per live key") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "upsert", "a"), (1L, 5L, "upsert", "b"),
+      (1L, 9L, "upsert", "c"),
+      (2L, 2L, "upsert", "x"), (2L, 4L, "delete", ""),
+      (3L, 3L, "upsert", "y"))
+      .toDF("doc_id", "seq", "op", "text")
+    val got = ChangeOps.scd2(log, "doc_id")
+      .select("doc_id", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, Some(5L), false), (1L, 5L, Some(9L), false),
+      (1L, 9L, None, true),
+      (2L, 2L, Some(4L), false), // closed by the delete, NOT current
+      (3L, 3L, None, true)))
+  }
+
+  test("compaction bins: contiguous per group, within budget + one " +
+    "file, order-deterministic") {
+    import spark.implicits._
+    import graft.operators.Compaction
+    val rnd = new scala.util.Random(29)
+    val manifest = Seq.tabulate(200)(i =>
+      ("g" + (i % 3), i.toLong, 50L + rnd.nextInt(500)))
+      .toDF("src", "file", "size")
+    val plan = Compaction.planBins(manifest, "src", "file", "size", 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    plan.groupBy(_._1).foreach { case (g, fs) =>
+      val byFile = fs.sortBy(_._2)
+      // bins increase monotonically in file order and start at 0
+      assert(byFile.head._4 == 0L)
+      byFile.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 >= a._4, s"$g bins not monotone")
+      }
+      // every bin's total is under budget + its largest member
+      byFile.groupBy(_._4).foreach { case (bin, ms) =>
+        val total = ms.map(_._3).sum
+        assert(total < 1000L + ms.map(_._3).max, s"$g bin $bin overfull")
+      }
+    }
+  }
+
   test("driver entry: deleted keys gone, rewrites uppercased, inserts " +
     "present, %35 keys resolve to the higher-seq rewrite") {
     val d = "/root/testdata/sf0.001"

@@ -130,6 +130,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // from the same table (3 filter branches x imperfect reuse) — a
     // production changelog is its own (small) table
     "snapshot_merge" -> Map("documents" -> 7),
+    // 3 changelog branches of the oracle harness (production: one
+    // changelog-table window, zero snapshot scans)
+    "scd2_history" -> Map("documents" -> 3),
+    // one window over the manifest
+    "layout_compaction" -> Map("documents" -> 1),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),
