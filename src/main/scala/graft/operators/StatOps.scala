@@ -149,5 +149,58 @@ object StatOps {
     v
   }
 
-  val defs: Seq[Q] = Seq(bootstrapEntry, covarianceEntry)
+  /** Driver entry + FULL oracle: z-score anomaly flagging — the
+    * monitoring primitive over an event stream (which readings sit
+    * > 3 sd from their type's mean). Deterministic double recipe:
+    * readings become exact integer CENTS (per-row 2dp cast · 100 —
+    * rule-1 tie-free), sufficient statistics are exact DECIMAL(38,0)
+    * integer sums (association-free, no decimal-width rounding in
+    * either engine), and mean/sd/z are one fixed tree of
+    * correctly-rounded ops — including sqrt, the one "transcendental"
+    * IEEE 754 requires correctly rounded — so the z column itself
+    * hash-checks.
+    */
+  val anomalyEntry: Q = Q("events_anomaly",
+    (s, d) => {
+      Engine.configure(s)
+      val ev = Engine.table(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("w"))
+      val dw = col("w").cast("decimal(38,0)")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dw).as("sw"),
+          sum(dw * dw).as("sww"))
+        .select(col("event_type"), col("n"),
+          (col("sw").cast("double") / col("n").cast("double")).as("meanc"),
+          sqrt((col("n") * col("sww") - col("sw") * col("sw"))
+            .cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")).as("sdc"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          (col("w").cast("double") / 100.0).as("value"),
+          ((col("w").cast("double") - col("meanc")) / col("sdc")).as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(w AS HUGEINT)) AS VARCHAR) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS meanc,
+      |    SQRT(CAST(CAST(COUNT(*) * SUM(CAST(w AS HUGEINT) * w)
+      |        - SUM(CAST(w AS HUGEINT)) * SUM(CAST(w AS HUGEINT))
+      |        AS VARCHAR) AS DOUBLE) /
+      |      CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE)) AS sdc
+      |  FROM ev GROUP BY event_type)
+      |SELECT event_id, ev.event_type,
+      |  CAST(w AS DOUBLE) / 100.0 AS value,
+      |  (CAST(w AS DOUBLE) - meanc) / sdc AS z
+      |FROM ev JOIN st ON ev.event_type = st.event_type
+      |WHERE ABS((CAST(w AS DOUBLE) - meanc) / sdc) > 3.0
+      |ORDER BY event_id""".stripMargin))
+
+  val defs: Seq[Q] = Seq(bootstrapEntry, covarianceEntry, anomalyEntry)
 }

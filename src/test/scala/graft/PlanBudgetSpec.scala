@@ -135,6 +135,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "scd2_history" -> Map("documents" -> 3),
     // one window over the manifest
     "layout_compaction" -> Map("documents" -> 1),
+    // stats aggregate + the broadcast probe side
+    "events_anomaly" -> Map("events" -> 2),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),
