@@ -60,5 +60,69 @@ object Compaction {
       |FROM b GROUP BY grp, bin
       |ORDER BY grp, bin""".stripMargin))
 
-  val defs: Seq[Q] = Seq(compactionEntry)
+  /** Driver entry + FULL oracle: rank-normalize (o_totalprice,
+    * o_custkey) to 2^12 ranks and emit the Hilbert key of the
+    * normalized point — the end-to-end "layout a skewed table"
+    * recipe. The rank map is built per DISTINCT value (a tiny
+    * relation) and broadcast back; the fact table itself never
+    * shuffles.
+    */
+  val rankNormalizeEntry: Q = Q("layout_rank_normalize",
+    (s, d) => {
+      Engine.configure(s)
+      val orders = Engine.table(s, d, "orders")
+      def rankMap(c: String): DataFrame = {
+        val w = Window.orderBy(col(c))
+        val dv = orders.select(col(c)).distinct()
+        val n = dv.count()
+        dv.withColumn("__r", row_number().over(w))
+          .select(col(c),
+            expr(s"((__r - 1) * 4096L) div ${n}L").as(s"${c}_rank"))
+      }
+      val joined = orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey"))
+        .join(broadcast(rankMap("o_totalprice")), "o_totalprice")
+        .join(broadcast(rankMap("o_custkey")), "o_custkey")
+      joined.select(col("o_orderkey"),
+          col("o_totalprice_rank"), col("o_custkey_rank"),
+          HilbertCurve.hilbertKey(col("o_totalprice_rank"),
+            col("o_custkey_rank"), 12).as("hkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH RECURSIVE rp AS (
+      |  SELECT o_totalprice,
+      |    ((ROW_NUMBER() OVER (ORDER BY o_totalprice) - 1)
+      |      * 4096) // COUNT(*) OVER () AS pr
+      |  FROM (SELECT DISTINCT o_totalprice FROM orders)),
+      |rc AS (
+      |  SELECT o_custkey,
+      |    ((ROW_NUMBER() OVER (ORDER BY o_custkey) - 1)
+      |      * 4096) // COUNT(*) OVER () AS cr
+      |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+      |base AS (
+      |  SELECT o.o_orderkey, rp.pr AS x, rc.cr AS y
+      |  FROM orders o
+      |  JOIN rp ON o.o_totalprice = rp.o_totalprice
+      |  JOIN rc ON o.o_custkey = rc.o_custkey),
+      |h AS (
+      |  SELECT o_orderkey, x, y, CAST(0 AS BIGINT) AS d,
+      |    CAST(2048 AS BIGINT) AS s
+      |  FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey,
+      |    CASE WHEN (y & s) > 0 THEN x
+      |         WHEN (x & s) > 0 THEN s - 1 - y ELSE y END AS x,
+      |    CASE WHEN (y & s) > 0 THEN y
+      |         WHEN (x & s) > 0 THEN s - 1 - x ELSE x END AS y,
+      |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+      |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+      |    s // 2 AS s
+      |  FROM h WHERE s > 0),
+      |fin AS (SELECT o_orderkey, d FROM h WHERE s = 0)
+      |SELECT b.o_orderkey,
+      |  b.x AS o_totalprice_rank, b.y AS o_custkey_rank, f.d AS hkey
+      |FROM base b JOIN fin f ON b.o_orderkey = f.o_orderkey
+      |ORDER BY b.o_orderkey""".stripMargin))
+
+  val defs: Seq[Q] = Seq(compactionEntry, rankNormalizeEntry)
 }

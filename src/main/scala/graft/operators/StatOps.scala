@@ -202,5 +202,58 @@ object StatOps {
       |WHERE ABS((CAST(w AS DOUBLE) - meanc) / sdc) > 3.0
       |ORDER BY event_id""".stripMargin))
 
-  val defs: Seq[Q] = Seq(bootstrapEntry, covarianceEntry, anomalyEntry)
+  /** Driver entry + FULL oracle: self-join size estimation from a
+    * Count-Min sketch — the planner statistic behind "will this join
+    * explode": |R ⋈_k R| = Σ_k f_k² (the second frequency moment),
+    * estimated as min over sketch rows of Σ_b cell², with the
+    * one-sided est >= exact guarantee (collisions only ADD cross
+    * terms — Cormode & Muthukrishnan §4.2). The sketch is the same
+    * 4x64 integer CMS the heavy-hitters entry builds (256 longs,
+    * map-side combinable); the exact value rides along as the
+    * verification surface. Everything integer, fully hash-checked.
+    */
+  val joinSizeEntry: Q = Q("join_size_est",
+    (s, d) => {
+      Engine.configure(s)
+      val ev = Engine.table(s, d, "events")
+        .select(col("user_id").cast("string").as("k"))
+      val cells = ev.select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            TextOps.cmsBucket(r, col("k")).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cell"))
+      val est = cells.groupBy(col("r"))
+        .agg(sum(col("cell") * col("cell")).as("f2r"))
+        .agg(min(col("f2r")).as("est"))
+      val exact = ev.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("exact"),
+          count(lit(1)).as("n_keys"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est"), col("exact"), col("n_keys"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+      |hashed AS (
+      |  SELECT k, r,
+      |    CAST(((STRPOS('0123456789abcdef',
+      |            SUBSTR(MD5('cms' || CAST(r AS VARCHAR) || k), 1, 1)) - 1)
+      |          * 16 +
+      |          (STRPOS('0123456789abcdef',
+      |            SUBSTR(MD5('cms' || CAST(r AS VARCHAR) || k), 2, 1)) - 1))
+      |         % 64 AS INT) b
+      |  FROM ev, UNNEST([0, 1, 2, 3]) u(r)),
+      |cells AS (
+      |  SELECT r, b, CAST(COUNT(*) AS BIGINT) cell
+      |  FROM hashed GROUP BY r, b),
+      |est AS (
+      |  SELECT CAST(MIN(f2r) AS BIGINT) AS est FROM (
+      |    SELECT r, SUM(cell * cell) AS f2r FROM cells GROUP BY r)),
+      |ex AS (
+      |  SELECT CAST(SUM(n * n) AS BIGINT) AS exact,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys
+      |  FROM (SELECT k, COUNT(*) n FROM ev GROUP BY k))
+      |SELECT est, exact, n_keys FROM est, ex""".stripMargin))
+
+  val defs: Seq[Q] =
+    Seq(bootstrapEntry, covarianceEntry, anomalyEntry, joinSizeEntry)
 }

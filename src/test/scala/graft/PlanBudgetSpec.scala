@@ -137,6 +137,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "layout_compaction" -> Map("documents" -> 1),
     // stats aggregate + the broadcast probe side
     "events_anomaly" -> Map("events" -> 2),
+    // sketch-cells subtree + the exact-F2 verification subtree
+    "join_size_est" -> Map("events" -> 2),
+    // fact spine + two tiny distinct-value rank maps
+    "layout_rank_normalize" -> Map("orders" -> 3),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
     // 2 = that exchange's subtree reused imperfectly by the stats agg
     "retrieval_multiquery" -> Map("documents" -> 2),

@@ -70,6 +70,33 @@ class StatOpsSpec extends AnyFunSuite {
       s"dominant direction should align with axis 3: ${dir.mkString(",")}")
   }
 
+  test("CMS self-join estimate: one-sided est >= exact on skewed keys; " +
+    "exact on a single-key relation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    def f2(keys: Seq[String]): (Long, Long) = {
+      val ev = keys.toDF("k")
+      val cells = ev.select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            TextOps.cmsBucket(r, col("k")).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cell"))
+      val est = cells.groupBy(col("r"))
+        .agg(sum(col("cell") * col("cell")).as("f2r"))
+        .agg(min(col("f2r"))).head().getLong(0)
+      val exact = keys.groupBy(identity).map(g => g._2.size.toLong)
+        .map(n => n * n).sum
+      (est, exact)
+    }
+    val rnd = new scala.util.Random(31)
+    val skewed = Seq.fill(2000)("u" + (rnd.nextInt(200) * rnd.nextInt(3)))
+    val (est, exact) = f2(skewed)
+    assert(est >= exact, s"est $est < exact $exact — impossible for CMS")
+    val (e1, x1) = f2(Seq.fill(500)("onlykey"))
+    assert(e1 == x1 && x1 == 500L * 500L)
+  }
+
   test("replicate membership is partitioning-independent") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
