@@ -157,5 +157,75 @@ object SketchOps {
       |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard_est
       |FROM th, cnt""".stripMargin))
 
-  val defs: Seq[Q] = Seq(kmvNdv, setOverlap)
+  private val RollK = 32
+
+  /** Rolling distinct counts via KMV MERGEABILITY — the capability
+    * that makes sketches worth storing: build ONE small sketch per
+    * (day) partition, then answer every 7-day sliding window by
+    * MERGING stored sketches (union of bottom-k sets = sort, distinct,
+    * take k) instead of re-scanning raw data. At 100 TB the daily
+    * aggregate is the only corpus-sized job; the rolling layer is a
+    * window over one row per day. Everything integer (the md5-52
+    * recipe), so sketch contents AND the rolling estimates
+    * hash-check.
+    */
+  val kmvRolling: Q = Q("agg_kmv_rolling",
+    (s, d) => {
+      Engine.configure(s)
+      val ev = Engine.table(s, d, "events")
+        .select(expr("(ts - ts % 1000) div 86400000000000").as("day"),
+          hash52(col("user_id").cast("string")).as("hv"))
+      val daily = ev.groupBy(col("day"))
+        .agg(call_function("kmv_sketch", col("hv"), lit(RollK))
+          .as("sk"),
+          countDistinct(col("hv")).as("exact_day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rangeBetween(-6, 0)
+      val rolled = daily
+        .withColumn("__merged",
+          slice(array_sort(array_distinct(flatten(
+            collect_list(col("sk")).over(w)))), 1, RollK))
+        .withColumn("__ndays", count(lit(1)).over(w))
+      rolled.select(col("day"), col("__ndays").as("n_days"),
+          col("exact_day"),
+          kmvEst(col("__merged"), RollK).as("rolling_est"),
+          array_join(transform(col("__merged"), x => x.cast("string")),
+            ",").as("merged_sketch"))
+        .orderBy(col("day"))
+    },
+    Some {
+      val oH = "CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)"
+      s"""WITH ev AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day, $oH AS hv
+      |  FROM events),
+      |dist AS (SELECT DISTINCT day, hv FROM ev),
+      |sk AS (
+      |  SELECT day, hv, ROW_NUMBER() OVER (PARTITION BY day
+      |    ORDER BY hv) rk
+      |  FROM dist),
+      |daily AS (
+      |  SELECT day,
+      |    LIST_SORT(LIST(hv) FILTER (WHERE rk <= $RollK)) AS sk,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_day
+      |  FROM sk GROUP BY day),
+      |rolled AS (
+      |  SELECT a.day,
+      |    CAST(COUNT(DISTINCT b.day) AS BIGINT) AS n_days,
+      |    ANY_VALUE(a.exact_day) AS exact_day,
+      |    LIST_SORT(LIST(DISTINCT u.h))[1 : $RollK] AS merged
+      |  FROM daily a
+      |  JOIN daily b ON b.day BETWEEN a.day - 6 AND a.day,
+      |    UNNEST(b.sk) u(h)
+      |  GROUP BY a.day)
+      |SELECT day, n_days, exact_day,
+      |  CASE WHEN LEN(merged) < $RollK THEN CAST(LEN(merged) AS DOUBLE)
+      |       ELSE ${RollK - 1}.0 /
+      |         (CAST(merged[$RollK] AS DOUBLE) / ${Two52}) END
+      |    AS rolling_est,
+      |  ARRAY_TO_STRING(merged, ',') AS merged_sketch
+      |FROM rolled
+      |ORDER BY day""".stripMargin
+    })
+
+  val defs: Seq[Q] = Seq(kmvNdv, setOverlap, kmvRolling)
 }

@@ -139,6 +139,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "events_anomaly" -> Map("events" -> 2),
     // sketch-cells subtree + the exact-F2 verification subtree
     "join_size_est" -> Map("events" -> 2),
+    // ONE daily-sketch aggregate; the rolling merge is a window over
+    // one row per day
+    "agg_kmv_rolling" -> Map("events" -> 1),
     // fact spine + two tiny distinct-value rank maps
     "layout_rank_normalize" -> Map("orders" -> 3),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
