@@ -519,7 +519,44 @@ object TextOps {
       |GROUP BY w, h.exact
       |ORDER BY est DESC, w LIMIT 10""".stripMargin))
 
+  /** Token-distribution Gini impurity (1 - Σp²) — the LOG-FREE
+    * diversity signal (entropy's ln is the one op libm can vary by an
+    * ulp, NOTES rule 7; Gini is monotone-comparable for the
+    * boilerplate/repetition gate and purely rational): a page of one
+    * repeated token scores 0, diverse text approaches 1. Σtf² is an
+    * exact integer (inverted per-doc token counts in one explode +
+    * two aggregates), so the final doubles are two exact casts and
+    * one division — hash-checked.
+    */
+  val giniEntry: Q = Q("text_gini",
+    (s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("w"))
+      tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_toks"),
+          sum(col("tf") * col("tf")).as("sum_tf2"),
+          count(lit(1)).as("n_types"))
+        .select(col("doc_id"), col("n_toks"), col("n_types"),
+          (lit(1.0) - col("sum_tf2").cast("double") /
+            (col("n_toks") * col("n_toks")).cast("double")).as("gini"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |      t -> t <> '')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  1.0 - CAST(SUM(tf * tf) AS DOUBLE) /
+      |    CAST(SUM(tf) * SUM(tf) AS DOUBLE) AS gini
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(textQuality, fingerprint, langId, tokenCount,
     piiScrub, splitAssign, corpusPipeline, repetition, boilerplate, chunk,
-    heavyHitters)
+    heavyHitters, giniEntry)
 }

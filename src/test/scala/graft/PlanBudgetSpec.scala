@@ -102,6 +102,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "text_pii_scrub" -> Map("documents" -> 1),
     "text_repetition" -> Map("documents" -> 2),
     "text_tfidf" -> Map("documents" -> 2),
+    // one explode + two chained aggregates
+    "text_gini" -> Map("documents" -> 1),
     // size-chosen span<->freq join + the final doc join-back
     "text_boilerplate" -> Map("documents" -> 3),
     "decontaminate" -> Map("documents" -> 3),
