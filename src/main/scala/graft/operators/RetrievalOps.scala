@@ -238,5 +238,97 @@ object RetrievalOps {
       |ORDER BY query_id, score DESC, doc_id""".stripMargin
   }
 
-  val defs: Seq[Q] = Seq(bm25Entry, multiQueryEntry)
+  /** Hybrid retrieval with reciprocal-rank fusion — THE production
+    * RAG pattern: a lexical ranking (BM25 over probe terms) and a
+    * dense ranking (exact cosine against a query embedding) fused by
+    * RRF(d) = 1/(60 + rank_lex(d)) + 1/(60 + rank_dense(d)) (Cormack
+    * et al. 2009's k = 60), which needs no score calibration between
+    * the two systems. Determinism: ranks are integers (row_number
+    * with doc-id tiebreaks), each reciprocal is ONE correctly-rounded
+    * division, the fusion is one addition in fixed (lex, dense) order
+    * — the fused score itself hash-checks. Missing-from-one-list docs
+    * contribute only the side they appear in (full outer join +
+    * null-as-zero, the standard RRF treatment).
+    *
+    * The cost shape is the two retrievals' own (both top-N pruned);
+    * the fusion is a join of two N-row lists.
+    */
+  val hybridEntry: Q = Q("retrieval_hybrid_rrf",
+    (s, d) => {
+      Engine.configure(s)
+      val N = 30
+      val lex = scoreDocs(Engine.table(s, d, "documents"), probeTerms)
+        .orderBy(col("score").desc, col("doc_id")).limit(N)
+        .select(col("doc_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
+      val emb = Engine.table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val dense = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          call_function("dot_vec", col("qe"), col("embedding")).as("dot"))
+        .orderBy(col("dot").desc, col("doc_id")).limit(N)
+        .select(col("doc_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("dot").desc, col("doc_id"))).as("dense_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some {
+      val tfExprs = probeTerms.zipWithIndex.map { case (tm, i) =>
+        s"CAST(LEN(LIST_FILTER(toks, t -> t = '$tm')) AS INT) AS tf${i + 1}"
+      }.mkString(", ")
+      val dfExprs = probeTerms.indices.map(i =>
+        s"COUNT(CASE WHEN tf${i + 1} > 0 THEN 1 END) AS df${i + 1}")
+        .mkString(", ")
+      val terms = probeTerms.indices.map(i =>
+        oTerm(s"tf${i + 1}", "dl", "n", "tt", s"df${i + 1}"))
+      s"""WITH dt AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), t -> t <> '')
+      |      AS toks
+      |  FROM documents),
+      |per AS (
+      |  SELECT doc_id, CAST(LEN(toks) AS INT) AS dl, $tfExprs FROM dt),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(dl) AS BIGINT) AS tt, $dfExprs FROM per),
+      |lexall AS (
+      |  SELECT doc_id,
+      |    ((${terms(0)} + ${terms(1)}) + ${terms(2)}) AS score
+      |  FROM per, st),
+      |lex AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC,
+      |    doc_id) AS INT) AS lex_rank
+      |  FROM lexall ORDER BY score DESC, doc_id LIMIT 30),
+      |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |dall AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    LIST_REDUCE(
+      |      LIST_PREPEND(CAST(0.0 AS DOUBLE),
+      |        LIST_TRANSFORM(LIST_ZIP(qv.qe, e.embedding),
+      |          pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+      |      (acc, x) -> acc + x) AS dot
+      |  FROM qv, embeddings e WHERE e.vec_id <> 0),
+      |dense AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY dot DESC,
+      |    doc_id) AS INT) AS dense_rank
+      |  FROM dall ORDER BY dot DESC, doc_id LIMIT 30)
+      |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+      |  lex_rank, dense_rank,
+      |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0) +
+      |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rank), 0.0) AS rrf
+      |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+      |ORDER BY rrf DESC, COALESCE(lex.doc_id, dense.doc_id)
+      |LIMIT 10""".stripMargin
+    })
+
+  val defs: Seq[Q] = Seq(bm25Entry, multiQueryEntry, hybridEntry)
 }

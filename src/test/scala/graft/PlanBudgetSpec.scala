@@ -118,6 +118,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "agg_kmv_ndv" -> Map("documents" -> 1),
     // per-doc projection + 1-row stats aggregate
     "retrieval_bm25" -> Map("documents" -> 2),
+    // lex side (2, the bm25 shape) + the broadcast query row and the
+    // dense scan
+    "retrieval_hybrid_rrf" -> Map("documents" -> 2, "embeddings" -> 2),
     // all B replicates from ONE scan (explode over the kept sequence)
     "stat_bootstrap" -> Map("documents" -> 1),
     // one scan -> 2080-key aggregate with map-side combine
