@@ -44,6 +44,43 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid RRF equals a scalar fusion of the two rankings at " +
+    "sf0.001; both-list docs outrank equal-rank single-list docs") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("retrieval_hybrid_rrf")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // scalar reference: rebuild both top-30 rankings and fuse
+    val lex = graft.operators.RetrievalOps.scoreForTest(
+        Engine.table(spark, d, "documents").select(col("doc_id"),
+          col("text")),
+        Seq("spark", "vector", "stream"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(x => (-x._2, x._1)).take(30).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val emb = Engine.table(spark, d, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray)
+    val qe = emb.find(_._1 == 0L).get._2
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) =>
+        acc + a(i).toDouble * b(i).toDouble)
+    val dense = emb.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(qe, v)) }
+      .sortBy(x => (-x._2, x._1)).take(30).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val fused = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy(x => (-x._2, x._1)).take(10)
+    assert(got.toSeq == fused)
+    // a doc in BOTH lists at ranks (r, r) beats one in a single list
+    // at rank r — check on the reference structure when present
+    val both = fused.filter(f => lex.contains(f._1) && dense.contains(f._1))
+    if (both.nonEmpty) assert(fused.head._2 >= both.head._2 * 0.5)
+  }
+
   test("multi-query top-5 equals brute force at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("retrieval_multiquery")(spark, d)
