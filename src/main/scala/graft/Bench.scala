@@ -165,6 +165,42 @@ object Bench {
       spark.catalog.dropTempView(name)
     }
 
+    // streaming changelog-resolution throughput: an organic changelog
+    // (the snapshot_merge derivation at sf scale, multiple ops per
+    // key) replayed as 8 micro-batches; state = one row per distinct
+    // key (stderr line records it).
+    var clStateRows = -1L
+    def streamChangelog(): Unit = withStreamingPartitions {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val docs = Engine.table(spark, sfDir, "documents")
+        .selectExpr("doc_id", "substring(text, 1, 32) AS t")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val log = docs.flatMap { case (id, t) =>
+        Seq((id, 1L, "upsert", t)) ++
+          (if (id % 5 == 0) Seq((id, 2L, "upsert", t.toUpperCase)) else Nil) ++
+          (if (id % 7 == 0) Seq((id, 3L, "delete", "")) else Nil)
+      }.sortBy(_._2) // seq order, the CDC arrival shape
+      val name = s"bench_stream_changelog_${System.nanoTime()}"
+      val input = MemoryStream[(Long, Long, String, String)]
+      val q = graft.streaming.StreamChangelog.resolved(
+          input.toDF().toDF("key", "seq", "op", "payload"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        log.grouped(math.max(1, (log.size + 7) / 8)).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          clStateRows = p.stateOperators(0).numRowsTotal
+      } finally q.stop()
+      spark.table(name).count()
+      spark.catalog.dropTempView(name)
+    }
+
     import graft.operators.{DedupOps, SimilarityOps}
     // organic-path timings (r7 verdict #6): the REAL thresholds, not the
     // planted-twin projections — bench-visible but not oracle entries
@@ -195,6 +231,7 @@ object Bench {
       "organic_stream_neardedup" -> (() => streamNearDedup()),
       "organic_stream_asof" -> (() => streamAsof()),
       "organic_stream_cms" -> (() => streamCms()),
+      "organic_stream_changelog" -> (() => streamChangelog()),
       "organic_kmeans_fit" ->
         (() => { graft.operators.MlOps.kmeansFit(
           Engine.table(spark, sfDir, "embeddings")
@@ -223,6 +260,11 @@ object Bench {
         s"[bench] organic_stream_asof state_rows=$asofStateRows " +
           s"emitted=$asofEmitted (state is dominant-right + in-flight " +
           "lefts per key, not history)")
+    }
+    if (clStateRows >= 0) {
+      System.err.println(
+        s"[bench] organic_stream_changelog state_rows=$clStateRows " +
+          "(bound: one resolved row per distinct key)")
     }
     if (cmsStateRows >= 0) {
       System.err.println(
