@@ -254,6 +254,118 @@ object StatOps {
       |  FROM (SELECT k, COUNT(*) n FROM ev GROUP BY k))
       |SELECT est, exact, n_keys FROM est, ex""".stripMargin))
 
+  /** Column profile of a snapshot: one row per column with row count,
+    * null count, exact NDV and (string) min/max rendered as text —
+    * the data-quality fingerprint a pipeline stores per run. One scan
+    * per snapshot: every column's metrics come from a single
+    * aggregate projection.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    total.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__ndv_$c").as("ndv"),
+        col(s"__min_$c").as("min_str"),
+        col(s"__max_$c").as("max_str"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /** Driver entry + FULL oracle: schema-drift detection between two
+    * snapshots — B is an organically drifted A (every third row
+    * dropped, lang nulled where doc_id % 11 = 0, n_chars clipped at
+    * 300): per-column profile metrics side by side with deltas, the
+    * regression report a 100 TB ingest run gates on. Cost: one scan
+    * per snapshot however many columns are profiled.
+    */
+  val driftEntry: Q = Q("quality_drift",
+    (s, d) => {
+      Engine.configure(s)
+      val a = Engine.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val b = a.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang"),
+          col("source"),
+          least(col("n_chars"), lit(300L)).as("n_chars"))
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val pa = profile(a, cols).withColumnRenamed("n_rows", "rows_a")
+        .withColumnRenamed("n_nulls", "nulls_a")
+        .withColumnRenamed("ndv", "ndv_a")
+        .withColumnRenamed("min_str", "min_a")
+        .withColumnRenamed("max_str", "max_a")
+      val pb = profile(b, cols).withColumnRenamed("n_rows", "rows_b")
+        .withColumnRenamed("n_nulls", "nulls_b")
+        .withColumnRenamed("ndv", "ndv_b")
+        .withColumnRenamed("min_str", "min_b")
+        .withColumnRenamed("max_str", "max_b")
+      pa.join(pb, "column")
+        .select(col("column"), col("rows_a"), col("rows_b"),
+          col("nulls_a"), col("nulls_b"), col("ndv_a"), col("ndv_b"),
+          (col("ndv_b") - col("ndv_a")).as("ndv_delta"),
+          col("min_a"), col("min_b"), col("max_a"), col("max_b"))
+        .orderBy(col("column"))
+    },
+    Some("""WITH a AS (
+      |  SELECT doc_id, lang, source, n_chars FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+      |    source, LEAST(n_chars, 300) AS n_chars
+      |  FROM a WHERE doc_id % 3 <> 0),
+      |pa AS (
+      |  SELECT * FROM (
+      |    SELECT 'doc_id' AS column, COUNT(*) rows_a,
+      |      COUNT(*) - COUNT(doc_id) nulls_a,
+      |      COUNT(DISTINCT doc_id) ndv_a,
+      |      CAST(MIN(doc_id) AS VARCHAR) min_a,
+      |      CAST(MAX(doc_id) AS VARCHAR) max_a FROM a
+      |    UNION ALL
+      |    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+      |      COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM a
+      |    UNION ALL
+      |    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+      |      COUNT(DISTINCT source), MIN(source), MAX(source) FROM a
+      |    UNION ALL
+      |    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+      |      COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+      |      CAST(MAX(n_chars) AS VARCHAR) FROM a)),
+      |pb AS (
+      |  SELECT * FROM (
+      |    SELECT 'doc_id' AS column, COUNT(*) rows_b,
+      |      COUNT(*) - COUNT(doc_id) nulls_b,
+      |      COUNT(DISTINCT doc_id) ndv_b,
+      |      CAST(MIN(doc_id) AS VARCHAR) min_b,
+      |      CAST(MAX(doc_id) AS VARCHAR) max_b FROM b
+      |    UNION ALL
+      |    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+      |      COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM b
+      |    UNION ALL
+      |    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+      |      COUNT(DISTINCT source), MIN(source), MAX(source) FROM b
+      |    UNION ALL
+      |    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+      |      COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+      |      CAST(MAX(n_chars) AS VARCHAR) FROM b))
+      |SELECT pa.column,
+      |  CAST(rows_a AS BIGINT) AS rows_a, CAST(rows_b AS BIGINT) AS rows_b,
+      |  CAST(nulls_a AS BIGINT) AS nulls_a,
+      |  CAST(nulls_b AS BIGINT) AS nulls_b,
+      |  CAST(ndv_a AS BIGINT) AS ndv_a, CAST(ndv_b AS BIGINT) AS ndv_b,
+      |  CAST(ndv_b - ndv_a AS BIGINT) AS ndv_delta,
+      |  min_a, min_b, max_a, max_b
+      |FROM pa JOIN pb ON pa.column = pb.column
+      |ORDER BY pa.column""".stripMargin))
+
   val defs: Seq[Q] =
-    Seq(bootstrapEntry, covarianceEntry, anomalyEntry, joinSizeEntry)
+    Seq(bootstrapEntry, covarianceEntry, anomalyEntry, joinSizeEntry,
+      driftEntry)
 }

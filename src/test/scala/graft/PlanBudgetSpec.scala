@@ -142,6 +142,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "layout_compaction" -> Map("documents" -> 1),
     // stats aggregate + the broadcast probe side
     "events_anomaly" -> Map("events" -> 2),
+    // one profile scan per snapshot (B derives from the same table)
+    "quality_drift" -> Map("documents" -> 2),
     // sketch-cells subtree + the exact-F2 verification subtree
     "join_size_est" -> Map("events" -> 2),
     // ONE daily-sketch aggregate; the rolling merge is a window over
