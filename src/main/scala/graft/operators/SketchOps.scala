@@ -227,5 +227,65 @@ object SketchOps {
       |ORDER BY day""".stripMargin
     })
 
-  val defs: Seq[Q] = Seq(kmvNdv, setOverlap, kmvRolling)
+  /** Pairwise source-overlap matrix — the corpus diagnostic behind
+    * "which feeds are re-crawling each other": ONE scan builds a KMV
+    * sketch per source, then every source PAIR gets theta-style
+    * union / intersection / Jaccard estimates from a self-join of the
+    * 5-row sketch table. The all-pairs stage costs nothing (sources²
+    * rows of k longs); the corpus is touched once — at 100 TB this is
+    * the only affordable way to get an overlap matrix at all.
+    */
+  val sourceOverlap: Q = Q("source_overlap_matrix",
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val sk = doc.groupBy(col("source"))
+        .agg(call_function("kmv_sketch", hash52(col("text")), lit(SetK))
+          .as("sk"))
+      val a = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+      val b = sk.select(col("source").as("src_b"), col("sk").as("skb"))
+      def thetaL(c: Column): Column =
+        when(size(c) < SetK, lit(1L << 52)).otherwise(element_at(c, SetK))
+      a.join(b, col("src_a") < col("src_b"))
+        .withColumn("__th", least(thetaL(col("ska")), thetaL(col("skb"))))
+        .withColumn("__fa", filter(col("ska"), x => x < col("__th")))
+        .withColumn("__fb", filter(col("skb"), x => x < col("__th")))
+        .select(col("src_a"), col("src_b"),
+          size(array_intersect(col("__fa"), col("__fb"))).as("inter_k"),
+          size(array_union(col("__fa"), col("__fb"))).as("union_k"),
+          (size(array_intersect(col("__fa"), col("__fb"))).cast("double") /
+            size(array_union(col("__fa"), col("__fb"))).cast("double"))
+            .as("jaccard_est"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""WITH h AS (
+      |  SELECT DISTINCT source, $oHash52 AS hv FROM documents),
+      |rk AS (
+      |  SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY hv) rn, COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM h),
+      |sk AS (SELECT source, hv, rn, cnt FROM rk WHERE rn <= $SetK),
+      |uk AS (
+      |  SELECT source,
+      |    CASE WHEN MAX(cnt) < $SetK THEN CAST(${1L << 52} AS BIGINT)
+      |         ELSE MAX(CASE WHEN rn = $SetK THEN hv END) END AS th
+      |  FROM sk GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    LEAST(a.th, b.th) AS th
+      |  FROM uk a JOIN uk b ON a.source < b.source),
+      |cnts AS (
+      |  SELECT p.src_a, p.src_b,
+      |    (SELECT COUNT(*) FROM sk x JOIN sk y ON x.hv = y.hv
+      |     WHERE x.source = p.src_a AND y.source = p.src_b
+      |       AND x.hv < p.th) AS inter_k,
+      |    (SELECT COUNT(DISTINCT z.hv) FROM sk z
+      |     WHERE z.source IN (p.src_a, p.src_b) AND z.hv < p.th)
+      |      AS union_k
+      |  FROM pairs p)
+      |SELECT src_a, src_b, CAST(inter_k AS INT) AS inter_k,
+      |  CAST(union_k AS INT) AS union_k,
+      |  CAST(inter_k AS DOUBLE) / CAST(union_k AS DOUBLE) AS jaccard_est
+      |FROM cnts ORDER BY src_a, src_b""".stripMargin))
+
+  val defs: Seq[Q] = Seq(kmvNdv, setOverlap, kmvRolling, sourceOverlap)
 }

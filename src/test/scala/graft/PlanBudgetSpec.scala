@@ -149,6 +149,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // ONE daily-sketch aggregate; the rolling merge is a window over
     // one row per day
     "agg_kmv_rolling" -> Map("events" -> 1),
+    // ONE per-source sketch aggregate; all-pairs join is sources^2
+    // rows of k longs
+    "source_overlap_matrix" -> Map("documents" -> 1),
     // fact spine + two tiny distinct-value rank maps
     "layout_rank_normalize" -> Map("orders" -> 3),
     // everything hangs off one tokenize+groupBy(doc_id) exchange;
