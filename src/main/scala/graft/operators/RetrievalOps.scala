@@ -330,5 +330,65 @@ object RetrievalOps {
       |LIMIT 10""".stripMargin
     })
 
-  val defs: Seq[Q] = Seq(bm25Entry, multiQueryEntry, hybridEntry)
+  /** Distinctive terms per source — the class-based TF-IDF corpus
+    * characterization (what makes each feed different): score(term,
+    * source) = tf_in_source · (S + 1)/(sf + 1), where sf = how many
+    * sources contain the term (the c-TF-IDF shape with the idf in
+    * oracle-safe ratio form). One tokenize + two aggregates + one
+    * 5-per-group window; everything integer except one division and
+    * one multiply, so the scores hash-check.
+    */
+  val distinctiveEntry: Q = Q("retrieval_distinctive_terms",
+    (s, d) => {
+      Engine.configure(s)
+      val tok = Engine.table(s, d, "documents")
+        .select(col("source"), explode(tokens(lower(col("text"))))
+          .as("term"))
+      val tf = tok.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val sf = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("sf"))
+      val nSources = tf.select(col("source")).distinct()
+        .agg(count(lit(1)).as("__s"))
+      val scored = tf.join(broadcast(sf), "term")
+        .crossJoin(broadcast(nSources))
+        .select(col("source"), col("term"), col("tf"), col("sf"),
+          (col("tf").cast("double") *
+            ((col("__s") + 1).cast("double") /
+              (col("sf") + 1).cast("double"))).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("term"), col("tf"),
+          col("sf"), col("score"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""WITH tok AS (
+      |  SELECT source,
+      |    UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |      t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |sf AS (SELECT term, COUNT(*) AS sf FROM tf GROUP BY term),
+      |ns AS (SELECT COUNT(DISTINCT source) AS s FROM tf),
+      |scored AS (
+      |  SELECT tf.source, tf.term, tf.tf, sf.sf,
+      |    CAST(tf.tf AS DOUBLE) *
+      |      (CAST(ns.s + 1 AS DOUBLE) / CAST(sf.sf + 1 AS DOUBLE))
+      |      AS score
+      |  FROM tf JOIN sf USING (term), ns),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |SELECT source, CAST(rk AS INT) AS rk, term, tf,
+      |  CAST(sf AS BIGINT) AS sf, score
+      |FROM rk WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin))
+
+  val defs: Seq[Q] =
+    Seq(bm25Entry, multiQueryEntry, hybridEntry, distinctiveEntry)
 }

@@ -104,6 +104,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "text_tfidf" -> Map("documents" -> 2),
     // one explode + two chained aggregates
     "text_gini" -> Map("documents" -> 1),
+    // tf + the sf/source-count broadcast subtrees each re-tokenize
+    // (exchange reuse doesn't cross the two broadcast branches);
+    // production materializes the tiny tf table once
+    "retrieval_distinctive_terms" -> Map("documents" -> 3),
     // size-chosen span<->freq join + the final doc join-back
     "text_boilerplate" -> Map("documents" -> 3),
     "decontaminate" -> Map("documents" -> 3),
