@@ -53,36 +53,69 @@ object Compaction {
       |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
       |      ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM documents),
-      |b AS (SELECT grp, file, size, (cum - size) // 2000 AS bin FROM m)
+      |b AS (SELECT grp, file, size,
+      |      CAST((cum - size) // 2000 AS BIGINT) AS bin FROM m)
       |SELECT grp, bin, COUNT(*) AS n_files,
       |  CAST(SUM(size) AS BIGINT) AS bytes,
       |  MIN(file) AS first_file, MAX(file) AS last_file
       |FROM b GROUP BY grp, bin
       |ORDER BY grp, bin""".stripMargin))
 
+  /** Distributed dense rank of the DISTINCT values of `c` in `src`,
+    * scaled to `buckets` buckets: returns (c, s"${c}_rank"). Two-phase
+    * rank: range-partition the distinct set, row_number WITHIN each
+    * range (a partitioned window — every task holds one range, never
+    * the whole distinct relation), then add per-range offsets
+    * cumulated on the driver from a ≤`parts`-row count table. A
+    * global `row_number().over(Window.orderBy(c))` funnels the entire
+    * NDV through ONE task (WindowExec "No Partition Defined") — fine
+    * for a 12-bucket layout map, a scale-killer when the column is
+    * near-unique at 100 TB. The result is boundary-independent:
+    * offset + local rank is the global sort position whatever
+    * boundaries the range sampler picks; `local` is checkpointed so
+    * the count job and the join job see the SAME partitioning.
+    */
+  def rankMap(src: DataFrame, c: String, buckets: Long,
+      parts: Int = 32): DataFrame = {
+    require(buckets > 0 && parts > 0, "rankMap: buckets, parts > 0")
+    val dv = src.select(col(c)).distinct()
+    val local = dv.repartitionByRange(parts, col(c))
+      .select(col(c), spark_partition_id().as("__pid"))
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col(c))))
+      .localCheckpoint()
+    val cnts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__pid")).collect() // ≤ parts rows — bounded
+    val n = cnts.map(_.getLong(1)).sum
+    require(n > 0, s"rankMap: no values in $c")
+    var running = 0L
+    val offRows = cnts.map { r =>
+      val o = running; running += r.getLong(1); (r.getInt(0), o) }.toSeq
+    val sess = src.sparkSession
+    import sess.implicits._
+    val offs = offRows.toDF("__pid", "__off")
+    local.join(broadcast(offs), "__pid")
+      .select(col(c),
+        expr(s"((__off + __lr - 1) * ${buckets}L) div ${n}L")
+          .as(s"${c}_rank"))
+  }
+
   /** Driver entry + FULL oracle: rank-normalize (o_totalprice,
     * o_custkey) to 2^12 ranks and emit the Hilbert key of the
     * normalized point — the end-to-end "layout a skewed table"
-    * recipe. The rank map is built per DISTINCT value (a tiny
-    * relation) and broadcast back; the fact table itself never
-    * shuffles.
+    * recipe. The rank map is built per DISTINCT value with the
+    * distributed [[rankMap]] and broadcast back; the fact table
+    * itself never shuffles.
     */
   val rankNormalizeEntry: Q = Q("layout_rank_normalize",
     (s, d) => {
       Engine.configure(s)
       val orders = Engine.table(s, d, "orders")
-      def rankMap(c: String): DataFrame = {
-        val w = Window.orderBy(col(c))
-        val dv = orders.select(col(c)).distinct()
-        val n = dv.count()
-        dv.withColumn("__r", row_number().over(w))
-          .select(col(c),
-            expr(s"((__r - 1) * 4096L) div ${n}L").as(s"${c}_rank"))
-      }
       val joined = orders.select(col("o_orderkey"), col("o_totalprice"),
           col("o_custkey"))
-        .join(broadcast(rankMap("o_totalprice")), "o_totalprice")
-        .join(broadcast(rankMap("o_custkey")), "o_custkey")
+        .join(broadcast(rankMap(orders, "o_totalprice", 4096L)),
+          "o_totalprice")
+        .join(broadcast(rankMap(orders, "o_custkey", 4096L)), "o_custkey")
       joined.select(col("o_orderkey"),
           col("o_totalprice_rank"), col("o_custkey_rank"),
           HilbertCurve.hilbertKey(col("o_totalprice_rank"),

@@ -799,8 +799,185 @@ object CorpusOps {
       |FROM ranked r JOIN tau t ON r.source = t.source WHERE rn <= 40
       |ORDER BY r.source, doc_id""".stripMargin))
 
+  /** The WHOLE training-data pipeline as ONE oracle-checked DAG — the
+    * stages a real corpus build chains, in production order:
+    *
+    *  1. quality filter — Gopher-style integer-exact rules (≥ 10
+    *     tokens, duplicate-line fraction ≤ 0.3, both pure array math:
+    *     `10·(nlines − ndistinct) ≤ 3·nlines` keeps the test integral);
+    *  2. near-dup dedup — normalized-fingerprint (lowercase, strip
+    *     punctuation, collapse whitespace) survivor via ONE window
+    *     `row_number() = 1` per fp (no groupBy+self-join: one consumer
+    *     of the scan, one shuffle on fp);
+    *  3. decontamination — the [[decontaminate]] 8-gram recipe
+    *     verbatim (sentinel-seeded so the overlap path fires at every
+    *     SF): benchmark (`doc_id % 97 = 0`) shingles broadcast, corpus
+    *     docs sharing any 8-gram dropped by left-anti join;
+    *  4. mixture sampling — [[mixtureSample]]'s temperature rule with
+    *     rates DERIVED FROM THE SURVIVING SET (floor(256·sqrt(n_min /
+    *     n_s)) md5-bucket thresholds — the rates a real run computes
+    *     after cleaning, not before);
+    *  5. sequence packing — [[packSequences]]'s prefix-sum bins over
+    *     the sampled set; the manifest is the checked output.
+    *
+    * Scan budget (PlanBudgetSpec pins ≤ 3 `documents` scans): stages
+    * 1–2 are one projection scan; the two shingle branches of stage 3
+    * are scans two and three; the post-anti-join survivor set is
+    * localCheckpoint-ed, so the stage-4 rate aggregate, its broadcast
+    * join back, and the stage-5 window all read the checkpoint — at
+    * 100 TB the corpus is read three times end-to-end, never more,
+    * and the only shuffles are fp, the per-doc hit count, the tiny
+    * lang histogram and the per-source packing window.
+    */
+  /** Stages 1–3 of [[pipelineFull]] (quality → fp-dedup → decontam),
+    * pre-checkpoint: every `documents` scan of the whole pipeline
+    * lives in THIS relation (PlanBudgetSpec pins it at 3).
+    */
+  def pipelineClean(s: SparkSession, d: String): DataFrame = {
+      val raw = t(s, d, "documents")
+      // stage 1+2: one scan -> quality filter -> fp-window survivor
+      val per = raw.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(toks(col("text"))).as("ntok"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " "))).as("fp"),
+          size(split(col("text"), "\n")).as("nlines"),
+          size(array_distinct(split(col("text"), "\n"))).as("ndlines"))
+      val quality = per.filter(col("ntok") >= 10 &&
+        lit(10) * (col("nlines") - col("ndlines")) <= lit(3) * col("nlines"))
+      val deduped = quality
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .drop("rn", "fp", "nlines", "ndlines")
+      // stage 3: the decontaminate seeding + 8-gram overlap, verbatim
+      val seeded = raw.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          concat(col("text"), lit(" "), expr(
+            "concat_ws(' ', transform(sequence(0, 6), " +
+              "v -> repeat(concat('sentinel', cast(v as string), ' '), 8)))")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" "),
+              expr("repeat(concat('sentinel', cast(doc_id % 9 as string), ' '), 8)")))
+          .otherwise(col("text")).as("text"))
+      val tk = toks(lower(col("text")))
+      val shingles = seeded
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), explode(
+          when(size(col("tk")) >= 8,
+            transform(sequence(lit(1), size(col("tk")) - 7),
+              i => array_join(slice(col("tk"), i, lit(8)), " ")))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      val bench = shingles.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      val hits = shingles.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .select(col("doc_id")).distinct()
+      deduped.join(hits, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stages 4–5 of [[pipelineFull]] over a (doc_id, source, lang,
+    * ntok) survivor relation — reads NO base table (PlanBudgetSpec
+    * pins zero `documents` scans downstream of the checkpoint).
+    */
+  def pipelinePack(clean: DataFrame): DataFrame = {
+      // stage 4: temperature mixture rates from the SURVIVING set
+      val counts = clean.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      val nMin = counts.agg(min(col("n_s")).as("n_min"))
+      val thr = counts.crossJoin(broadcast(nMin))
+        .select(col("lang"),
+          floor(lit(256) * sqrt(col("n_min").cast("double") / col("n_s")))
+            .cast("int").as("thr"))
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val sampled = clean.join(broadcast(thr), "lang")
+        .filter(col("thr") >= 256 ||
+          bucket < format_string("%02x", col("thr")))
+      // stage 5: pack manifest
+      val packed = sampled
+        .withColumn("bin_id",
+          expr("cast((sum(ntok) over (partition by source order by doc_id " +
+            "rows between unbounded preceding and current row) - ntok) " +
+            "div 2048 as bigint)"))
+      packed.groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("bigint").as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin_id"))
+  }
+
+  val pipelineFull: Q = Q("pipeline_full",
+    (s, d) => pipelinePack(pipelineClean(s, d).localCheckpoint()),
+    Some("""WITH per AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |         t -> t <> '')) AS INT) AS ntok,
+      |    MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+      |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+      |    CAST(LEN(STRING_SPLIT(text, chr(10))) AS INT) AS nlines,
+      |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, chr(10)))) AS INT)
+      |      AS ndlines
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |quality AS (
+      |  SELECT * FROM per
+      |  WHERE ntok >= 10 AND 10 * (nlines - ndlines) <= 3 * nlines),
+      |deduped AS (
+      |  SELECT doc_id, source, lang, ntok FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+      |      AS rn FROM quality)
+      |  WHERE rn = 1),
+      |seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0
+      |         THEN text || ' ' ||
+      |              ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 7),
+      |                v -> REPEAT('sentinel' || CAST(v AS VARCHAR) || ' ', 8)), ' ')
+      |         WHEN doc_id % 13 = 0
+      |         THEN text || ' ' ||
+      |              REPEAT('sentinel' || CAST(doc_id % 9 AS VARCHAR) || ' ', 8)
+      |         ELSE text END AS text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |                x -> x <> '') AS tk
+      |  FROM seeded),
+      |sh AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 6, 1)),
+      |      i -> ARRAY_TO_STRING(tk[i:i+7], ' '))) AS g
+      |  FROM tok),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
+      |  WHERE s.doc_id % 97 <> 0),
+      |clean AS (
+      |  SELECT d.* FROM deduped d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)),
+      |c AS (SELECT lang, COUNT(*) AS n_s FROM clean GROUP BY lang),
+      |m AS (SELECT MIN(n_s) AS n_min FROM c),
+      |thr AS (SELECT lang,
+      |    CAST(FLOOR(256 * SQRT(CAST(n_min AS DOUBLE) / n_s)) AS INT)
+      |      AS thr
+      |  FROM c, m),
+      |sampled AS (
+      |  SELECT cl.* FROM clean cl JOIN thr t ON cl.lang = t.lang
+      |  WHERE t.thr >= 256
+      |     OR SUBSTR(MD5(CAST(cl.doc_id AS VARCHAR)), 1, 2)
+      |        < PRINTF('%02x', t.thr)),
+      |packed AS (
+      |  SELECT source, doc_id, ntok,
+      |    CAST((SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+      |       ROWS UNBOUNDED PRECEDING) - ntok) // 2048 AS BIGINT) AS bin_id
+      |  FROM sampled)
+      |SELECT source, bin_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM packed GROUP BY source, bin_id
+      |ORDER BY source, bin_id""".stripMargin))
+
   val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
     mixtureSample, tokenBudgetSample, prioritySampleQ,
     prioritySampleGroupedQ, termStats,
-    bpeTrainTable, bpeEncode, lmScore)
+    bpeTrainTable, bpeEncode, lmScore, pipelineFull)
 }

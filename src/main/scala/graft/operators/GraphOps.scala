@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** `edges`: (src: long, dst: long), every node present as a src
-    * (symmetrize first if needed). Returns (node, deg, rank) after
+  /** `edges`: (src: long, dst: long), any directed graph. The node
+    * universe is src ∪ dst; pure sources (no in-edges) keep their
+    * teleport-only rank each round and sinks (no out-edges, deg 0)
+    * accumulate but do not distribute — their outflow is dropped,
+    * like the bounded floor losses. Returns (node, deg, rank) after
     * `iters` fixed-point updates.
     */
   def pageRank(edges: DataFrame, iters: Int, base: Long,
@@ -58,7 +61,9 @@ object GraphOps {
     val e0 = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
     val e = if (materialize) e0.localCheckpoint() else e0
-    val n = e.select(col("src")).distinct().count()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
     require(n > 0 && base <= Long.MaxValue / 17 / math.max(n, 1L),
       s"pageRank: N*base*17 overflows int64 (n=$n, base=$base)")
     val teleport = 3L * base / 20L
@@ -68,7 +73,7 @@ object GraphOps {
       case Some(_) => when(seedFlag.isNotNull, lit(teleport)).otherwise(lit(0L))
       case None => lit(teleport)
     }
-    var ranks = e.select(col("src").as("node")).distinct()
+    var ranks = nodes
     ranks = seedSet match {
       case Some(ss) => ranks.join(broadcast(ss), Seq("node"), "left")
         .select(col("node"),
@@ -76,22 +81,35 @@ object GraphOps {
             .as("rank"))
       case None => ranks.withColumn("rank", lit(base))
     }
-    for (_ <- 1 to iters) {
+    // Node spine: keep EVERY node each round, even ones with no
+    // in-edges (a pure source never appears as a dst, so building
+    // ranks from the aggregate alone would drop its row and its
+    // teleport mass on general directed graphs — invisible on
+    // symmetrized ones). Materialized once; nodes-sized.
+    val spine0 = ranks.select(col("node"))
+    val spine = if (materialize) spine0.localCheckpoint() else spine0
+    for (i <- 1 to iters) {
       val in = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("(rank * 17L) div (20L * deg)").as("__c"))
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__in"))
+      val kept = spine.join(in, spine("node") === in("dst"), "left")
       ranks = (seedSet match {
-        case Some(ss) => in.join(broadcast(ss),
-            in("dst") === ss("node"), "left")
-          .select(col("dst"), (tele(col("dst"), col("__seed")) +
-            col("__in")).as("rank"))
+        case Some(ss) => kept.join(broadcast(ss), Seq("node"), "left")
+          .select(col("node"), (tele(col("node"), col("__seed")) +
+            coalesce(col("__in"), lit(0L))).as("rank"))
         case None =>
-          in.select(col("dst"), (lit(teleport) + col("__in")).as("rank"))
-      }).select(col("dst").as("node"), col("rank"))
+          kept.select(col("node"),
+            (lit(teleport) + coalesce(col("__in"), lit(0L))).as("rank"))
+      })
+      // lineage grows linearly with iters (only edges are checkpointed
+      // up front); cut it every 8 rounds for deep iteration
+      if (materialize && i % 8 == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
-    ranks.join(deg, ranks("node") === deg("src"))
-      .select(col("node"), col("deg"), col("rank"))
+    ranks.join(deg, ranks("node") === deg("src"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("rank"))
   }
 
   /** Driver entry + FULL oracle: 3 PageRank rounds over the
@@ -242,14 +260,16 @@ object GraphOps {
     val nodes = edges.select(col("x").as("n"))
       .unionAll(edges.select(col("y").as("n")))
     val deg = nodes.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // sortable rank key: degree-major, node-minor (nodes < 2^20 here;
-    // production would zip with a rank column instead)
+    // sortable rank key: degree-major, node-minor, as an UNPACKED
+    // (deg, node) struct — struct ordering is lexicographic in Spark,
+    // so this is a strict total order for ANY int64 node id (the
+    // packed `deg*2^20+node` key silently collided above 2^20 ids)
     val keyed = edges
       .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
       .select(col("x"), col("y"),
-        (col("dx") * 1048576L + col("x")).as("rx"),
-        (col("dy") * 1048576L + col("y")).as("ry"))
+        struct(col("dx").as("d"), col("x").cast("long").as("i")).as("rx"),
+        struct(col("dy").as("d"), col("y").cast("long").as("i")).as("ry"))
     val oriented = keyed.select(
       when(col("rx") < col("ry"), col("x")).otherwise(col("y")).as("src"),
       when(col("rx") < col("ry"), col("y")).otherwise(col("x")).as("dst"),

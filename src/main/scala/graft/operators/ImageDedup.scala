@@ -89,6 +89,12 @@ object ImageDedup {
       .select(col("doc_id")).as[Long]
     ids.mapPartitions { it =>
       it.flatMap { id =>
+        // twin id must not collide with a real doc_id, else the pair
+        // table silently corrupts (doc_a < doc_b suppresses dup rows);
+        // loud guard, same policy as ZOrder/Hilbert/IntervalJoin
+        require(id >= 0 && id < 10000000L,
+          s"imageDedup: doc_id $id outside [0, 1e7) — planted-twin id " +
+            "arithmetic (id + 1e7) would collide with real ids")
         val base = RawImage.decodePpm(grayPpmPayload(id, twin = false))
         val tw = RawImage.decodePpm(grayPpmPayload(id, twin = true))
         Iterator(ImgHash(id, dhashOf(base)),
@@ -238,6 +244,9 @@ object ImageDedup {
             Seq(0, 2, 4).map(f =>
               FrameHash(docId, f, lumaDhash(v.frames(f).luma)))
           }
+          require(id >= 0 && id < 10000000L,
+            s"videoDedup: doc_id $id outside [0, 1e7) — twin-id " +
+              "arithmetic would collide with real ids")
           hashesOf(id, twin = false) ++
             hashesOf(id + 10000000L, twin = true)
         }
@@ -351,6 +360,9 @@ object ImageDedup {
         .select(col("doc_id")).as[Long]
       val fps = ids.mapPartitions { it =>
         it.flatMap { id =>
+          require(id >= 0 && id < 10000000L,
+            s"audioDedup: doc_id $id outside [0, 1e7) — twin-id " +
+              "arithmetic would collide with real ids")
           val base = RawAudio.decodeWav(wavQrPayload(id, twin = false))
           val tw = RawAudio.decodeWav(wavQrPayload(id, twin = true))
           Iterator(AudioFp(id, audioFingerprint(base.samples)),

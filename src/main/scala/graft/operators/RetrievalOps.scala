@@ -157,28 +157,38 @@ object RetrievalOps {
     {
       import s.implicits._
       val vocab = queries.map(_._2).distinct
-      // ONE corpus scan + ONE doc_id exchange carries everything the
-      // scorer needs: token count (dl) AND the per-doc list of query-
-      // vocabulary hits (collect_list drops the when()'s nulls) — dl
-      // join, stats aggregate and tf explosion all hang off the same
-      // exchange, so the index build touches the corpus once.
-      val perDoc = doc
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("dl"),
-          collect_list(when(col("term").isin(vocab: _*), col("term")))
-            .as("hits"))
-      val stats = perDoc.agg(count(lit(1)).as("__n"),
-        sum(col("dl")).as("__tt"))
+      // ONE corpus scan, NO exchange for the per-doc stage: token
+      // count (dl) and the per-doc list of query-vocabulary hits are
+      // both array projections over the same tokens() call. Deriving
+      // them via explode+groupBy (the previous shape) silently dropped
+      // zero-token documents from N/tt, diverging from the oracle's
+      // COUNT(*)-over-all-docs; a projection keeps every row.
+      val perDoc = doc.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        filter(tokens(col("text")), t => t.isin(vocab: _*)).as("hits"))
+      // ONE 1-row aggregate carries N, total tokens AND every term's
+      // document frequency (df_t = docs with tf_t > 0 =
+      // array_contains(hits, t)) — a separate df groupBy over the tf
+      // subtree re-scanned the corpus (no exchange to reuse in the
+      // projection shape); folding df here keeps the whole index
+      // build at exactly TWO corpus scans (PlanBudgetSpec-pinned)
+      val statCols = count(lit(1)).as("__n") +:
+        sum(col("dl")).as("__tt") +:
+        vocab.zipWithIndex.map { case (tm, i) =>
+          count(when(array_contains(col("hits"), tm), 1)).as(s"__df$i") }
+      val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+      val dfRows = stats.select(explode(array(
+          vocab.zipWithIndex.map { case (tm, i) =>
+            struct(lit(tm).as("term"), col(s"__df$i").as("df")) }: _*))
+          .as("e"), col("__n"), col("__tt"))
+        .select(col("e.term"), col("e.df"), col("__n"), col("__tt"))
       val tf = perDoc.filter(size(col("hits")) > 0)
         .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val q = queries.toDF("query_id", "term")
       val scored = tf
-        .join(broadcast(df), "term")
-        .crossJoin(broadcast(stats))
+        .join(broadcast(dfRows), "term")
         .join(broadcast(q), "term")
         .select(col("query_id"), col("doc_id"), col("term"),
           sTerm(col("tf"), col("dl"), col("__n"), col("__tt"), col("df"))

@@ -99,6 +99,31 @@ class ChangeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rankMap: high-NDV column ranks exactly match a sequential " +
+    "sort, with NO global single-partition window") {
+    import spark.implicits._
+    import graft.operators.Compaction
+    // near-unique column (5000 distinct doubles, shuffled) — the case
+    // the old global row_number window funneled through one task
+    val rnd = new scala.util.Random(41)
+    val vals = rnd.shuffle((0 until 5000).map(i => i * 1.5 + 0.25))
+    val df = vals.map(v => (v, "x")).toDF("v", "pad")
+    // (structural: rankMap's only window partitions by __pid — the
+    // range-partition id — so WindowExec never sees an empty
+    // partitionSpec and no task holds more than one range)
+    val got = Compaction.rankMap(df, "v", buckets = 4096L, parts = 8)
+    val rows = got.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    sorted.zipWithIndex.foreach { case (v, i) =>
+      assert(rows(v) == i.toLong * 4096L / 5000L, s"rank of $v")
+    }
+    // low-NDV sanity: 3 distinct values -> ranks 0, bucket/3, 2*bucket/3
+    val small = Seq(5.0, 1.0, 9.0, 5.0, 1.0).map((_, "p")).toDF("v", "pad")
+    val sm = Compaction.rankMap(small, "v", 12L, parts = 8)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(sm == Map(1.0 -> 0L, 5.0 -> 4L, 9.0 -> 8L))
+  }
+
   test("driver entry: deleted keys gone, rewrites uppercased, inserts " +
     "present, %35 keys resolve to the higher-seq rewrite") {
     val d = "/root/testdata/sf0.001"

@@ -141,6 +141,85 @@ class PageRankSpec extends AnyFunSuite {
     assert(triCount(edges) == brute)
   }
 
+  /** Sequential reference with the GENERAL-directed-graph semantics:
+    * node universe = src ∪ dst, pure sources keep teleport-only rank,
+    * sinks (deg 0) accumulate but distribute nothing.
+    */
+  private def refDirected(edges: Seq[(Long, Long)], iters: Int,
+      base: Long): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var rank = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          rank(src) * 17L / (20L * deg(src)) }.sum
+      }
+      rank = nodes.map(n => n -> (3L * base / 20L + in.getOrElse(n, 0L)))
+        .toMap
+    }
+    rank
+  }
+
+  test("directed graph: zero-in-degree nodes are retained with " +
+    "teleport-only rank, sinks get deg 0, reference matches bit-for-bit") {
+    import spark.implicits._
+    // 0 -> 1 -> 2 -> 3 (sink); 4 -> 2; 0 and 4 have NO in-edges.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 2L))
+    val got = GraphOps.pageRank(edges.toDF("src", "dst").repartition(3),
+        iters = 3, Base, materialize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every node of src ∪ dst present exactly once
+    assert(got.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val ranks = got.map(t => t._1 -> t._3).toMap
+    assert(ranks == refDirected(edges, 3, Base))
+    // pure sources hold exactly the teleport mass
+    assert(ranks(0L) == 3L * Base / 20L && ranks(4L) == 3L * Base / 20L)
+    // the sink has deg 0 and positive rank
+    val deg = got.map(t => t._1 -> t._2).toMap
+    assert(deg(3L) == 0L && ranks(3L) > 0L)
+    // mass never exceeds N*base (teleport + floor losses only shrink)
+    assert(ranks.values.sum <= 5L * Base)
+  }
+
+  test("deep iteration (checkpoint cadence) stays bit-identical to " +
+    "the sequential reference") {
+    val rnd = new scala.util.Random(7)
+    val edges = symmetrize(
+      Seq.tabulate(120)(_ =>
+        (rnd.nextInt(15).toLong, 20L + rnd.nextInt(10))).distinct)
+    import spark.implicits._
+    val got = GraphOps.pageRank(edges.toDF("src", "dst").repartition(4),
+        iters = 17, Base, materialize = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == ref(edges, 17, Base))
+  }
+
+  test("triangle count is exact for node ids far above 2^20 " +
+    "(struct-ordered orientation, no packed-key collisions)") {
+    // planted: one triangle entirely above 2^20, one mixed, plus a
+    // non-triangle wedge with huge ids
+    val a = 5000000L; val b = 1L << 21; val c = 1L << 30
+    val d = 7L; val e = 3000000000L
+    val edges = Seq(
+      (a, b), (b, c), (a, c),          // triangle 1 (all > 2^20)
+      (d, a), (d, b),                  // closes (d,a,b) with (a,b)
+      (d, e), (a, e)                   // wedge only — no (d,a)? yes (d,a) exists -> triangle (d,a,e)
+    ).map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+    // brute force
+    val es = edges.toSet
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    var brute = 0L
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      k <- j + 1 until nodes.size
+      if es((nodes(i), nodes(j))) && es((nodes(i), nodes(k))) &&
+        es((nodes(j), nodes(k)))
+    } brute += 1
+    assert(brute >= 2L) // the planting worked
+    assert(triCount(edges) == brute)
+  }
+
   test("overflow guard fails loudly instead of wrapping") {
     import spark.implicits._
     val edges = symmetrize(Seq((1L, 2L), (2L, 3L)))

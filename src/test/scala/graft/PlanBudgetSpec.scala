@@ -198,6 +198,25 @@ class PlanBudgetSpec extends AnyFunSuite {
     info(s"measured scan counts:\n$report")
   }
 
+  // pipeline_full checkpoints between stage 3 and 4, so the standard
+  // final-plan walk would see zero base scans; pin both halves
+  // explicitly: ALL documents scans live in the pre-checkpoint
+  // relation (<= 3: projection + the two shingle branches) and the
+  // packed output reads only the checkpoint — so the whole pipeline
+  // reads the corpus at most 3 times end-to-end.
+  test("pipeline_full: <= 3 documents scans before the checkpoint, zero after") {
+    Engine.configure(spark)
+    import graft.operators.CorpusOps
+    val clean = CorpusOps.pipelineClean(spark, TestSpark.sf)
+    val pre = scanCounts(clean)
+    assert(pre.getOrElse("documents", 0) <= 3,
+      s"pre-checkpoint scans: $pre")
+    assert(pre.values.sum <= 3, s"pre-checkpoint scans: $pre")
+    val post = scanCounts(CorpusOps.pipelinePack(clean.localCheckpoint()))
+    assert(post.isEmpty, s"post-checkpoint base-table scans: $post")
+    info(s"pipeline_full: pre=$pre post=$post")
+  }
+
   test("organic-path scan budgets: star paths one scan, pair paths two") {
     Engine.configure(spark)
     import graft.operators.{DedupOps, SimilarityOps}

@@ -15,12 +15,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * pinned decisions — star dims build while the fact streams, Top-N,
   * 2-phase aggregation, aggregate-then-join, one-row-subquery
   * combination, shared-CTE exchange reuse — are the ones the
-  * reference file locks in. Coverage: 23 of the file's 24 queries;
-  * TPCDS-Q66 (tpcds-all.test:3406-3553) unions web_sales and
-  * catalog_sales channels that the derived driver schema has no
-  * analog for (store channel only) — the registry does not implement
-  * it, adjudicated with the q2/q11-style derivation boundary in
-  * SURVEY 11.3.
+  * reference file locks in. Coverage: 24 of the file's 24 queries.
+  * (TPCDS-Q66 at tpcds-all.test:3406-3553 was long mis-adjudicated
+  * as needing web_sales/catalog_sales; the reference file's q66 is
+  * actually the store-only promotions/total text — byte-identical to
+  * tpcds-q61.test — so it ports directly; see the q66 pin below and
+  * the `tpcds_q66` registry entry.)
   */
 class PlannerSpec7 extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -264,6 +264,25 @@ class PlannerSpec7 extends AnyFunSuite {
     assert(!buildSubtrees(p).flatMap(scanPaths).exists(_.contains("lineitem")),
       p.toString)
     assert(p.toString.split("HashAggregate").length - 1 >= 2, p.toString)
+  }
+
+  // TPCDS-Q66 (tpcds-all.test:3406-3553): the planner file's q66 is
+  // the store-only promotions/total text (= workload tpcds-q61.test).
+  // Reference plan: NESTED LOOP JOIN [CROSS JOIN] of two AGGREGATE
+  // [FINALIZE] fragments — two independent single-row sum branches,
+  // dims build while both fact scans stream; never a data-sized
+  // cartesian.
+  test("tpcds q66: two 1-row agg branches cross-joined, fact streams (tpcds-all.test:3406-3553)") {
+    val p = qBig("tpcds_q66").queryExecution.sparkPlan
+    val s = p.toString
+    assert(s.split("BroadcastNestedLoopJoin").length - 1 >= 1, s)
+    assert(!s.contains("CartesianProduct"), s)
+    // each branch is its own 2-phase sum: >= 4 HashAggregate nodes
+    assert(s.split("HashAggregate").length - 1 >= 4, s)
+    val builds = buildSubtrees(p)
+    assert(builds.nonEmpty, s)
+    assert(!builds.flatMap(scanPaths).exists(_.contains("lineitem")),
+      s"fact on a build side:\n$s")
   }
 
   // TPCDS-Q59 (tpcds-all.test:1594-1852): the shared weekly-sales CTE

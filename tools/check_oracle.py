@@ -57,8 +57,26 @@ def main():
             n_fail += 1
             continue
         if [str(t) for t in s.dtypes] != [str(t) for t in o.dtypes]:
-            print(f"WARN {name}: dtypes spark={list(map(str, s.dtypes))} "
-                  f"oracle={list(map(str, o.dtypes))}")
+            # The driver hashes *renderings*, so an int64-vs-HUGEINT
+            # (pandas float64) divergence fails its gate even when every
+            # value is equal. Any dtype mismatch where neither side is a
+            # float is therefore a hard FAIL here too; float-vs-float
+            # width drift stays a WARN (values still compared below).
+            mismatched = [
+                (c, str(s.dtypes[i]), str(o.dtypes[i]))
+                for i, c in enumerate(s.columns)
+                if str(s.dtypes[i]) != str(o.dtypes[i])]
+            hard = [m for m in mismatched
+                    if not (m[1].startswith("float")
+                            and m[2].startswith("float"))]
+            if hard:
+                print(f"FAIL {name}: dtype mismatch (driver hashes "
+                      f"renderings): {hard}")
+                n_fail += 1
+                continue
+            print(f"WARN {name}: float-width dtypes spark="
+                  f"{list(map(str, s.dtypes))} oracle="
+                  f"{list(map(str, o.dtypes))}")
         if len(s) != len(o):
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
             n_fail += 1
