@@ -201,6 +201,49 @@ object Bench {
       spark.catalog.dropTempView(name)
     }
 
+    // streaming interval-overlap throughput: every event as a 60 s
+    // activity interval vs ±10 min incident windows around high-value
+    // errors, replayed end-time-ordered as 8 micro-batches; state =
+    // live buckets only (stderr line records the bound).
+    var ivStateRows = -1L
+    var ivEmitted = -1L
+    def streamInterval(): Unit = withStreamingPartitions {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ev = Engine.table(spark, sfDir, "events")
+        .selectExpr("event_id", "(ts - ts % 1000) AS tsn",
+          "event_type", "value")
+      val a = ev.selectExpr("event_id AS id", "0 AS side",
+        "tsn AS s", "tsn + 60000000000 AS e")
+      val b = ev.filter("event_type = 'error' AND value >= 200.0")
+        .selectExpr("event_id AS id", "1 AS side",
+          "tsn - 600000000000 AS s", "tsn + 600000000000 AS e")
+      val rows = a.unionAll(b).orderBy(col("e"), col("side"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      val name = s"bench_stream_interval_${System.nanoTime()}"
+      val input = MemoryStream[(Long, Int, Long, Long)]
+      val q = graft.streaming.StreamInterval.overlapMatches(
+        input.toDF().toDF("id", "side", "start", "end")
+          .select(col("id"), col("side"), col("start"), col("end"),
+            (col("end") / 1.0e9).cast("timestamp").as("event_time")),
+        watermark = "0 seconds", shift = 40, maxBuckets = 4)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 7) / 8)).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          ivStateRows = p.stateOperators(0).numRowsTotal
+      } finally q.stop()
+      ivEmitted = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+    }
+
     import graft.operators.{DedupOps, SimilarityOps}
     // organic-path timings (r7 verdict #6): the REAL thresholds, not the
     // planted-twin projections — bench-visible but not oracle entries
@@ -232,6 +275,7 @@ object Bench {
       "organic_stream_asof" -> (() => streamAsof()),
       "organic_stream_cms" -> (() => streamCms()),
       "organic_stream_changelog" -> (() => streamChangelog()),
+      "organic_stream_interval" -> (() => streamInterval()),
       "organic_kmeans_fit" ->
         (() => { graft.operators.MlOps.kmeansFit(
           Engine.table(spark, sfDir, "embeddings")
@@ -265,6 +309,12 @@ object Bench {
       System.err.println(
         s"[bench] organic_stream_changelog state_rows=$clStateRows " +
           "(bound: one resolved row per distinct key)")
+    }
+    if (ivStateRows >= 0 || ivEmitted >= 0) {
+      System.err.println(
+        s"[bench] organic_stream_interval state_rows=$ivStateRows " +
+          s"emitted=$ivEmitted (state = live buckets within one " +
+          "maxLen horizon, never corpus-bound)")
     }
     if (cmsStateRows >= 0) {
       System.err.println(

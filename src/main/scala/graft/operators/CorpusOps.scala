@@ -684,12 +684,18 @@ object CorpusOps {
     * transcendentals — the reason for choosing DLT's w/u priorities
     * over Efraimidis-Spirakis' u^(1/w) keys).
     *
-    * Scale shape: one map-side priority projection + ONE TopK
-    * (TakeOrdered — no global sort, no shuffle of the corpus), a
-    * 1-row driver tau, and a bounded k-row result.
+    * Scale shape: one map-side priority projection + ONE TakeOrdered
+    * job (no global sort, no shuffle of the corpus) whose k+1 head
+    * rows land on the driver — bounded by construction — where tau
+    * and the estimator are computed locally. The previous
+    * TopK-checkpoint + tau-aggregate + re-sort shape ran THREE jobs
+    * for the same k+1 rows (the r12 `sample_priority` bench
+    * regression); this is one.
     */
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val M = 2147483647L
     val r0 = (pmod(col(idCol), lit(M - 1)) + 1) * lit(48271L) % lit(M)
     val r1 = r0 * lit(48271L) % lit(M)
@@ -700,15 +706,20 @@ object CorpusOps {
           r.cast("double"))
     val top = keyed
       .orderBy(col("__pr").desc, col(idCol).asc)
-      .limit(k + 1)
-      .localCheckpoint(true) // k+1 rows; cut so TopK runs once
-    val tauRow = top.agg(count(lit(1)), min(col("__pr"))).head()
-    val tau = if (tauRow.getLong(0) < k + 1) 0.0 else tauRow.getDouble(1)
-    top.orderBy(col("__pr").desc, col(idCol).asc).limit(k)
-      .select(col(idCol), col(weightCol),
-        col("__pr").as("priority"),
-        greatest(col(weightCol).cast("double"), lit(tau))
-          .as("est_weight"))
+      .head(k + 1) // TakeOrdered; k+1 rows of driver state, bounded
+    val prIdx = keyed.schema.fieldIndex("__pr")
+    val tau = if (top.length < k + 1) 0.0 else top.last.getDouble(prIdx)
+    val idIdx = keyed.schema.fieldIndex(idCol)
+    val wIdx = keyed.schema.fieldIndex(weightCol)
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      top.take(k).map { rw =>
+        Row(rw.get(idIdx), rw.get(wIdx), rw.getDouble(prIdx),
+          math.max(rw.getAs[Number](wIdx).doubleValue(), tau))
+      }: _*)
+    df.sparkSession.createDataFrame(rows, StructType(Seq(
+      keyed.schema(idIdx), keyed.schema(wIdx),
+      StructField("priority", DoubleType, nullable = false),
+      StructField("est_weight", DoubleType, nullable = false))))
   }
 
   private val PriorityK = 100

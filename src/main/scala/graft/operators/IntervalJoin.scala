@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  private def bucketsOf(s: Column, e: Column, shift: Int,
+  /** Package-visible so [[graft.streaming.StreamInterval]] buckets
+    * with the EXACT batch expression (the StreamNearDedup precedent).
+    */
+  private[graft] def bucketsOf(s: Column, e: Column, shift: Int,
       maxBuckets: Int): Column = {
     val seq = sequence(shiftright(s, shift), shiftright(e, shift))
     when(s > e,

@@ -366,12 +366,125 @@ private final class NestedRefRewriter(spark: SparkSession) {
               if (j.joinType == Inner || j.joinType == Cross) &&
                 correlatesWith(sub, scope) =>
             changed = true
-            val sub2 = rewriteNode(sub, scope)
+            // a subplan joining >= 2 correlated collection refs would
+            // plan as two correlated Generates — Spark's decorrelator
+            // rejects that; flatten the inner-join tree onto ONE
+            // correlated array-materializing Project first
+            val flat = tryFlattenMultiRef(sub, scope).getOrElse(sub)
+            val sub2 = rewriteNode(flat, scope)
             LateralJoin(left,
               LateralSubquery(SubqueryAlias(id, sub2)), Inner, j.condition)
           case r => j.copy(left = left, right = rewriteNode(r, outer))
         }
     }
+  }
+
+  /** Walk `rowType` through STRUCT hops only and return the element
+    * type of the FINAL array — None if any intermediate hop is itself
+    * a collection (those still need chained correlated Generates) or
+    * the path does not end on an array.
+    */
+  private def structPathArrayElem(rowType: StructType,
+      parts: Seq[String]): Option[DataType] = {
+    if (parts.isEmpty) return None
+    var cur: DataType = rowType
+    for (p <- parts) {
+      val isLast = p eq parts.last
+      cur match {
+        case st: StructType => field(st, p) match {
+          case None => return None
+          case Some(f) => f.dataType match {
+            case ArrayType(et, _) =>
+              if (isLast) return Some(et) else return None
+            case _: MapType => return None
+            case other =>
+              if (isLast) return None
+              cur = other
+          }
+        }
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** The r12 pinned-limit closure (same-collection subplan self-join):
+    * an INNER/CROSS join tree whose leaves are ALL correlated
+    * struct-path collection refs rewrites to ONE bottom Project that
+    * materializes each outer array into a local attribute
+    * (`outer.arr AS __matN` over OneRowRelation — the only correlated
+    * operator) with the refs' Generates stacked above it over the
+    * LOCAL attributes and every join condition applied as a Filter.
+    * Spark's decorrelator accepts a correlated Project under
+    * arbitrary Generates (verified: it builds a distinct-array domain
+    * and joins back) where it rejects two correlated Generates.
+    * LEFT OUTER ref joins stay pinned: correlation below the right
+    * side of a left outer join is itself unsupported
+    * (ACCESSING_OUTER_QUERY_COLUMN_IS_NOT_ALLOWED), so no
+    * materialization shape can host them.
+    */
+  private def tryFlattenMultiRef(sub: LogicalPlan,
+      scope: Scope): Option[LogicalPlan] = {
+    // ref leaf: (parts, alias, elem type) for a correlated struct-path
+    // array ref of an outer alias
+    def refLeaf(p: LogicalPlan): Option[(Seq[String], Option[String], DataType)] = {
+      val (parts, alias) = p match {
+        case u: UnresolvedRelation => (u.multipartIdentifier, None)
+        case SubqueryAlias(id, u: UnresolvedRelation) =>
+          (u.multipartIdentifier, Some(id.name))
+        case _ => return None
+      }
+      if (parts.length < 2) return None
+      scope.get(parts.head.toLowerCase)
+        .flatMap(rt => structPathArrayElem(rt, parts.tail))
+        .map(et => (parts, alias, et))
+    }
+    // collect an all-ref inner-join tree; None on any other shape
+    def collectTree(p: LogicalPlan):
+        Option[(Seq[(Seq[String], Option[String], DataType)], Seq[Expression])] =
+      p match {
+        case Join(l, r, Inner | Cross, cond, _) =>
+          for {
+            (lr, lc) <- collectTree(l)
+            (rr, rc) <- collectTree(r)
+          } yield (lr ++ rr, lc ++ rc ++ cond.toSeq)
+        case other => refLeaf(other).map(r => (Seq(r), Nil))
+      }
+    // descend through the unary wrappers above the FROM, rebuild in place
+    def descend(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case pr: Project => descend(pr.child).map(c => pr.copy(child = c))
+      case f: Filter => descend(f.child).map(c => f.copy(child = c))
+      case a: Aggregate => descend(a.child).map(c => a.copy(child = c))
+      case j: Join => collectTree(j).flatMap { case (refs, conds) =>
+        if (refs.length < 2) None
+        else {
+          changed = true
+          val mats = refs.map { case (parts, _, _) =>
+            nextId += 1
+            (s"__mat$nextId", parts)
+          }
+          val bottom = Project(mats.map { case (m, parts) =>
+            Alias(UnresolvedAttribute(parts), m)(): NamedExpression },
+            OneRowRelation())
+          var plan: LogicalPlan = bottom
+          refs.zip(mats).foreach { case ((parts, alias, et), (m, _)) =>
+            val q = alias.getOrElse(parts.last)
+            val flatten = et.isInstanceOf[StructType]
+            val outAttrs =
+              Seq(AttributeReference("pos", LongType, nullable = true)(),
+                AttributeReference("item", et, nullable = true)()) ++
+              (if (flatten) et.asInstanceOf[StructType].fields.toSeq.map(sf =>
+                AttributeReference(sf.name, sf.dataType, nullable = true)())
+               else Nil)
+            plan = Generate(UnnestArray(UnresolvedAttribute(Seq(m)), flatten),
+              Nil, outer = false, Some(q), outAttrs, plan)
+          }
+          Some(conds.foldLeft(plan)((acc, c) => Filter(c, acc)))
+        }
+      }
+      case _ => None
+    }
+    descend(sub)
   }
 
   /** Does this subquery's FROM reference a collection of an outer alias?

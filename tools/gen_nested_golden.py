@@ -146,11 +146,23 @@ BLOCKS = []
 def block(ref, comment, engine_sql, expected, ordered=False, catch=None):
     BLOCKS.append((ref, comment, engine_sql.strip(), expected, ordered, catch))
 
-LIMIT_NOTE = ("ENGINE LIMITATION PIN: a subplan joining TWO correlated "
-              "collection refs needs Spark's decorrelator to support more "
-              "than one correlated Generate; the reference's SubplanNode "
-              "evaluates the subtree per row. Pinned as the documented "
-              "error until Spark can plan it.")
+CLOSED_NOTE = ("Closed round 13: the rewriter flattens an inner-join tree "
+               "of correlated collection refs onto ONE array-materializing "
+               "Project (outer.arr AS __matN over OneRowRelation) with the "
+               "Generates stacked above over LOCAL attributes, so Spark "
+               "decorrelates a single correlated Project instead of "
+               "rejecting two correlated Generates "
+               "(plans/NestedTableRefs.scala tryFlattenMultiRef).")
+
+LIMIT_NOTE = ("ENGINE LIMITATION PIN (narrowed round 13): correlation "
+              "below the RIGHT side of a left outer join is unsupported by "
+              "Spark's decorrelator outright "
+              "(ACCESSING_OUTER_QUERY_COLUMN_IS_NOT_ALLOWED), so no "
+              "materialization shape can host a correlated ref there; the "
+              "reference's SubplanNode evaluates the subtree per row. "
+              "INNER-join multi-ref subplans are closed (see the flattened "
+              "blocks above); this left-outer form stays the documented "
+              "error.")
 
 
 # ---------------------------------------------------------------------
@@ -356,14 +368,18 @@ where c.c_custkey < 4
   and not exists (select 1 from orders_n o where o.o_custkey = c.c_custkey)"""))
 
 block("nested-types-subplan.test",
-      "Test hash join inside a subplan. " + LIMIT_NOTE,
+      "Test hash join inside a subplan. " + CLOSED_NOTE,
       """select c_custkey, c_mktsegment, o_orderkey, o_orderdate
 from customer_nested c,
   (select o1.o_orderkey, o2.o_orderdate
    from c.c_orders o1, c.c_orders o2
    where o1.o_orderkey = o2.o_orderkey) v
 where c_custkey < 4""",
-      [], catch="UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY")
+      duck("""select c.c_custkey, c.c_mktsegment, o1.o_orderkey, o2.o_orderdate
+from customer_n c
+join orders_n o1 on o1.o_custkey = c.c_custkey
+join orders_n o2 on o2.o_custkey = c.c_custkey
+where o1.o_orderkey = o2.o_orderkey and c.c_custkey < 4"""))
 
 block("nested-types-subplan.test",
       "Test uncorrelated scalar subquery with a relative table ref.",
@@ -626,17 +642,22 @@ WHERE c_custkey < 3
 GROUP BY c_custkey""",
       _mxavg)
 
-block("subplans.test", "Test a self-join inside a subplan. " + LIMIT_NOTE,
+block("subplans.test", "Test a self-join inside a subplan. " + CLOSED_NOTE,
       """SELECT count(okey), opriority
 FROM customer_nested c,
   (SELECT ca.o_orderkey okey, ca.o_orderpriority opriority
    FROM c.c_orders ca, c.c_orders cb
    WHERE ca.o_orderkey = cb.o_orderkey) v
 GROUP BY opriority""",
-      [], catch="UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY")
+      duck("""SELECT count(ca.o_orderkey), ca.o_orderpriority
+FROM customer_n c
+JOIN orders_n ca ON ca.o_custkey = c.c_custkey
+JOIN orders_n cb ON cb.o_custkey = c.c_custkey
+WHERE ca.o_orderkey = cb.o_orderkey
+GROUP BY ca.o_orderpriority"""))
 
 block("subplans.test",
-      "Test a join inside a subplan (empty result). " + LIMIT_NOTE,
+      "Test a join inside a subplan (empty result). " + CLOSED_NOTE,
       """SELECT count(okey), opriority
 FROM customer_nested c,
   (SELECT ca.o_orderkey okey, ca.o_orderpriority opriority
@@ -644,7 +665,13 @@ FROM customer_nested c,
    WHERE ca.o_orderkey = cb.o_orderkey
    AND ca.o_totalprice + cb.o_totalprice < 2) v
 GROUP BY opriority""",
-      [], catch="UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY")
+      duck("""SELECT count(ca.o_orderkey), ca.o_orderpriority
+FROM customer_n c
+JOIN orders_n ca ON ca.o_custkey = c.c_custkey
+JOIN orders_n cb ON cb.o_custkey = c.c_custkey
+WHERE ca.o_orderkey = cb.o_orderkey
+  AND ca.o_totalprice + cb.o_totalprice < 2
+GROUP BY ca.o_orderpriority"""))
 
 block("subplans.test",
       "Test a left outer join inside a subplan. " + LIMIT_NOTE,
