@@ -90,11 +90,16 @@ object ImageDedup {
     ids.mapPartitions { it =>
       it.flatMap { id =>
         // twin id must not collide with a real doc_id, else the pair
-        // table silently corrupts (doc_a < doc_b suppresses dup rows);
-        // loud guard, same policy as ZOrder/Hilbert/IntervalJoin
-        require(id >= 0 && id < 10000000L,
-          s"imageDedup: doc_id $id outside [0, 1e7) — planted-twin id " +
-            "arithmetic (id + 1e7) would collide with real ids")
+        // table silently corrupts (doc_a < doc_b suppresses dup rows).
+        // Loud guard on the band contract (ZOrder/Hilbert precedent):
+        // every real id keeps its low-8-digit residue below 1e7, so
+        // the twin band [1e7, 2e7) within each 1e8 block is free —
+        // true for the driver SFs (ids < 1e7) AND the 10x/100x sweep
+        // layout (id += k*1e8)
+        require(id >= 0 && id % 100000000L < 10000000L,
+          s"imageDedup: doc_id $id violates the twin-band contract " +
+            "(id % 1e8 must be < 1e7) — twin arithmetic (+1e7) would " +
+            "collide with real ids")
         val base = RawImage.decodePpm(grayPpmPayload(id, twin = false))
         val tw = RawImage.decodePpm(grayPpmPayload(id, twin = true))
         Iterator(ImgHash(id, dhashOf(base)),
@@ -244,9 +249,9 @@ object ImageDedup {
             Seq(0, 2, 4).map(f =>
               FrameHash(docId, f, lumaDhash(v.frames(f).luma)))
           }
-          require(id >= 0 && id < 10000000L,
-            s"videoDedup: doc_id $id outside [0, 1e7) — twin-id " +
-              "arithmetic would collide with real ids")
+          require(id >= 0 && id % 100000000L < 10000000L,
+            s"videoDedup: doc_id $id violates the twin-band contract " +
+              "(id % 1e8 < 1e7) — twin arithmetic would collide")
           hashesOf(id, twin = false) ++
             hashesOf(id + 10000000L, twin = true)
         }
@@ -360,9 +365,9 @@ object ImageDedup {
         .select(col("doc_id")).as[Long]
       val fps = ids.mapPartitions { it =>
         it.flatMap { id =>
-          require(id >= 0 && id < 10000000L,
-            s"audioDedup: doc_id $id outside [0, 1e7) — twin-id " +
-              "arithmetic would collide with real ids")
+          require(id >= 0 && id % 100000000L < 10000000L,
+            s"audioDedup: doc_id $id violates the twin-band contract " +
+              "(id % 1e8 < 1e7) — twin arithmetic would collide")
           val base = RawAudio.decodeWav(wavQrPayload(id, twin = false))
           val tw = RawAudio.decodeWav(wavQrPayload(id, twin = true))
           Iterator(AudioFp(id, audioFingerprint(base.samples)),

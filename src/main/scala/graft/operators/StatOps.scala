@@ -365,7 +365,94 @@ object StatOps {
       |FROM pa JOIN pb ON pa.column = pb.column
       |ORDER BY pa.column""".stripMargin))
 
+  /** 7-day rolling quantiles from MERGED DAILY HISTOGRAMS — the
+    * mergeable-summary rolling pattern (the Druid/ClickHouse shape:
+    * store one tiny summary per (day, bucket), answer any window by
+    * merging summaries, never rescan raw events). The corpus is
+    * scanned ONCE into per-(day, bucket) counts (≤ days×256 rows);
+    * a RANGE window over day merges 7 days of counts per bucket, a
+    * second window cumulates per day, and p50/p90/p99 are the
+    * smallest buckets whose cumulative count reaches ceil(q·n).
+    *
+    * Determinism: bucket = floor(value / 2.0) (one correctly-rounded
+    * IEEE division + floor, identical in both engines — the Det
+    * policy's transcendental-free rule), every count is an integer,
+    * and the ceil(q·n) threshold is one double multiply both engines
+    * round identically. The quantile is a bucket INDEX — the
+    * histogram-resolution contract (±1 bucket = ±2.0 of value) is the
+    * operator's documented precision, which is what makes the
+    * approximation itself hash-checkable rather than toleranced.
+    *
+    * 100 TB shape: raw events never shuffle (map-side partial
+    * aggregation into day×256 cells); the windows run over the tiny
+    * histogram relation. The day spine (every bucket row present per
+    * day) keeps the RANGE merge correct when a bucket is empty on
+    * some days. µs-aligned day key (NOTES rule 2).
+    */
+  val rollingQuantilesEntry: Q = Q("stat_rolling_quantiles",
+    (s, d) => {
+      Engine.configure(s)
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.table(s, d, "events").select(
+        expr("(ts - ts % 1000) div 86400000000000").as("day"),
+        floor(col("value") / 2.0).cast("int").as("b"))
+      val daily = ev.groupBy(col("day"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val spine = daily.select(col("day")).distinct()
+        .select(col("day"), explode(sequence(lit(0), lit(255))).as("b"))
+      val merged = spine.join(daily, Seq("day", "b"), "left")
+        .select(col("day"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("mc", sum(col("c")).over(
+          Window.partitionBy(col("b")).orderBy(col("day"))
+            .rangeBetween(-6, 0)))
+      val cum = merged
+        .withColumn("cum", sum(col("mc")).over(
+          Window.partitionBy(col("day")).orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("mc")).over(
+          Window.partitionBy(col("day"))))
+      def pq(q: Double, name: String) =
+        min(when(col("cum") >= ceil(lit(q) * col("tot")), col("b")))
+          .as(name)
+      cum.groupBy(col("day"))
+        .agg(max(col("tot")).as("n"),
+          pq(0.50, "p50"), pq(0.90, "p90"), pq(0.99, "p99"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(FLOOR(value / 2.0) AS INT) AS b
+      |  FROM events),
+      |daily AS (
+      |  SELECT day, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT d.day, r.b FROM (SELECT DISTINCT day FROM daily) d,
+      |    (SELECT CAST(UNNEST(RANGE(0, 256)) AS INT) AS b) r),
+      |m AS (
+      |  SELECT s.day, s.b, COALESCE(dl.c, 0) AS c
+      |  FROM spine s LEFT JOIN daily dl ON s.day = dl.day AND s.b = dl.b),
+      |w AS (
+      |  SELECT day, b, CAST(SUM(c) OVER (PARTITION BY b ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mc
+      |  FROM m),
+      |cw AS (
+      |  SELECT day, b, mc,
+      |    CAST(SUM(mc) OVER (PARTITION BY day ORDER BY b
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(mc) OVER (PARTITION BY day) AS BIGINT) AS tot
+      |  FROM w)
+      |SELECT day, MAX(tot) AS n,
+      |  CAST(MIN(CASE WHEN cum >= CEIL(0.50 * tot) THEN b END) AS INT)
+      |    AS p50,
+      |  CAST(MIN(CASE WHEN cum >= CEIL(0.90 * tot) THEN b END) AS INT)
+      |    AS p90,
+      |  CAST(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN b END) AS INT)
+      |    AS p99
+      |FROM cw GROUP BY day
+      |ORDER BY day""".stripMargin))
+
   val defs: Seq[Q] =
     Seq(bootstrapEntry, covarianceEntry, anomalyEntry, joinSizeEntry,
-      driftEntry)
+      driftEntry, rollingQuantilesEntry)
 }

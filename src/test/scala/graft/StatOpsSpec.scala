@@ -109,4 +109,27 @@ class StatOpsSpec extends AnyFunSuite {
       assert(rows(d).toSeq == a)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("rolling quantiles: merged-histogram windows equal a brute-force " +
+    "7-day recompute per day") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("stat_rolling_quantiles")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // brute force: raw (day, bucket) pairs, re-filter per window
+    val raw = Engine.table(spark, d, "events")
+      .selectExpr("(ts - ts % 1000) div 86400000000000 AS day",
+        "cast(floor(value / 2.0) as int) AS b")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val days = raw.map(_._1).distinct.sorted
+    days.foreach { day =>
+      val win = raw.filter(t => t._1 >= day - 6 && t._1 <= day).map(_._2)
+        .sorted
+      val n = win.length.toLong
+      def q(p: Double): Int = win(math.ceil(p * n).toInt - 1)
+      assert(got(day) == ((n, q(0.50), q(0.90), q(0.99))),
+        s"day $day: got ${got(day)}, want (${n}, ${q(0.5)}, ${q(0.9)}, ${q(0.99)})")
+    }
+  }
 }
