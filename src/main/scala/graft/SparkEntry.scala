@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{JoinQueries, NestedQueries, PredicateQueries, PrimitiveQueries, RelationalQueries, Tpch2Queries, Tpch3Queries, TpchQueries, TpcdsQueries, WindowQueries}
-import graft.operators.{AsofJoin, ChangeOps, Compaction, CorpusOps, DedupOps, ExactQuantile, GraphOps, HilbertCurve, ImageDedup, IntervalJoin, MlOps, RetrievalOps, MultimodalOps, SimilarityOps, SketchOps, StatOps, TextOps, ZOrder}
+import graft.operators.{AsofJoin, ChangeOps, Compaction, CorpusOps, DedupOps, ExactQuantile, FunnelOps, GraphOps, HilbertCurve, ImageDedup, IntervalJoin, MlOps, RetrievalOps, MultimodalOps, SimilarityOps, SketchOps, StatOps, TextOps, ZOrder}
 import graft.functions.Udx
 import graft.sources.{Formats, MixedFormat, TableSink}
 
@@ -23,7 +23,7 @@ object SparkEntry {
       ZOrder.defs ++ HilbertCurve.defs ++
       TextOps.defs ++ CorpusOps.defs ++ DedupOps.defs ++ MlOps.defs ++
       SketchOps.defs ++ RetrievalOps.defs ++ GraphOps.defs ++ StatOps.defs ++
-      ChangeOps.defs ++ Compaction.defs ++
+      ChangeOps.defs ++ Compaction.defs ++ FunnelOps.defs ++
       SimilarityOps.defs ++
       MultimodalOps.defs ++ ImageDedup.defs ++ Udx.defs ++ TableSink.defs ++ Formats.defs ++
       MixedFormat.defs

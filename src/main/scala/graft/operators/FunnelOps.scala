@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics — ordered-funnel and cohort-retention,
+  * the two queries every product-events warehouse runs daily and the
+  * reference's SQL surface can only express with painful self-join
+  * pyramids. Both are exact integer computations over the events
+  * table, fully DuckDB-oracle-checked.
+  *
+  * 100 TB shapes:
+  *  - Funnel: one filtered aggregate per stage, each a shuffle on
+  *    user_id that AQE plans off the same exchange family; stage k+1
+  *    joins stage k's (user, t_k) — a users-sized relation, not
+  *    events-sized. No per-user arrays, no sorting of the corpus, so
+  *    per-user event counts can be unbounded. With a type-partitioned
+  *    events table the three stage scans become partition-pruned.
+  *  - Retention: distinct (user, day) first (the activity matrix is
+  *    the SMALL relation — users x active-days), cohort = min day per
+  *    user via one more aggregate on the same key, then a tiny
+  *    (cohort, offset) count. Raw events are touched once.
+  *
+  * Determinism: day keys are µs-aligned epoch-ns div (NOTES rule 2);
+  * all outputs are int64 counts and ns sums — no doubles anywhere.
+  */
+object FunnelOps {
+
+  private val DayNs = 86400000000000L
+
+  /** Driver entry + FULL oracle: the view -> click -> purchase ordered
+    * funnel. Per user: t1 = first view, t2 = first click AFTER t1,
+    * t3 = first purchase AFTER t2 (strict event-time order — the
+    * "did the user progress" semantic, not mere co-occurrence).
+    * Output: one row per stage with the user count that reached it
+    * and the exact total ns lag from the previous stage.
+    */
+  val funnelEntry: Q = Q("events_funnel",
+    (s, d) => {
+      Engine.configure(s)
+      val ev = Engine.table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          (col("ts") - col("ts") % 1000).as("tsn"))
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val v = stage("view").groupBy(col("user_id"))
+        .agg(min(col("tsn")).as("t1"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("tsn") > col("t1"))
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("tsn")).as("t2"))
+      val p = stage("purchase").join(
+          c.select(col("user_id"), col("t2")), "user_id")
+        .filter(col("tsn") > col("t2"))
+        .groupBy(col("user_id"), col("t2"))
+        .agg(min(col("tsn")).as("t3"))
+      val r1 = v.agg(count(lit(1)).as("users"),
+        lit(0L).as("total_lag_ns")).select(lit(1).as("stage"),
+        lit("view").as("event_type"), col("users"), col("total_lag_ns"))
+      val r2 = c.agg(count(lit(1)).as("users"),
+        coalesce(sum(col("t2") - col("t1")), lit(0L)).as("total_lag_ns"))
+        .select(lit(2).as("stage"), lit("click").as("event_type"),
+          col("users"), col("total_lag_ns"))
+      val r3 = p.agg(count(lit(1)).as("users"),
+        coalesce(sum(col("t3") - col("t2")), lit(0L)).as("total_lag_ns"))
+        .select(lit(3).as("stage"), lit("purchase").as("event_type"),
+          col("users"), col("total_lag_ns"))
+      r1.unionAll(r2).unionAll(r3).orderBy(col("stage"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(tsn) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.t1, MIN(e.tsn) AS t2
+      |  FROM ev e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.tsn > v.t1
+      |  GROUP BY e.user_id, v.t1),
+      |p AS (
+      |  SELECT e.user_id, c.t2, MIN(e.tsn) AS t3
+      |  FROM ev e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tsn > c.t2
+      |  GROUP BY e.user_id, c.t2)
+      |SELECT 1 AS stage, 'view' AS event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS users,
+      |  CAST(0 AS BIGINT) AS total_lag_ns FROM v
+      |UNION ALL
+      |SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin))
+
+  /** Driver entry + FULL oracle: cohort retention — users grouped by
+    * their FIRST active day, counted on each later active day they
+    * return (offsets 0..13). The (cohort_day, offset) matrix is the
+    * product-analytics retention curve.
+    */
+  val retentionEntry: Q = Q("events_retention",
+    (s, d) => {
+      Engine.configure(s)
+      val act = Engine.table(s, d, "events")
+        .select(col("user_id"),
+          expr(s"(ts - ts % 1000) div ${DayNs}L").as("day"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      act.join(cohort, "user_id")
+        .select(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .filter(col("day_offset") <= 13)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+      |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM act a JOIN cohort c ON a.user_id = c.user_id
+      |WHERE a.day - c.cohort_day <= 13
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin))
+
+  val defs: Seq[Q] = Seq(funnelEntry, retentionEntry)
+}
