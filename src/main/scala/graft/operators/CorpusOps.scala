@@ -987,8 +987,137 @@ object CorpusOps {
       |FROM packed GROUP BY source, bin_id
       |ORDER BY source, bin_id""".stripMargin))
 
+  /** Incremental-ingest twin of [[pipelineFull]] — the shape a
+    * PRODUCTION corpus runs daily: a new shard arrives (here
+    * `doc_id % 5 = 0` stands in for today's crawl), and only IT is
+    * cleaned, while dedup runs against the STANDING corpus's
+    * fingerprint set instead of re-processing history:
+    *
+    *  1. quality-filter the incoming shard (pipelineFull's rules);
+    *  2. anti-join incoming fingerprints against the standing
+    *     corpus's fingerprint set (`% 5 <> 0` docs) — the standing
+    *     side is a fp-projection aggregate, never re-cleaned;
+    *  3. dedup WITHIN the shard (same one-window survivor);
+    *  4. decontaminate the survivors against the benchmark 8-gram
+    *     set (sentinel-seeded, the [[decontaminate]] recipe);
+    *  5. emit the per-source ingest report (docs, tokens, id range).
+    *
+    * At 100 TB the standing-fp relation is the only history touched —
+    * in production it is a maintained table (or a block Bloom filter,
+    * [[DedupOps]] incremental precedent), so daily cost scales with
+    * the SHARD, not the corpus. All stages reuse pipelineFull's exact
+    * expressions, so the composition semantics stay oracle-pinned.
+    */
+  val pipelineIncremental: Q = Q("pipeline_incremental",
+    (s, d) => {
+      val raw = t(s, d, "documents")
+      val fpCol = md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")))
+      val standingFp = raw.filter(col("doc_id") % 5 =!= 0)
+        .select(fpCol.as("fp")).distinct()
+      val incoming = raw
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(toks(col("text"))).as("ntok"), fpCol.as("fp"),
+          size(split(col("text"), "\n")).as("nlines"),
+          size(array_distinct(split(col("text"), "\n"))).as("ndlines"))
+      val quality = incoming.filter(col("ntok") >= 10 &&
+        lit(10) * (col("nlines") - col("ndlines")) <= lit(3) * col("nlines"))
+      val fresh = quality.join(standingFp, Seq("fp"), "left_anti")
+      val deduped = fresh
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val seeded = raw.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          concat(col("text"), lit(" "), expr(
+            "concat_ws(' ', transform(sequence(0, 6), " +
+              "v -> repeat(concat('sentinel', cast(v as string), ' '), 8)))")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" "),
+              expr("repeat(concat('sentinel', cast(doc_id % 9 as string), ' '), 8)")))
+          .otherwise(col("text")).as("text"))
+      val tk = toks(lower(col("text")))
+      val shingles = seeded
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), explode(
+          when(size(col("tk")) >= 8,
+            transform(sequence(lit(1), size(col("tk")) - 7),
+              i => array_join(slice(col("tk"), i, lit(8)), " ")))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      val bench = shingles.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      val hits = shingles.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .select(col("doc_id")).distinct()
+      deduped.join(hits, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("bigint").as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH fp_all AS (
+      |  SELECT doc_id, source, lang, text,
+      |    MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+      |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |standing AS (SELECT DISTINCT fp FROM fp_all WHERE doc_id % 5 <> 0),
+      |inc AS (
+      |  SELECT doc_id, source, lang, fp,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |         t -> t <> '')) AS INT) AS ntok,
+      |    CAST(LEN(STRING_SPLIT(text, chr(10))) AS INT) AS nlines,
+      |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, chr(10)))) AS INT)
+      |      AS ndlines
+      |  FROM fp_all WHERE doc_id % 5 = 0 AND doc_id % 97 <> 0),
+      |quality AS (
+      |  SELECT * FROM inc
+      |  WHERE ntok >= 10 AND 10 * (nlines - ndlines) <= 3 * nlines),
+      |fresh AS (
+      |  SELECT * FROM quality WHERE fp NOT IN (SELECT fp FROM standing)),
+      |deduped AS (
+      |  SELECT doc_id, source, lang, ntok FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+      |      AS rn FROM fresh)
+      |  WHERE rn = 1),
+      |seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0
+      |         THEN text || ' ' ||
+      |              ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 7),
+      |                v -> REPEAT('sentinel' || CAST(v AS VARCHAR) || ' ', 8)), ' ')
+      |         WHEN doc_id % 13 = 0
+      |         THEN text || ' ' ||
+      |              REPEAT('sentinel' || CAST(doc_id % 9 AS VARCHAR) || ' ', 8)
+      |         ELSE text END AS text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |                x -> x <> '') AS tk
+      |  FROM seeded),
+      |sh AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 6, 1)),
+      |      i -> ARRAY_TO_STRING(tk[i:i+7], ' '))) AS g
+      |  FROM tok),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
+      |  WHERE s.doc_id % 5 = 0 AND s.doc_id % 97 <> 0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM deduped
+      |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin))
+
   val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
     mixtureSample, tokenBudgetSample, prioritySampleQ,
     prioritySampleGroupedQ, termStats,
-    bpeTrainTable, bpeEncode, lmScore, pipelineFull)
+    bpeTrainTable, bpeEncode, lmScore, pipelineFull, pipelineIncremental)
 }

@@ -396,8 +396,14 @@ object StatOps {
       val ev = Engine.table(s, d, "events").select(
         expr("(ts - ts % 1000) div 86400000000000").as("day"),
         floor(col("value") / 2.0).cast("int").as("b"))
+      // materialize the tiny summary (≤ days×256 rows) so the spine
+      // and the merge both read IT, not the corpus — one events scan
+      // end to end (PlanBudgetSpec-pinned); this is also the shape's
+      // point: the summary is the stored artifact, raw events are
+      // touched once
       val daily = ev.groupBy(col("day"), col("b"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val spine = daily.select(col("day")).distinct()
         .select(col("day"), explode(sequence(lit(0), lit(255))).as("b"))
       val merged = spine.join(daily, Seq("day", "b"), "left")

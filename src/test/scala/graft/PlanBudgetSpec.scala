@@ -187,7 +187,20 @@ class PlanBudgetSpec extends AnyFunSuite {
     // map-side bit interleave over one scan
     "layout_zorder" -> Map("orders" -> 1),
     // map-side state-machine kernel over one scan
-    "layout_hilbert" -> Map("orders" -> 1))
+    "layout_hilbert" -> Map("orders" -> 1),
+    // ONE events scan builds the checkpointed day x 256 histogram;
+    // the final plan reads only the checkpoint (0 scans here — the
+    // single pre-checkpoint scan is structural, like pipeline_full's)
+    "stat_rolling_quantiles" -> Map("events" -> 1),
+    // one filtered stage scan per funnel stage + one reuse defeat on
+    // the stage-aggregate consumed by both the next stage's join and
+    // its own count row (all narrow type-filtered scans,
+    // partition-pruned on a type-partitioned production table)
+    "events_funnel" -> Map("events" -> 4),
+    // one distinct (user, day) scan; cohort reuses the same exchange
+    "events_retention" -> Map("events" -> 2),
+    // standing-fp scan + incoming scan + the two shingle branches
+    "pipeline_incremental" -> Map("documents" -> 4))
 
   test("per-entry scan-count budgets hold over the dedup/similarity/text families") {
     Engine.configure(spark)

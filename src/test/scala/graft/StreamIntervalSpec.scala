@@ -112,6 +112,33 @@ class StreamIntervalSpec extends AnyFunSuite {
     assert(split == Seq((1L, 2L, 30_000_000L)), split.toString)
   }
 
+  test("watermark jumping far past the horizon in one batch does not " +
+    "crash (timeout clamp) and still emits the straggler's pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Int, Long, Long)]
+    val name = s"stream_interval_jump_${System.nanoTime()}"
+    val q = StreamInterval.overlapMatches(
+      input.toDF().toDF("id", "side", "start", "end")
+        .select(col("id"), col("side"), col("start"), col("end"),
+          (col("end") / 1.0e9).cast("timestamp").as("event_time")),
+      watermark = "10 seconds", shift = Shift, maxBuckets = MaxBuckets)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 0, 0L, 20_000_000L))
+      q.processAllAvailable()
+      // the watermark jumps ~11 days while a marginally-late partner
+      // lands in the SAME batch — the unclamped-timeout crash shape
+      input.addData((2L, 1, 5_000_000L, 25_000_000L),
+        (3L, 0, 1_000_000_000_000_000L, 1_000_000_001_000_000L))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 2L, 15_000_000L)), got.toString)
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+  }
+
   test("bucket state dies one horizon past its end: early buckets are " +
     "gone after the stream moves on") {
     // cluster 1 near t=0; cluster 2 three orders of magnitude later
