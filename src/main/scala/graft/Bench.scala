@@ -201,6 +201,44 @@ object Bench {
       spark.catalog.dropTempView(name)
     }
 
+    // streaming rolling-quantile histograms: events bucketed map-side,
+    // replayed event-time-ordered as 8 micro-batches; state = 256
+    // buckets x ~7 live days (stderr line records the bound).
+    var rqStateRows = -1L
+    var rqEmitted = -1L
+    def streamRollingQuantiles(): Unit = withStreamingPartitions {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val rows = Engine.table(spark, sfDir, "events")
+        .selectExpr("cast(floor(value / 2.0) as int) AS b",
+          "(ts - ts % 1000) div 86400000000000 AS day",
+          "(ts - ts % 1000) div 1000000 AS ms")
+        .orderBy(col("ms"), col("b"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val name = s"bench_stream_rq_${System.nanoTime()}"
+      val input = MemoryStream[(Int, Long, Long)]
+      val q = graft.streaming.StreamQuantiles.mergedCells(
+        input.toDF().toDF("b", "day", "ms")
+          .select(col("b"), col("day"),
+            (col("ms") / 1000.0).cast("timestamp").as("event_time")),
+        watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 7) / 8)).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          rqStateRows = p.stateOperators(0).numRowsTotal
+      } finally q.stop()
+      rqEmitted = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+    }
+
     // streaming interval-overlap throughput: every event as a 60 s
     // activity interval vs ±10 min incident windows around high-value
     // errors, replayed end-time-ordered as 8 micro-batches; state =
@@ -276,6 +314,7 @@ object Bench {
       "organic_stream_cms" -> (() => streamCms()),
       "organic_stream_changelog" -> (() => streamChangelog()),
       "organic_stream_interval" -> (() => streamInterval()),
+      "organic_stream_rquantiles" -> (() => streamRollingQuantiles()),
       "organic_kmeans_fit" ->
         (() => { graft.operators.MlOps.kmeansFit(
           Engine.table(spark, sfDir, "embeddings")
@@ -309,6 +348,12 @@ object Bench {
       System.err.println(
         s"[bench] organic_stream_changelog state_rows=$clStateRows " +
           "(bound: one resolved row per distinct key)")
+    }
+    if (rqStateRows >= 0 || rqEmitted >= 0) {
+      System.err.println(
+        s"[bench] organic_stream_rquantiles state_rows=$rqStateRows " +
+          s"emitted=$rqEmitted (state = buckets x ~7 live days, " +
+          "corpus-size-independent)")
     }
     if (ivStateRows >= 0 || ivEmitted >= 0) {
       System.err.println(
