@@ -85,22 +85,34 @@ object GraphOps {
     // in-edges (a pure source never appears as a dst, so building
     // ranks from the aggregate alone would drop its row and its
     // teleport mass on general directed graphs — invisible on
-    // symmetrized ones). Materialized once; nodes-sized.
-    val spine0 = ranks.select(col("node"))
-    val spine = if (materialize) spine0.localCheckpoint() else spine0
+    // symmetrized ones). The spine join is only NEEDED when the
+    // dst-set is a proper subset of the node universe — detected
+    // ONCE up front (a nodes-sized distinct count, the same cost
+    // class as the overflow-guard count), so symmetrized graphs —
+    // the common case — pay zero per-round spine joins.
+    val nIn = e.select(col("dst")).distinct().count()
+    val needSpine = nIn != n
+    val spine = if (!needSpine) null
+      else if (materialize) ranks.select(col("node")).localCheckpoint()
+      else ranks.select(col("node"))
     for (i <- 1 to iters) {
       val in = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("(rank * 17L) div (20L * deg)").as("__c"))
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__in"))
-      val kept = spine.join(in, spine("node") === in("dst"), "left")
+      val kept =
+        if (needSpine)
+          spine.join(in, spine("node") === in("dst"), "left")
+            .select(col("node"),
+              coalesce(col("__in"), lit(0L)).as("__in"))
+        else in.select(col("dst").as("node"), col("__in"))
       ranks = (seedSet match {
         case Some(ss) => kept.join(broadcast(ss), Seq("node"), "left")
           .select(col("node"), (tele(col("node"), col("__seed")) +
-            coalesce(col("__in"), lit(0L))).as("rank"))
+            col("__in")).as("rank"))
         case None =>
           kept.select(col("node"),
-            (lit(teleport) + coalesce(col("__in"), lit(0L))).as("rank"))
+            (lit(teleport) + col("__in")).as("rank"))
       })
       // lineage grows linearly with iters (only edges are checkpointed
       // up front); cut it every 8 rounds for deep iteration
@@ -260,16 +272,27 @@ object GraphOps {
     val nodes = edges.select(col("x").as("n"))
       .unionAll(edges.select(col("y").as("n")))
     val deg = nodes.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // sortable rank key: degree-major, node-minor, as an UNPACKED
-    // (deg, node) struct — struct ordering is lexicographic in Spark,
-    // so this is a strict total order for ANY int64 node id (the
-    // packed `deg*2^20+node` key silently collided above 2^20 ids)
+    // sortable rank key: degree-major, node-minor. Two encodings with
+    // IDENTICAL order semantics, selected by a one-row bounds check:
+    // the packed `deg*2^20+node` long when every id fits 20 bits (one
+    // long per row through the wedge shuffle — cheap), else an
+    // UNPACKED (deg, node) struct whose lexicographic ordering is a
+    // strict total order for ANY int64 id (the packed key silently
+    // collided above 2^20 — the r12 finding; now it is a guarded
+    // fast path, not an assumption)
+    val bounds = nodes.agg(min(col("n")).cast("long"),
+      max(col("n")).cast("long")).head()
+    val packable = bounds.isNullAt(0) ||
+      (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 20))
+    def rk(d: Column, i: Column): Column =
+      if (packable) d * lit(1048576L) + i.cast("long")
+      else struct(d.as("d"), i.cast("long").as("i"))
     val keyed = edges
       .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
       .select(col("x"), col("y"),
-        struct(col("dx").as("d"), col("x").cast("long").as("i")).as("rx"),
-        struct(col("dy").as("d"), col("y").cast("long").as("i")).as("ry"))
+        rk(col("dx"), col("x")).as("rx"),
+        rk(col("dy"), col("y")).as("ry"))
     val oriented = keyed.select(
       when(col("rx") < col("ry"), col("x")).otherwise(col("y")).as("src"),
       when(col("rx") < col("ry"), col("y")).otherwise(col("x")).as("dst"),
