@@ -280,7 +280,9 @@ object GraphOps {
     // strict total order for ANY int64 id (the packed key silently
     // collided above 2^20 — the r12 finding; now it is a guarded
     // fast path, not an assumption)
-    val bounds = nodes.agg(min(col("n")).cast("long"),
+    // bounds from the deg AGGREGATE (nodes-sized), not the raw edge
+    // union — one row, no extra edge pass
+    val bounds = deg.agg(min(col("n")).cast("long"),
       max(col("n")).cast("long")).head()
     val packable = bounds.isNullAt(0) ||
       (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 20))
