@@ -1116,8 +1116,52 @@ object CorpusOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin))
 
+  /** Quality-curriculum sampling — keep-rate RISES with the document's
+    * quality decile (the curriculum/annealing recipe: low-quality data
+    * subsampled hard, high-quality kept whole). The decile is a
+    * DISTRIBUTED rank of the distinct score values
+    * ([[Compaction.rankMap]] — no single-partition window whatever the
+    * score NDV), the keep decision is the md5-bucket rule of
+    * [[sampleStratified]] (rate (d+1)/10 as the integer hex threshold
+    * ((d+1)·256) div 10 — pure integer math, auditable at 100 TB).
+    * Score = n_chars here; any numeric quality column works.
+    */
+  val curriculumSample: Q = Q("sample_curriculum",
+    (s, d) => {
+      val doc = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val rm = Compaction.rankMap(doc, "n_chars", 10L)
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      doc.join(broadcast(rm), "n_chars")
+        .withColumn("thr", expr("((n_chars_rank + 1) * 256) div 10"))
+        .filter(col("thr") >= 256 ||
+          bucket < format_string("%02x", col("thr").cast("int")))
+        .groupBy(col("n_chars_rank").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH rv AS (
+      |  SELECT n_chars,
+      |    ((ROW_NUMBER() OVER (ORDER BY n_chars) - 1) * 10)
+      |      // COUNT(*) OVER () AS decile
+      |  FROM (SELECT DISTINCT n_chars FROM documents)),
+      |k AS (
+      |  SELECT d.doc_id, rv.decile, d.n_chars,
+      |    ((rv.decile + 1) * 256) // 10 AS thr
+      |  FROM documents d JOIN rv ON d.n_chars = rv.n_chars)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM k
+      |WHERE thr >= 256
+      |   OR SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)
+      |      < PRINTF('%02x', CAST(thr AS INT))
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin))
+
   val defs: Seq[Q] = Seq(decontaminate, packSequences, sampleStratified,
     mixtureSample, tokenBudgetSample, prioritySampleQ,
     prioritySampleGroupedQ, termStats,
-    bpeTrainTable, bpeEncode, lmScore, pipelineFull, pipelineIncremental)
+    bpeTrainTable, bpeEncode, lmScore, pipelineFull, pipelineIncremental,
+    curriculumSample)
 }
