@@ -127,5 +127,46 @@ object FunnelOps {
       |GROUP BY 1, 2
       |ORDER BY cohort_day, day_offset""".stripMargin))
 
-  val defs: Seq[Q] = Seq(funnelEntry, retentionEntry)
+  /** Driver entry + FULL oracle: event-type transition matrix — for
+    * each user's event-time-ordered stream, count consecutive
+    * (from_type -> to_type) pairs. The first-order Markov statistic
+    * behind "what do users do next" and sequence-mining feature
+    * tables.
+    *
+    * 100 TB shape: ONE window (lead over user_id partitions — the
+    * per-user shuffle every sequence operator needs) + one
+    * small-keyed aggregate (|types|² rows). Ties on ts break by
+    * event_id, so the sequence — and therefore every count — is
+    * deterministic under any partitioning.
+    */
+  val transitionsEntry: Q = Q("events_transitions",
+    (s, d) => {
+      Engine.configure(s)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsn"), col("event_id"))
+      Engine.table(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("ts") - col("ts") % 1000).as("tsn"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
+      |  FROM events),
+      |seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tsn, event_id) AS to_type
+      |  FROM ev)
+      |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM seq WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin))
+
+  val defs: Seq[Q] = Seq(funnelEntry, retentionEntry, transitionsEntry)
 }

@@ -200,7 +200,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // one distinct (user, day) scan; cohort reuses the same exchange
     "events_retention" -> Map("events" -> 2),
     // standing-fp scan + incoming scan + the two shingle branches
-    "pipeline_incremental" -> Map("documents" -> 4))
+    "pipeline_incremental" -> Map("documents" -> 4),
+    // fact scan + broadcast rank map (the map's own distinct scan is
+    // pre-checkpoint, structural like pipeline_full's)
+    "sample_curriculum" -> Map("documents" -> 2),
+    // one scan through the per-user lead window
+    "events_transitions" -> Map("events" -> 1))
 
   test("per-entry scan-count budgets hold over the dedup/similarity/text families") {
     Engine.configure(spark)
