@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
-COPY = ["region", "nation", "customer", "supplier", "part", "events"]
+COPY = ["region", "nation", "customer", "supplier", "part"]
 
 
 def replicate(src, out, table, n, key_col, key_off, perturb=None):
@@ -52,6 +52,32 @@ def replicate(src, out, table, n, key_col, key_off, perturb=None):
     print(f"{table}: {t.num_rows} -> {big.num_rows}")
 
 
+def replicate_events(src, out, n):
+    """events replicates along the USER axis (r13): event_id +=
+    k*100_000_000, user_id += k*1_000_000, ts/type/value/props
+    verbatim — N x the users over the same day span, so the events
+    analytics family (funnel/retention/transitions/rolling quantiles/
+    interval join/anomaly/kmv) genuinely scales in the sweep instead
+    of re-running on identical data. TIMESTAMP(NANOS) is preserved
+    (schema passed through, parquet 2.6 writer keeps ns).
+    """
+    t = pq.read_table(f"{src}/events.parquet")
+    parts = []
+    for k in range(n):
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if name == "event_id":
+                col = pc.add(col, pa.scalar(k * 100_000_000, type=col.type))
+            elif name == "user_id":
+                col = pc.add(col, pa.scalar(k * 1_000_000, type=col.type))
+            cols[name] = col
+        parts.append(pa.table(cols, schema=t.schema))
+    big = pa.concat_tables(parts)
+    pq.write_table(big, f"{out}/events.parquet")
+    print(f"events: {t.num_rows} -> {big.num_rows}")
+
+
 def main():
     src, out = sys.argv[1], sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
@@ -60,13 +86,20 @@ def main():
         "embeddings": ("vec_id", 100_000_000, "embedding"),
         "orders": ("o_orderkey", 10_000_000, None),
         "lineitem": ("l_orderkey", 10_000_000, None),
+        "events": (None, None, None),
     }
     tables = (sys.argv[4].split(",") if len(sys.argv) > 4
-              else list(spec.keys()))
+              else [t for t in spec if t != "events"])
+    # non-replicated events still needs a verbatim copy
+    if "events" not in tables:
+        shutil.copy(f"{src}/events.parquet", f"{out}/events.parquet")
     os.makedirs(out, exist_ok=True)
     for t in COPY + [t for t in spec if t not in tables]:
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
     for t in tables:
+        if t == "events":
+            replicate_events(src, out, n)
+            continue
         key, off, perturb = spec[t]
         replicate(src, out, t, n, key, off, perturb=perturb)
 
