@@ -268,7 +268,12 @@ object GraphOps {
     * `edges`: undirected, x < y, distinct. Returns one row
     * (n_nodes, n_edges, n_triangles).
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges0: DataFrame): DataFrame = {
+    // the operator runs FOUR actions (orientation-bounds row, the
+    // closing-join count, n_nodes, n_edges) — without a checkpoint
+    // each one re-derives the caller's edge relation (for the entry,
+    // an events SELF-JOIN) from scratch; materialize it once
+    val edges = edges0.localCheckpoint()
     val nodes = edges.select(col("x").as("n"))
       .unionAll(edges.select(col("y").as("n")))
     val deg = nodes.groupBy(col("n")).agg(count(lit(1)).as("deg"))
