@@ -66,219 +66,208 @@ object Bench {
       try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+    // ---- streaming replay harness (r13 verdict #6/#7) -------------
+    // The replay corpus is written ONCE per row into an 8-chunk
+    // parquet replay dir (range-partitioned + sorted on the replay
+    // order, chunk files stamped with ascending mtimes AND ascending
+    // names — FileStreamSource honors either) and the stream row reads
+    // it back as a FILE source with maxFilesPerTrigger=1: 8
+    // micro-batches in replay order, like the old MemoryStream feed,
+    // but the driver never holds the corpus (the old feed collect()ed
+    // it AND MemoryStream retains every batch for the query's
+    // lifetime — a driver-memory cap on bigger sweeps). Replay dirs
+    // are cached across the two bench passes, so pass 2 measures pure
+    // stream throughput; min-of-2 picks it up.
+    val replayDirs = collection.mutable.Map.empty[String, String]
+    def replayStream(key: String, order: Seq[String],
+        build: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val dir = replayDirs.getOrElseUpdate(key,
+        graft.streaming.FileReplay.write(build, order))
+      graft.streaming.FileReplay.read(spark, dir)
+    }
+    // per-row micro-batch accounting (r13 verdict #7): batches, summed
+    // trigger wall, input rows, final state rows, emitted rows — the
+    // normalization data the streaming-drift attribution needs; lands
+    // in BENCH_FULL.json as "stream_meta".
+    final case class StreamMeta(batches: Long, triggerMs: Long,
+      inputRows: Long, stateRows: Long, emitted: Long)
+    val streamMeta =
+      collection.mutable.LinkedHashMap.empty[String, StreamMeta]
+    def drainStream(row: String,
+        q: org.apache.spark.sql.streaming.StreamingQuery,
+        emitted: => Long): Unit = {
+      try {
+        q.processAllAvailable()
+        val ps = q.recentProgress
+        val state =
+          if (q.lastProgress != null && q.lastProgress.stateOperators.nonEmpty)
+            q.lastProgress.stateOperators(0).numRowsTotal
+          else -1L
+        val trig = ps.map(p =>
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue()).getOrElse(0L)).sum
+        streamMeta(row) = StreamMeta(ps.length.toLong, trig,
+          ps.map(_.numInputRows).sum, state, emitted)
+      } finally q.stop()
+    }
+
     // streaming near-dup throughput: the sf corpus replayed as 8
     // micro-batches through the stateful MinHash star (r9 verdict #5).
-    // State metrics from the final progress land on stderr for NOTES.
-    var streamStateRows = -1L
     def streamNearDedup(): Unit = withStreamingPartitions {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val docs = Engine.table(spark, sfDir, "documents")
-        .selectExpr("doc_id", "text")
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val src = replayStream("neardedup", Seq("doc_id"),
+        Engine.table(spark, sfDir, "documents")
+          .selectExpr("doc_id", "text"))
       val name = s"bench_stream_neardedup_${System.nanoTime()}"
-      val input = MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamNearDedup
-        .starEdges(input.toDF().toDF("doc_id", "text"))
+      val q = graft.streaming.StreamNearDedup.starEdges(src)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      try {
-        docs.grouped(math.max(1, (docs.size + 7) / 8)).foreach { c =>
-          input.addData(c: _*); q.processAllAvailable()
-        }
-        val p = q.lastProgress
-        if (p != null && p.stateOperators.nonEmpty)
-          streamStateRows = p.stateOperators(0).numRowsTotal
-      } finally q.stop()
-      spark.table(name).count()
+      drainStream("organic_stream_neardedup", q, spark.table(name).count())
       spark.catalog.dropTempView(name)
     }
 
     // streaming AS-OF throughput (r11 verdict #5): the sf events table
     // replayed in event-time order as 8 micro-batches through the
     // stateful as-of join (clicks enriched with latest view per user).
-    // Final-progress state rows land on stderr for NOTES — the bound
-    // is per-key dominant-right + in-flight lefts, not history.
-    var asofStateRows = -1L
-    var asofEmitted = -1L
+    // The state bound is per-key dominant-right + in-flight lefts,
+    // not history (stream_meta records it).
     def streamAsof(): Unit = withStreamingPartitions {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions.{col, when}
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val ev = Engine.table(spark, sfDir, "events")
-        .filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("event_id"),
-          when(col("event_type") === "click", 1).otherwise(0).as("side"),
-          (col("ts") / 1000000L).cast("long").as("ms"))
-        .orderBy(col("ms"), col("event_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-          r.getLong(3))).toSeq
+      val src = replayStream("asof", Seq("ms", "id"),
+        Engine.table(spark, sfDir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").as("key"), col("event_id").as("id"),
+            when(col("event_type") === "click", 1).otherwise(0)
+              .as("side"),
+            (col("ts") / 1000000L).cast("long").as("ms")))
       val name = s"bench_stream_asof_${System.nanoTime()}"
-      val input = MemoryStream[(Long, Long, Int, Long)]
       val q = graft.streaming.StreamAsof.asofMatches(
-        input.toDF().toDF("key", "id", "side", "ms")
-          .select(col("key"), col("id"), col("side"),
-            (col("ms") / 1000.0).cast("timestamp").as("event_time")),
+        src.select(col("key"), col("id"), col("side"),
+          (col("ms") / 1000.0).cast("timestamp").as("event_time")),
         watermark = "0 seconds")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      try {
-        ev.grouped(math.max(1, (ev.size + 7) / 8)).foreach { c =>
-          input.addData(c: _*); q.processAllAvailable()
-        }
-        val p = q.lastProgress
-        if (p != null && p.stateOperators.nonEmpty)
-          asofStateRows = p.stateOperators(0).numRowsTotal
-      } finally q.stop()
-      asofEmitted = spark.table(name).count()
+      drainStream("organic_stream_asof", q, spark.table(name).count())
       spark.catalog.dropTempView(name)
     }
 
     // streaming CMS throughput: the sf corpus replayed as 8
     // micro-batches through the stateful sketch; state is bounded by
-    // the 256 sketch cells — the stderr line records the bound held.
-    var cmsStateRows = -1L
+    // the 256 sketch cells (stream_meta records the bound held).
     def streamCms(): Unit = withStreamingPartitions {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val docs = Engine.table(spark, sfDir, "documents")
-        .selectExpr("doc_id", "text")
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val src = replayStream("cms", Seq("doc_id"),
+        Engine.table(spark, sfDir, "documents")
+          .selectExpr("doc_id", "text"))
       val name = s"bench_stream_cms_${System.nanoTime()}"
-      val input = MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamHeavyHitters
-        .cells(input.toDF().toDF("doc_id", "text"))
+      val q = graft.streaming.StreamHeavyHitters.cells(src)
         .writeStream.format("memory").queryName(name)
         .outputMode("update").start()
-      try {
-        docs.grouped(math.max(1, (docs.size + 7) / 8)).foreach { c =>
-          input.addData(c: _*); q.processAllAvailable()
-        }
-        val p = q.lastProgress
-        if (p != null && p.stateOperators.nonEmpty)
-          cmsStateRows = p.stateOperators(0).numRowsTotal
-      } finally q.stop()
-      spark.table(name).count()
+      drainStream("organic_stream_cms", q, spark.table(name).count())
       spark.catalog.dropTempView(name)
     }
 
     // streaming changelog-resolution throughput: an organic changelog
     // (the snapshot_merge derivation at sf scale, multiple ops per
-    // key) replayed as 8 micro-batches; state = one row per distinct
-    // key (stderr line records it).
-    var clStateRows = -1L
+    // key) replayed seq-ordered as 8 micro-batches; state = one row
+    // per distinct key (stream_meta records it).
     def streamChangelog(): Unit = withStreamingPartitions {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.functions.col
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val docs = Engine.table(spark, sfDir, "documents")
-        .selectExpr("doc_id", "substring(text, 1, 32) AS t")
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      val log = docs.flatMap { case (id, t) =>
-        Seq((id, 1L, "upsert", t)) ++
-          (if (id % 5 == 0) Seq((id, 2L, "upsert", t.toUpperCase)) else Nil) ++
-          (if (id % 7 == 0) Seq((id, 3L, "delete", "")) else Nil)
-      }.sortBy(_._2) // seq order, the CDC arrival shape
+      import org.apache.spark.sql.functions.{col, lit, upper}
+      val src = replayStream("changelog", Seq("seq", "key"), {
+        val docs = Engine.table(spark, sfDir, "documents")
+          .selectExpr("doc_id", "substring(text, 1, 32) AS t")
+        docs.select(col("doc_id").as("key"), lit(1L).as("seq"),
+            lit("upsert").as("op"), col("t").as("payload"))
+          .unionAll(docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("key"), lit(2L).as("seq"),
+              lit("upsert").as("op"), upper(col("t")).as("payload")))
+          .unionAll(docs.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("key"), lit(3L).as("seq"),
+              lit("delete").as("op"), lit("").as("payload")))
+      })
       val name = s"bench_stream_changelog_${System.nanoTime()}"
-      val input = MemoryStream[(Long, Long, String, String)]
-      val q = graft.streaming.StreamChangelog.resolved(
-          input.toDF().toDF("key", "seq", "op", "payload"))
+      val q = graft.streaming.StreamChangelog.resolved(src)
         .writeStream.format("memory").queryName(name)
         .outputMode("update").start()
-      try {
-        log.grouped(math.max(1, (log.size + 7) / 8)).foreach { c =>
-          input.addData(c: _*); q.processAllAvailable()
-        }
-        val p = q.lastProgress
-        if (p != null && p.stateOperators.nonEmpty)
-          clStateRows = p.stateOperators(0).numRowsTotal
-      } finally q.stop()
-      spark.table(name).count()
+      drainStream("organic_stream_changelog", q, spark.table(name).count())
       spark.catalog.dropTempView(name)
     }
 
-    // streaming rolling-quantile histograms: events bucketed map-side,
-    // replayed event-time-ordered as 8 micro-batches; state = 256
-    // buckets x ~7 live days (stderr line records the bound).
-    var rqStateRows = -1L
-    var rqEmitted = -1L
+    // streaming rolling-quantile histograms: events bucketed map-side
+    // (the SHARED clamped valueBucket — same domain rule as the batch
+    // entry and its oracle), replayed event-time-ordered as 8
+    // micro-batches; state = 256 buckets x ~7 live days (stream_meta
+    // records the bound).
     def streamRollingQuantiles(): Unit = withStreamingPartitions {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.functions.col
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val rows = Engine.table(spark, sfDir, "events")
-        .selectExpr("cast(floor(value / 2.0) as int) AS b",
-          "(ts - ts % 1000) div 86400000000000 AS day",
-          "(ts - ts % 1000) div 1000000 AS ms")
-        .orderBy(col("ms"), col("b"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        .toSeq
+      import org.apache.spark.sql.functions.{col, expr}
+      val src = replayStream("rquantiles", Seq("ms", "b"),
+        Engine.table(spark, sfDir, "events")
+          .select(
+            graft.operators.StatOps.valueBucket(col("value")).as("b"),
+            expr("(ts - ts % 1000) div 86400000000000").as("day"),
+            expr("(ts - ts % 1000) div 1000000").as("ms")))
       val name = s"bench_stream_rq_${System.nanoTime()}"
-      val input = MemoryStream[(Int, Long, Long)]
       val q = graft.streaming.StreamQuantiles.mergedCells(
-        input.toDF().toDF("b", "day", "ms")
-          .select(col("b"), col("day"),
-            (col("ms") / 1000.0).cast("timestamp").as("event_time")),
+        src.select(col("b"), col("day"),
+          (col("ms") / 1000.0).cast("timestamp").as("event_time")),
         watermark = "0 seconds")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, (rows.size + 7) / 8)).foreach { c =>
-          input.addData(c: _*); q.processAllAvailable()
-        }
-        val p = q.lastProgress
-        if (p != null && p.stateOperators.nonEmpty)
-          rqStateRows = p.stateOperators(0).numRowsTotal
-      } finally q.stop()
-      rqEmitted = spark.table(name).count()
+      drainStream("organic_stream_rquantiles", q,
+        spark.table(name).count())
       spark.catalog.dropTempView(name)
     }
 
     // streaming interval-overlap throughput: every event as a 60 s
     // activity interval vs ±10 min incident windows around high-value
     // errors, replayed end-time-ordered as 8 micro-batches; state =
-    // live buckets only (stderr line records the bound).
-    var ivStateRows = -1L
-    var ivEmitted = -1L
+    // live buckets only (stream_meta records the bound).
     def streamInterval(): Unit = withStreamingPartitions {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions.col
-      implicit val sqlCtx = spark.sqlContext
-      import spark.implicits._
-      val ev = Engine.table(spark, sfDir, "events")
-        .selectExpr("event_id", "(ts - ts % 1000) AS tsn",
-          "event_type", "value")
-      val a = ev.selectExpr("event_id AS id", "0 AS side",
-        "tsn AS s", "tsn + 60000000000 AS e")
-      val b = ev.filter("event_type = 'error' AND value >= 200.0")
-        .selectExpr("event_id AS id", "1 AS side",
-          "tsn - 600000000000 AS s", "tsn + 600000000000 AS e")
-      val rows = a.unionAll(b).orderBy(col("e"), col("side"), col("id"))
-        .collect().map(r => (r.getLong(0), r.getInt(1),
-          r.getLong(2), r.getLong(3))).toSeq
+      val src = replayStream("interval", Seq("end", "side", "id"), {
+        val ev = Engine.table(spark, sfDir, "events")
+          .selectExpr("event_id", "(ts - ts % 1000) AS tsn",
+            "event_type", "value")
+        val a = ev.selectExpr("event_id AS id", "0 AS side",
+          "tsn AS start", "tsn + 60000000000 AS end")
+        val b = ev.filter("event_type = 'error' AND value >= 200.0")
+          .selectExpr("event_id AS id", "1 AS side",
+            "tsn - 600000000000 AS start", "tsn + 600000000000 AS end")
+        a.unionAll(b)
+      })
       val name = s"bench_stream_interval_${System.nanoTime()}"
-      val input = MemoryStream[(Long, Int, Long, Long)]
       val q = graft.streaming.StreamInterval.overlapMatches(
-        input.toDF().toDF("id", "side", "start", "end")
-          .select(col("id"), col("side"), col("start"), col("end"),
-            (col("end") / 1.0e9).cast("timestamp").as("event_time")),
+        src.select(col("id"), col("side"), col("start"), col("end"),
+          (col("end") / 1.0e9).cast("timestamp").as("event_time")),
         watermark = "0 seconds", shift = 40, maxBuckets = 4)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, (rows.size + 7) / 8)).foreach { c =>
-          input.addData(c: _*); q.processAllAvailable()
-        }
-        val p = q.lastProgress
-        if (p != null && p.stateOperators.nonEmpty)
-          ivStateRows = p.stateOperators(0).numRowsTotal
-      } finally q.stop()
-      ivEmitted = spark.table(name).count()
+      drainStream("organic_stream_interval", q, spark.table(name).count())
+      spark.catalog.dropTempView(name)
+    }
+
+    // streaming incremental-ingest throughput (r13 verdict #2): the sf
+    // shard (doc_id%5==0, %97!=0) replayed doc_id-ordered as 8
+    // micro-batches, quality-filtered map-side, anti-joined against
+    // the standing corpus's fp set (checkpointed once — the static
+    // side re-plans per batch but never re-derives), survivors
+    // deduped in keyed state; state = distinct surviving fps
+    // (stream_meta records it).
+    def streamIngest(): Unit = withStreamingPartitions {
+      import org.apache.spark.sql.functions.col
+      val src = replayStream("ingest", Seq("doc_id"),
+        Engine.table(spark, sfDir, "documents")
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("text")))
+      val standing = Engine.table(spark, sfDir, "documents")
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(graft.operators.CorpusOps.docFp(col("text")).as("fp"))
+        .distinct().localCheckpoint()
+      val name = s"bench_stream_ingest_${System.nanoTime()}"
+      val q = graft.streaming.StreamIngest.survivors(src, standing)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drainStream("organic_stream_ingest", q, spark.table(name).count())
       spark.catalog.dropTempView(name)
     }
 
@@ -315,6 +304,7 @@ object Bench {
       "organic_stream_changelog" -> (() => streamChangelog()),
       "organic_stream_interval" -> (() => streamInterval()),
       "organic_stream_rquantiles" -> (() => streamRollingQuantiles()),
+      "organic_stream_ingest" -> (() => streamIngest()),
       "organic_kmeans_fit" ->
         (() => { graft.operators.MlOps.kmeansFit(
           Engine.table(spark, sfDir, "embeddings")
@@ -338,42 +328,22 @@ object Bench {
     val errors = results.filter(!_._3).map(_._1)
     val recorded = results.map(r => (r._1, r._2))
 
-    if (asofStateRows >= 0 || asofEmitted >= 0) {
+    streamMeta.foreach { case (row, m) =>
       System.err.println(
-        s"[bench] organic_stream_asof state_rows=$asofStateRows " +
-          s"emitted=$asofEmitted (state is dominant-right + in-flight " +
-          "lefts per key, not history)")
+        s"[bench] $row batches=${m.batches} trigger_ms=${m.triggerMs} " +
+          s"input_rows=${m.inputRows} state_rows=${m.stateRows} " +
+          s"emitted=${m.emitted}")
     }
-    if (clStateRows >= 0) {
-      System.err.println(
-        s"[bench] organic_stream_changelog state_rows=$clStateRows " +
-          "(bound: one resolved row per distinct key)")
-    }
-    if (rqStateRows >= 0 || rqEmitted >= 0) {
-      System.err.println(
-        s"[bench] organic_stream_rquantiles state_rows=$rqStateRows " +
-          s"emitted=$rqEmitted (state = buckets x ~7 live days, " +
-          "corpus-size-independent)")
-    }
-    if (ivStateRows >= 0 || ivEmitted >= 0) {
-      System.err.println(
-        s"[bench] organic_stream_interval state_rows=$ivStateRows " +
-          s"emitted=$ivEmitted (state = live buckets within one " +
-          "maxLen horizon, never corpus-bound)")
-    }
-    if (cmsStateRows >= 0) {
-      System.err.println(
-        s"[bench] organic_stream_cms state_rows=$cmsStateRows " +
-          "(bound: 256 sketch cells, vocabulary-independent)")
-    }
-    if (streamStateRows >= 0) {
+    if (streamMeta.contains("organic_stream_neardedup")) {
       val buckets = DedupOps.minhashBandify(
         Engine.table(spark, sfDir, "documents").selectExpr("doc_id", "text"))
         .select("band_idx", "band_hash").distinct().count()
       System.err.println(
-        s"[bench] organic_stream_neardedup state_rows=$streamStateRows " +
-          s"distinct_buckets=$buckets (state is bucket-bounded)")
+        s"[bench] organic_stream_neardedup distinct_buckets=$buckets " +
+          "(state is bucket-bounded)")
     }
+    // replay dirs are temp-dir artifacts; drop them best-effort
+    replayDirs.values.foreach(graft.streaming.FileReplay.drop)
 
     // millisecond precision keeps the one-line JSON short enough to
     // survive tail-truncating stdout captures; the full-precision copy
@@ -397,12 +367,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (recorded.nonEmpty) recorded.map(_._2).sum else 0.0
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-stream-row micro-batch accounting (r13 verdict #7): the
+    // normalization data cross-round streaming-drift attribution
+    // needs — batch count, summed trigger wall, input/emitted rows,
+    // final state rows (from the LAST bench pass of each row)
+    val metaJson = streamMeta.map { case (row, m) =>
+      "\"" + row + "\":{\"batches\":" + m.batches +
+        ",\"trigger_ms\":" + m.triggerMs +
+        ",\"input_rows\":" + m.inputRows +
+        ",\"state_rows\":" + m.stateRows +
+        ",\"emitted\":" + m.emitted + "}"
+    }.mkString("{", ",", "}")
     try {
       val full = recorded.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${recorded.size},"errors":$errJson,"canary":$canaryJson,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${recorded.size},"errors":$errJson,"canary":$canaryJson,"stream_meta":$metaJson,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // full per-query map first; the LAST line is a compact summary
     // (top-20 slowest) guaranteed to survive tail-truncating stdout

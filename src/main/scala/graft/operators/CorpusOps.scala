@@ -26,6 +26,32 @@ object CorpusOps {
   private def toks(c: Column, pat: String = "\\s+"): Column =
     filter(split(c, pat), x => x =!= "")
 
+  /** Shared ingest-stage expressions — ONE definition for
+    * [[pipelineClean]], [[pipelineIncremental]] and the streaming
+    * ingest twin ([[graft.streaming.StreamIngest]]), so the batch
+    * pipelines and the stream can never drift (the valueBucket
+    * precedent): the normalized content fingerprint, the per-doc
+    * ingest projection, and the quality predicate.
+    */
+  private[graft] def docFp(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text),
+      "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** (doc_id, source, lang, text) -> (doc_id, source, lang, ntok, fp,
+    * nlines, ndlines) — all map-side, no shuffle.
+    */
+  private[graft] def ingestProjection(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"), col("lang"),
+      size(toks(col("text"))).as("ntok"), docFp(col("text")).as("fp"),
+      size(split(col("text"), "\n")).as("nlines"),
+      size(array_distinct(split(col("text"), "\n"))).as("ndlines"))
+
+  /** Quality gate over [[ingestProjection]]'s columns: enough tokens,
+    * and repeated lines bounded (the boilerplate-page heuristic).
+    */
+  private[graft] def ingestQuality: Column = col("ntok") >= 10 &&
+    lit(10) * (col("nlines") - col("ndlines")) <= lit(3) * col("nlines")
+
   /** Test-set decontamination, the GPT-3/PaLM recipe: flag every corpus
     * document sharing an 8-gram (whitespace tokens, lowercased) with a
     * held-out benchmark set. Benchmark = `doc_id % 97 = 0` (a ~1%
@@ -705,6 +731,10 @@ object CorpusOps {
         col(weightCol).cast("double") * lit(M.toDouble) /
           r.cast("double"))
     val top = keyed
+      // a null weight has no priority and is not sampleable (it would
+      // also sort last under desc) — drop it before the head so the
+      // driver-side getDouble below can never see a null priority
+      .filter(col("__pr").isNotNull)
       .orderBy(col("__pr").desc, col(idCol).asc)
       .head(k + 1) // TakeOrdered; k+1 rows of driver state, bounded
     val prIdx = keyed.schema.fieldIndex("__pr")
@@ -713,8 +743,14 @@ object CorpusOps {
     val wIdx = keyed.schema.fieldIndex(weightCol)
     val rows: java.util.List[Row] = java.util.Arrays.asList(
       top.take(k).map { rw =>
+        // null weight -> est tau, matching the pre-r13 expression
+        // greatest(weight, tau)'s null semantics (NULL loses greatest);
+        // such a row can only reach the head when the corpus has fewer
+        // than k+1 non-null weights (null priority sorts last in desc)
+        val w = Option(rw.get(wIdx))
+          .map(_.asInstanceOf[Number].doubleValue()).getOrElse(tau)
         Row(rw.get(idIdx), rw.get(wIdx), rw.getDouble(prIdx),
-          math.max(rw.getAs[Number](wIdx).doubleValue(), tau))
+          math.max(w, tau))
       }: _*)
     df.sparkSession.createDataFrame(rows, StructType(Seq(
       keyed.schema(idIdx), keyed.schema(wIdx),
@@ -847,15 +883,8 @@ object CorpusOps {
   def pipelineClean(s: SparkSession, d: String): DataFrame = {
       val raw = t(s, d, "documents")
       // stage 1+2: one scan -> quality filter -> fp-window survivor
-      val per = raw.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), col("source"), col("lang"),
-          size(toks(col("text"))).as("ntok"),
-          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-            "[^a-z0-9 ]", " "), " +", " "))).as("fp"),
-          size(split(col("text"), "\n")).as("nlines"),
-          size(array_distinct(split(col("text"), "\n"))).as("ndlines"))
-      val quality = per.filter(col("ntok") >= 10 &&
-        lit(10) * (col("nlines") - col("ndlines")) <= lit(3) * col("nlines"))
+      val per = ingestProjection(raw.filter(col("doc_id") % 97 =!= 0))
+      val quality = per.filter(ingestQuality)
       val deduped = quality
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
@@ -1011,18 +1040,11 @@ object CorpusOps {
   val pipelineIncremental: Q = Q("pipeline_incremental",
     (s, d) => {
       val raw = t(s, d, "documents")
-      val fpCol = md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", " "), " +", " ")))
       val standingFp = raw.filter(col("doc_id") % 5 =!= 0)
-        .select(fpCol.as("fp")).distinct()
-      val incoming = raw
-        .filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), col("source"), col("lang"),
-          size(toks(col("text"))).as("ntok"), fpCol.as("fp"),
-          size(split(col("text"), "\n")).as("nlines"),
-          size(array_distinct(split(col("text"), "\n"))).as("ndlines"))
-      val quality = incoming.filter(col("ntok") >= 10 &&
-        lit(10) * (col("nlines") - col("ndlines")) <= lit(3) * col("nlines"))
+        .select(docFp(col("text")).as("fp")).distinct()
+      val incoming = ingestProjection(raw
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0))
+      val quality = incoming.filter(ingestQuality)
       val fresh = quality.join(standingFp, Seq("fp"), "left_anti")
       val deduped = fresh
         .withColumn("rn", row_number().over(

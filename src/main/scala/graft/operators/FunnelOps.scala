@@ -168,5 +168,106 @@ object FunnelOps {
       |GROUP BY from_type, to_type
       |ORDER BY from_type, to_type""".stripMargin))
 
-  val defs: Seq[Q] = Seq(funnelEntry, retentionEntry, transitionsEntry)
+  /** Generalized ordered funnel: `stages` is ANY ordered list of
+    * event types (k >= 2), `maxLagNs` caps the lag a user may take
+    * between CONSECUTIVE stages (the conversion window; pass
+    * `Long.MaxValue` for the uncapped semantic of [[funnelEntry]]).
+    * Per user: t1 = first `stages(0)` event; t_{i+1} = first
+    * `stages(i+1)` event with t_i < tsn <= t_i + maxLagNs. Output:
+    * one row per stage — (stage, event_type, users, total_lag_ns).
+    *
+    * Same 100 TB shape as the fixed 3-stage entry, for any k: one
+    * filtered aggregate per stage, each stage i+1 joining stage i's
+    * users-sized (user, t_i) relation — never per-user event arrays,
+    * so per-user event counts stay unbounded; k small-keyed
+    * aggregates union into k rows.
+    *
+    * `ev` must carry (user_id, event_type, tsn: int64 ns).
+    */
+  def funnelK(ev: DataFrame, stages: Seq[String],
+      maxLagNs: Long): DataFrame = {
+    require(stages.size >= 2, "funnelK: need >= 2 stages")
+    require(stages.distinct.size == stages.size,
+      "funnelK: repeated stage types are ambiguous")
+    require(maxLagNs > 0, "funnelK: maxLagNs > 0")
+    def typed(t: String) = ev.filter(col("event_type") === t)
+    val first = typed(stages.head).groupBy(col("user_id"))
+      .agg(min(col("tsn")).as("t"))
+    var rows = first.agg(count(lit(1)).as("users"),
+      lit(0L).as("total_lag_ns"))
+      .select(lit(1).as("stage"), lit(stages.head).as("event_type"),
+        col("users"), col("total_lag_ns"))
+    var reached = first // (user_id, t) — users-sized, never events-sized
+    stages.zipWithIndex.drop(1).foreach { case (t, i) =>
+      val nxt = typed(t)
+        .join(reached.select(col("user_id"), col("t").as("tp")), "user_id")
+        .filter(col("tsn") > col("tp") &&
+          col("tsn") - col("tp") <= maxLagNs)
+        .groupBy(col("user_id"), col("tp"))
+        .agg(min(col("tsn")).as("t"))
+      rows = rows.unionAll(nxt.agg(count(lit(1)).as("users"),
+        coalesce(sum(col("t") - col("tp")), lit(0L)).as("total_lag_ns"))
+        .select(lit(i + 1).as("stage"), lit(t).as("event_type"),
+          col("users"), col("total_lag_ns")))
+      reached = nxt.select(col("user_id"), col("t"))
+    }
+    rows.orderBy(col("stage"))
+  }
+
+  private val FunnelK4Lag = 2L * DayNs // 2-day conversion window
+
+  /** Driver entry + FULL oracle: the 4-stage capped-window funnel
+    * signup -> view -> click -> purchase via [[funnelK]], each
+    * inter-stage lag capped at 2 days — the parameterized shape real
+    * funnel queries take (r13 verdict #4). The 3-stage uncapped
+    * [[funnelEntry]] is unchanged.
+    */
+  val funnelK4Entry: Q = Q("events_funnel_k4",
+    (s, d) => {
+      Engine.configure(s)
+      val ev = Engine.table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          (col("ts") - col("ts") % 1000).as("tsn"))
+      funnelK(ev, Seq("signup", "view", "click", "purchase"),
+        FunnelK4Lag)
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(tsn) AS t FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, s1.t AS tp, MIN(e.tsn) AS t
+      |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.tsn > s1.t
+      |    AND e.tsn - s1.t <= ${FunnelK4Lag}
+      |  GROUP BY e.user_id, s1.t),
+      |s3 AS (
+      |  SELECT e.user_id, s2.t AS tp, MIN(e.tsn) AS t
+      |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'click' AND e.tsn > s2.t
+      |    AND e.tsn - s2.t <= ${FunnelK4Lag}
+      |  GROUP BY e.user_id, s2.t),
+      |s4 AS (
+      |  SELECT e.user_id, s3.t AS tp, MIN(e.tsn) AS t
+      |  FROM ev e JOIN s3 ON e.user_id = s3.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tsn > s3.t
+      |    AND e.tsn - s3.t <= ${FunnelK4Lag}
+      |  GROUP BY e.user_id, s3.t)
+      |SELECT 1 AS stage, 'signup' AS event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS users,
+      |  CAST(0 AS BIGINT) AS total_lag_ns FROM s1
+      |UNION ALL
+      |SELECT 2, 'view', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(t - tp), 0) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT 3, 'click', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(t - tp), 0) AS BIGINT) FROM s3
+      |UNION ALL
+      |SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(t - tp), 0) AS BIGINT) FROM s4
+      |ORDER BY stage""".stripMargin))
+
+  val defs: Seq[Q] =
+    Seq(funnelEntry, retentionEntry, transitionsEntry, funnelK4Entry)
 }

@@ -357,5 +357,119 @@ object GraphOps {
       |SELECT n_nodes, (SELECT COUNT(*) FROM ed) AS n_edges, n_triangles
       |FROM nd, tr""".stripMargin))
 
-  val defs: Seq[Q] = Seq(pagerankEntry, pprEntry, trianglesEntry)
+  /** k-CORE decomposition by parallel peeling — the standard
+    * corpus-quality / community primitive: repeatedly delete every
+    * node whose CURRENT degree is < k, simultaneously, until nothing
+    * changes; the survivors are the (unique, order-independent)
+    * maximal subgraph with min degree >= k.
+    *
+    * `edges`: undirected, x < y, distinct. Returns (node, core_deg)
+    * for every k-core member, core_deg = its degree INSIDE the core.
+    *
+    * 100 TB shape: each round is one nodes-keyed degree aggregate +
+    * two left-semi joins of the shrinking edge relation against the
+    * survivor set — never an all-pairs product, never driver-side
+    * graph state (the only collected value per round is one count,
+    * which the fixpoint test needs anyway). The edge relation is
+    * checkpointed per round (the pageRank cadence lesson: each round
+    * counts AND feeds the next — without truncation every round
+    * replays the whole peel history). Round complexity is the
+    * PARALLEL PEEL SPAN — O(graph diameter) worst case (a k=2 path of
+    * length L peels from the ends, L/2 rounds), so `maxRounds` is a
+    * LOUD bound, not a silent cap: exceeding it raises (ZOrder guard
+    * precedent) rather than returning a half-peeled subgraph. Peel
+    * rounds are IDEMPOTENT at fixpoint — the property the unrolled
+    * oracle relies on (extra rounds past fixpoint change nothing).
+    */
+  def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, "kCore: k >= 1")
+    require(maxRounds >= 1, "kCore: maxRounds >= 1")
+    var e = edges0.select(col("x"), col("y")).localCheckpoint()
+    var m = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds <= maxRounds) {
+      val deg = e.select(col("x").as("n"))
+        .unionAll(e.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      val e2 = e
+        .join(keep.select(col("n").as("x")), Seq("x"), "left_semi")
+        .join(keep.select(col("n").as("y")), Seq("y"), "left_semi")
+        .localCheckpoint()
+      val m2 = e2.count()
+      // edge count unchanged <=> no node fell below k (every node in
+      // the edge relation has >= 1 edge, so dropping one drops edges)
+      if (m2 == m) converged = true
+      else { e = e2; m = m2; rounds += 1 }
+    }
+    require(converged,
+      s"kCore: no fixpoint after $maxRounds peel rounds — the graph's " +
+        "peel span exceeds the bound; raise maxRounds (rounds are " +
+        "idempotent past fixpoint, a larger bound is always safe)")
+    e.select(col("x").as("node"))
+      .unionAll(e.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  private val KcoreK = 2
+  private val KcoreRounds = 12
+
+  /** Unrolled-peel oracle: `rounds` idempotent parallel-peel rounds
+    * over the same co-occurrence edges (the pagerank unrolled-CTE
+    * pattern — DuckDB runs the exact integer recurrence, and rounds
+    * past fixpoint are no-ops, so a fixed unroll >= the engine's
+    * loud `maxRounds` bound checks the true fixpoint).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH b AS (\n")
+    sb.append("  SELECT DISTINCT user_id u, event_type t,\n")
+    sb.append("    epoch_ns(ts) // 300000000000 w\n  FROM events),\n")
+    // every round CTE is MATERIALIZED: each round references the
+    // previous one 3x, so default CTE inlining would expand the plan
+    // 3^rounds-fold (observed as "too many open files" on the base
+    // parquet at 12 rounds); materialization makes the unroll linear
+    sb.append("e0 AS MATERIALIZED (\n  SELECT DISTINCT a.u AS x, c.u AS y\n")
+    sb.append("  FROM b a JOIN b c ON a.t = c.t AND a.w = c.w AND a.u < c.u),\n")
+    (0 until rounds).foreach { r =>
+      sb.append(s"d$r AS MATERIALIZED (SELECT n FROM (SELECT x AS n FROM e$r " +
+        s"UNION ALL SELECT y FROM e$r) GROUP BY n " +
+        s"HAVING COUNT(*) >= $k),\n")
+      sb.append(s"e${r + 1} AS MATERIALIZED (SELECT x, y FROM e$r " +
+        s"WHERE x IN (SELECT n FROM d$r) " +
+        s"AND y IN (SELECT n FROM d$r)),\n")
+    }
+    sb.append(s"fin AS (SELECT x AS n FROM e$rounds " +
+      s"UNION ALL SELECT y FROM e$rounds)\n")
+    sb.append("SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_deg\n")
+    sb.append("FROM fin GROUP BY n ORDER BY node")
+    sb.toString
+  }
+
+  /** Driver entry + FULL oracle: the 2-core of the user co-occurrence
+    * graph (same edge derivation as [[trianglesEntry]] — users sharing
+    * an (event_type, 5-minute window) cell): users embedded in at
+    * least one cycle of co-activity, with their in-core degree.
+    */
+  val kcoreEntry: Q = Q("graph_kcore",
+    (s, d) => {
+      Engine.configure(s)
+      val b = Engine.table(s, d, "events")
+        .select(col("user_id").as("u"), col("event_type").as("t"),
+          expr("(ts - ts % 1000) div 300000000000").as("w"))
+        .distinct()
+      val b2 = b.select(col("u").as("u2"), col("t").as("t2"),
+        col("w").as("w2"))
+      val edges = b.join(b2, col("t") === col("t2") &&
+          col("w") === col("w2") && col("u") < col("u2"))
+        .select(col("u").as("x"), col("u2").as("y"))
+        .distinct()
+      kCore(edges, KcoreK, KcoreRounds)
+    },
+    Some(kcoreOracle(KcoreK, KcoreRounds)))
+
+  val defs: Seq[Q] = Seq(pagerankEntry, pprEntry, trianglesEntry,
+    kcoreEntry)
 }

@@ -108,20 +108,42 @@ class ChangeOpsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(41)
     val vals = rnd.shuffle((0 until 5000).map(i => i * 1.5 + 0.25))
     val df = vals.map(v => (v, "x")).toDF("v", "pad")
-    // (structural: rankMap's only window partitions by __pid — the
-    // range-partition id — so WindowExec never sees an empty
-    // partitionSpec and no task holds more than one range)
-    val got = Compaction.rankMap(df, "v", buckets = 4096L, parts = 8)
+    // (structural: singleTaskNdv = 0 forces the two-phase plan, whose
+    // only window partitions by __pid — the range-partition id — so
+    // WindowExec never sees an empty partitionSpec and no task holds
+    // more than one range)
+    val got = Compaction.rankMap(df, "v", buckets = 4096L, parts = 8,
+      singleTaskNdv = 0L)
     val rows = got.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     val sorted = vals.sorted
     sorted.zipWithIndex.foreach { case (v, i) =>
       assert(rows(v) == i.toLong * 4096L / 5000L, s"rank of $v")
     }
+    // the small-NDV single-window fast path (the default threshold)
+    // must be bit-identical to the two-phase plan on the same input
+    val fast = Compaction.rankMap(df, "v", buckets = 4096L, parts = 8)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(fast == rows, "fast path diverges from two-phase rank")
     // low-NDV sanity: 3 distinct values -> ranks 0, bucket/3, 2*bucket/3
     val small = Seq(5.0, 1.0, 9.0, 5.0, 1.0).map((_, "p")).toDF("v", "pad")
     val sm = Compaction.rankMap(small, "v", 12L, parts = 8)
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(sm == Map(1.0 -> 0L, 5.0 -> 4L, 9.0 -> 8L))
+  }
+
+  test("rankMap: a NULL in the ranked column is rejected loudly on " +
+    "both plans — engines disagree on NULL ordering") {
+    import spark.implicits._
+    import graft.operators.Compaction
+    val withNull = Seq(Some(3.0), None, Some(1.0), Some(2.0))
+      .map((_, "p")).toDF("v", "pad")
+    for (thr <- Seq(0L, 1L << 20)) {
+      val e = intercept[IllegalArgumentException] {
+        Compaction.rankMap(withNull, "v", 12L, parts = 4,
+          singleTaskNdv = thr).collect()
+      }
+      assert(e.getMessage.contains("NULL"), s"thr=$thr: ${e.getMessage}")
+    }
   }
 
   test("driver entry: deleted keys gone, rewrites uppercased, inserts " +

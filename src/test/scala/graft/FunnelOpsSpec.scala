@@ -46,6 +46,58 @@ class FunnelOpsSpec extends AnyFunSuite {
     assert(n1 >= n2 && n2 >= n3 && n3 > 0L)
   }
 
+  test("funnelK: 4-stage capped-window funnel equals the sequential " +
+    "per-user chain with the lag cap applied at every step") {
+    val cap = 2L * 86400000000000L
+    val ev = rawEvents()
+    val stages = Seq("signup", "view", "click", "purchase")
+    val want = {
+      val n = Array.fill(4)(0L)
+      val lag = Array.fill(4)(0L)
+      ev.groupBy(_._1).foreach { case (_, es) =>
+        var t = Long.MinValue
+        var alive = true
+        stages.zipWithIndex.foreach { case (st, i) =>
+          if (alive) {
+            val cand = es.filter(e => e._2 == st &&
+              (i == 0 || (e._3 > t && e._3 - t <= cap))).map(_._3)
+            if (cand.isEmpty) alive = false
+            else {
+              val nt = cand.min
+              n(i) += 1
+              if (i > 0) lag(i) += nt - t
+              t = nt
+            }
+          }
+        }
+      }
+      stages.indices.map(i => (i + 1, n(i), lag(i))).toSeq
+    }
+    val got = SparkEntry.queries("events_funnel_k4")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // the cap binds: uncapped funnelK over the same stages must reach
+    // at least as many users at every stage (strictly the funnel is
+    // monotone in the cap), and the uncapped 3-stage prefix equals
+    // the fixed entry
+    import graft.operators.FunnelOps
+    val evDf = Engine.table(spark, d, "events")
+      .selectExpr("user_id", "event_type", "ts - ts % 1000 AS tsn")
+    val unc = FunnelOps.funnelK(evDf, stages, Long.MaxValue - 1)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    got.foreach { case (s, u, _) => assert(unc(s) >= u, s"stage $s") }
+    val fixed = SparkEntry.queries("events_funnel")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val prefix = FunnelOps.funnelK(evDf,
+        Seq("view", "click", "purchase"), Long.MaxValue - 1)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(prefix == fixed,
+      "uncapped funnelK diverges from the fixed 3-stage entry")
+  }
+
   test("retention equals the sequential cohort recompute and is " +
     "partitioning-independent") {
     val ev = rawEvents()

@@ -229,4 +229,90 @@ class PageRankSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("overflows"))
   }
+
+  /** Sequential k-core reference: parallel peel to fixpoint; returns
+    * (core membership with in-core degree, changing-round count).
+    */
+  private def refKcore(edges: Seq[(Long, Long)],
+      k: Int): (Map[Long, Long], Int) = {
+    var e = edges.toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = e.toSeq.flatMap(t => Seq(t._1, t._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val e2 = e.filter(t => keep(t._1) && keep(t._2))
+      changed = e2.size != e.size
+      if (changed) rounds += 1
+      e = e2
+    }
+    val core = e.toSeq.flatMap(t => Seq(t._1, t._2))
+      .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+    (core, rounds)
+  }
+
+  private def runKcore(edges: Seq[(Long, Long)], k: Int,
+      maxRounds: Int = 12): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.kCore(edges.toDF("x", "y").repartition(4), k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: planted cliques with pendant chains peel to exactly " +
+    "the cliques, matching the sequential reference") {
+    // two 4-cliques + a 3-cycle, each with pendant chains hanging off
+    // (chains peel away round by round — the multi-round dynamic the
+    // organic entry graphs don't exercise), plus an isolated edge
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L)) ++ // 3-cycle
+      Seq((4L, 100L), (100L, 101L), (101L, 102L), (102L, 103L)) ++
+      Seq((13L, 200L), (200L, 201L)) ++
+      Seq((300L, 301L))).distinct
+    val (want3, _) = refKcore(edges, 3)
+    assert(runKcore(edges, 3) == want3)
+    // k=3 core = the two 4-cliques exactly (3-cycle has deg 2)
+    assert(want3.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L))
+    assert(want3.values.forall(_ == 3L))
+    val (want2, rounds2) = refKcore(edges, 2)
+    assert(rounds2 >= 2, "chains must force a multi-round peel")
+    assert(runKcore(edges, 2) == want2)
+    // k=2 core = cliques + 3-cycle; every chain and the lone edge gone
+    assert(want2.keySet ==
+      Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L, 21L, 22L))
+  }
+
+  test("kCore: random graphs match the sequential reference for " +
+    "several k, and are partitioning-independent") {
+    val rnd = new scala.util.Random(53)
+    val edges = Seq.fill(400)(
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+    for (k <- Seq(2, 4, 7, 11)) {
+      val (want, _) = refKcore(edges, k)
+      assert(runKcore(edges, k) == want, s"k=$k")
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(runKcore(edges, 4) == refKcore(edges, 4)._1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("kCore: exceeding the peel-span bound fails loudly instead of " +
+    "returning a half-peeled subgraph") {
+    // a k=2 path peels two endpoints per round: span = ceil(L/2)
+    val path = Seq.tabulate(30)(i => (i.toLong, i + 1L))
+    val e = intercept[IllegalArgumentException] {
+      runKcore(path, 2, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // with the span allowed, the path (no cycle) peels to empty
+    assert(runKcore(path, 2, maxRounds = 16).isEmpty)
+  }
 }

@@ -120,7 +120,7 @@ class StatOpsSpec extends AnyFunSuite {
     // brute force: raw (day, bucket) pairs, re-filter per window
     val raw = Engine.table(spark, d, "events")
       .selectExpr("(ts - ts % 1000) div 86400000000000 AS day",
-        "cast(floor(value / 2.0) as int) AS b")
+        "cast(least(greatest(floor(value / 2.0), 0), 255) as int) AS b")
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     val days = raw.map(_._1).distinct.sorted
     days.foreach { day =>
@@ -131,5 +131,37 @@ class StatOpsSpec extends AnyFunSuite {
       assert(got(day) == ((n, q(0.50), q(0.90), q(0.99))),
         s"day $day: got ${got(day)}, want (${n}, ${q(0.5)}, ${q(0.9)}, ${q(0.99)})")
     }
+  }
+
+  test("rolling quantiles: out-of-domain values clamp into edge " +
+    "buckets — n is the full event count, nothing is silently dropped") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_rq_domain").toString
+    // planted corpus: one day, 10 in-domain values plus values < 0 and
+    // >= 512 (the r13-judge silent-drop domain)
+    val vals = Seq(-5.0, -0.001, 600.0, 10000.0, 511.999) ++
+      (1 to 10).map(_ * 10.0)
+    val day0us = 1700000000000000L - (1700000000000000L % 86400000000L)
+    spark.range(vals.size)
+      .select(col("id").as("event_id"),
+        timestamp_micros(lit(day0us) + col("id") * 1000000L).as("ts"),
+        (col("id") % 3).as("user_id"),
+        lit("view").as("event_type"),
+        element_at(
+          array(vals.map(lit): _*), col("id").cast("int") + 1)
+          .as("value"),
+        lit("{}").as("props"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("stat_rolling_quantiles")(spark, tmp)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == vals.size.toLong,
+      s"n=${r.getLong(1)} dropped out-of-domain rows (want ${vals.size})")
+    // sorted clamped buckets: 0,0, 5,10,..,50, 255,255,255 — p50 is the
+    // 8th of 15 (bucket 30), p90 the 14th (255), p99 the 15th (255)
+    assert((r.getInt(2), r.getInt(3), r.getInt(4)) == ((30, 255, 255)))
   }
 }

@@ -101,7 +101,7 @@ class StreamQuantilesSpec extends AnyFunSuite {
     val d = "/root/testdata/sf0.001"
     val raw = Engine.table(spark, d, "events")
       .selectExpr("(ts - ts % 1000) div 86400000000000 AS day",
-        "cast(floor(value / 2.0) as int) AS b",
+        "cast(least(greatest(floor(value / 2.0), 0), 255) as int) AS b",
         "(ts - ts % 1000) div 1000000 AS ms")
       .collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2)))
       .sortBy(_._3).toSeq

@@ -63,9 +63,9 @@ def main():
             # float is therefore a hard FAIL here too; float-vs-float
             # width drift stays a WARN (values still compared below).
             mismatched = [
-                (c, str(s.dtypes[i]), str(o.dtypes[i]))
+                (c, str(s.dtypes.iloc[i]), str(o.dtypes.iloc[i]))
                 for i, c in enumerate(s.columns)
-                if str(s.dtypes[i]) != str(o.dtypes[i])]
+                if str(s.dtypes.iloc[i]) != str(o.dtypes.iloc[i])]
             hard = [m for m in mismatched
                     if not (m[1].startswith("float")
                             and m[2].startswith("float"))]

@@ -62,6 +62,19 @@ def replicate_events(src, out, n):
     (schema passed through, parquet 2.6 writer keeps ns).
     """
     t = pq.read_table(f"{src}/events.parquet")
+    # loud guard (the ImageDedup twin-band precedent): the axis offsets
+    # only partition the id space if base ids stay below them — a base
+    # corpus with user_id >= 1e6 would silently MERGE replicas into the
+    # same users, corrupting the funnel/retention/transitions scaling
+    # semantics this replication exists to exercise.
+    max_uid = pc.max(t.column("user_id")).as_py()
+    max_eid = pc.max(t.column("event_id")).as_py()
+    assert max_uid < 1_000_000, (
+        f"base user_id max {max_uid} >= 1e6 replica offset — replicas "
+        "would alias; raise the offset")
+    assert max_eid < 100_000_000, (
+        f"base event_id max {max_eid} >= 1e8 replica offset — replicas "
+        "would alias; raise the offset")
     parts = []
     for k in range(n):
         cols = {}
@@ -90,9 +103,6 @@ def main():
     }
     tables = (sys.argv[4].split(",") if len(sys.argv) > 4
               else [t for t in spec if t != "events"])
-    # non-replicated events still needs a verbatim copy
-    if "events" not in tables:
-        shutil.copy(f"{src}/events.parquet", f"{out}/events.parquet")
     os.makedirs(out, exist_ok=True)
     for t in COPY + [t for t in spec if t not in tables]:
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
