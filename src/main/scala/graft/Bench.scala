@@ -264,7 +264,12 @@ object Bench {
         .select(graft.operators.CorpusOps.docFp(col("text")).as("fp"))
         .distinct().localCheckpoint()
       val name = s"bench_stream_ingest_${System.nanoTime()}"
-      val q = graft.streaming.StreamIngest.survivors(src, standing)
+      // broadcast hint: at this scale the fp set is dim-sized, and a
+      // per-batch broadcast beats re-shuffling the static side every
+      // micro-batch (at 100 TB the standing side is a bucketed table
+      // or Bloom instead — StreamIngest scaladoc)
+      val q = graft.streaming.StreamIngest.survivors(src,
+        org.apache.spark.sql.functions.broadcast(standing))
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drainStream("organic_stream_ingest", q, spark.table(name).count())

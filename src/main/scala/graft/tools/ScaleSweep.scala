@@ -285,6 +285,15 @@ object ScaleSweep {
         "graph_kcore", "graph_triangles", "graph_pagerank")) {
       emit(e, () => (SparkEntry.queries(e)(spark, dir).count(), ""))
     }
+    // stream rows run with state partitioning sized to key cardinality
+    // (the Bench withStreamingPartitions rationale: per-partition
+    // state-store commit/snapshot ops are pure fixed overhead per
+    // micro-batch at these key counts)
+    def withStreamParts[A](f: => A): A = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     def drainToExtra(q: org.apache.spark.sql.streaming.StreamingQuery,
         table: String): (Long, String) = {
       try q.processAllAvailable() finally q.stop()
@@ -300,7 +309,7 @@ object ScaleSweep {
       spark.catalog.dropTempView(table)
       (n, s""","state_rows":$state,"batches":${ps.length},"trigger_ms":$trig""")
     }
-    emit("stream_asof", () => {
+    emit("stream_asof", () => withStreamParts {
       val dir2 = graft.streaming.FileReplay.write(
         Engine.table(spark, dir, "events")
           .filter(col("event_type").isin("click", "view"))
@@ -321,7 +330,7 @@ object ScaleSweep {
       graft.streaming.FileReplay.drop(dir2)
       r
     })
-    emit("stream_interval", () => {
+    emit("stream_interval", () => withStreamParts {
       val ev = Engine.table(spark, dir, "events")
         .selectExpr("event_id", "(ts - ts % 1000) AS tsn",
           "event_type", "value")
@@ -344,7 +353,7 @@ object ScaleSweep {
       graft.streaming.FileReplay.drop(dir2)
       r
     })
-    emit("stream_rquantiles", () => {
+    emit("stream_rquantiles", () => withStreamParts {
       val dir2 = graft.streaming.FileReplay.write(
         Engine.table(spark, dir, "events")
           .select(
@@ -364,7 +373,7 @@ object ScaleSweep {
       graft.streaming.FileReplay.drop(dir2)
       r
     })
-    emit("stream_ingest", () => {
+    emit("stream_ingest", () => withStreamParts {
       val dir2 = graft.streaming.FileReplay.write(
         Engine.table(spark, dir, "documents")
           .filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
@@ -377,7 +386,7 @@ object ScaleSweep {
         .distinct().localCheckpoint()
       val name = s"sweep_ingest_${System.nanoTime()}"
       val q = graft.streaming.StreamIngest.survivors(
-        graft.streaming.FileReplay.read(spark, dir2), standing)
+        graft.streaming.FileReplay.read(spark, dir2), broadcast(standing))
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       val r = drainToExtra(q, name)
