@@ -417,22 +417,19 @@ object GraphOps {
   private val KcoreRounds = 12
 
   /** Unrolled-peel oracle: `rounds` idempotent parallel-peel rounds
-    * over the same co-occurrence edges (the pagerank unrolled-CTE
-    * pattern — DuckDB runs the exact integer recurrence, and rounds
-    * past fixpoint are no-ops, so a fixed unroll >= the engine's
-    * loud `maxRounds` bound checks the true fixpoint).
+    * over the edge relation defined by `withAndE0` (the pagerank
+    * unrolled-CTE pattern — DuckDB runs the exact integer recurrence,
+    * and rounds past fixpoint are no-ops, so a fixed unroll >= the
+    * engine's loud `maxRounds` bound checks the true fixpoint).
     */
-  private def kcoreOracle(k: Int, rounds: Int): String = {
+  private def kcoreOracle(k: Int, rounds: Int,
+      withAndE0: String): String = {
     val sb = new StringBuilder
-    sb.append("WITH b AS (\n")
-    sb.append("  SELECT DISTINCT user_id u, event_type t,\n")
-    sb.append("    epoch_ns(ts) // 300000000000 w\n  FROM events),\n")
     // every round CTE is MATERIALIZED: each round references the
     // previous one 3x, so default CTE inlining would expand the plan
     // 3^rounds-fold (observed as "too many open files" on the base
     // parquet at 12 rounds); materialization makes the unroll linear
-    sb.append("e0 AS MATERIALIZED (\n  SELECT DISTINCT a.u AS x, c.u AS y\n")
-    sb.append("  FROM b a JOIN b c ON a.t = c.t AND a.w = c.w AND a.u < c.u),\n")
+    sb.append(withAndE0)
     (0 until rounds).foreach { r =>
       sb.append(s"d$r AS MATERIALIZED (SELECT n FROM (SELECT x AS n FROM e$r " +
         s"UNION ALL SELECT y FROM e$r) GROUP BY n " +
@@ -468,8 +465,45 @@ object GraphOps {
         .distinct()
       kCore(edges, KcoreK, KcoreRounds)
     },
-    Some(kcoreOracle(KcoreK, KcoreRounds)))
+    Some(kcoreOracle(KcoreK, KcoreRounds,
+      "WITH b AS (\n" +
+        "  SELECT DISTINCT user_id u, event_type t,\n" +
+        "    epoch_ns(ts) // 300000000000 w\n  FROM events),\n" +
+        "e0 AS MATERIALIZED (\n  SELECT DISTINCT a.u AS x, c.u AS y\n" +
+        "  FROM b a JOIN b c ON a.t = c.t AND a.w = c.w AND a.u < c.u),\n")))
+
+  private val KcorePeelRounds = 32
+
+  /** Driver entry + FULL oracle: the 2-core of the SAME-SUPPLIER
+    * co-purchase graph — parts appearing on the same order from the
+    * same supplier. Unlike the dense co-occurrence graph, this
+    * relation is chain-rich: at sf0.01 the parallel peel takes 17
+    * ROUNDS to fixpoint (measured), so the entry exercises the
+    * iterative peel depth the planted specs pin, not just the
+    * terminal filter. The loud engine bound and the idempotent oracle
+    * unroll are both 32.
+    */
+  val kcorePeelEntry: Q = Q("graph_kcore_peel",
+    (s, d) => {
+      Engine.configure(s)
+      val li = Engine.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"),
+          col("l_partkey").as("p"))
+      val li2 = li.select(col("o").as("o2"), col("sk").as("sk2"),
+        col("p").as("p2"))
+      val edges = li.join(li2, col("o") === col("o2") &&
+          col("sk") === col("sk2") && col("p") < col("p2"))
+        .select(col("p").as("x"), col("p2").as("y"))
+        .distinct()
+      kCore(edges, KcoreK, KcorePeelRounds)
+    },
+    Some(kcoreOracle(KcoreK, KcorePeelRounds,
+      "WITH li AS (\n" +
+        "  SELECT l_orderkey o, l_suppkey sk, l_partkey p FROM lineitem),\n" +
+        "e0 AS MATERIALIZED (\n  SELECT DISTINCT a.p AS x, b.p AS y\n" +
+        "  FROM li a JOIN li b ON a.o = b.o AND a.sk = b.sk " +
+        "AND a.p < b.p),\n")))
 
   val defs: Seq[Q] = Seq(pagerankEntry, pprEntry, trianglesEntry,
-    kcoreEntry)
+    kcoreEntry, kcorePeelEntry)
 }

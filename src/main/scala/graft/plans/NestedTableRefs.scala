@@ -418,10 +418,20 @@ private final class NestedRefRewriter(spark: SparkSession) {
     * Spark's decorrelator accepts a correlated Project under
     * arbitrary Generates (verified: it builds a distinct-array domain
     * and joins back) where it rejects two correlated Generates.
-    * LEFT OUTER ref joins stay pinned: correlation below the right
-    * side of a left outer join is itself unsupported
-    * (ACCESSING_OUTER_QUERY_COLUMN_IS_NOT_ALLOWED), so no
-    * materialization shape can host them.
+    *
+    * LEFT OUTER between two refs (r14, closing the r13 pin): no Join
+    * survives the rewrite at all — Generate's `outer = true` IS
+    * per-left-element left-outer semantics, so
+    * `ca LEFT OUTER JOIN cb ON cond` becomes the same materializing
+    * bottom Project + a plain Generate of ca's array + an
+    * outer=true Generate of `filter(__matCb, b -> cond')` where
+    * cond' rewrites cb-qualified attributes into the lambda variable
+    * (ca-qualified ones resolve against the first Generate's output,
+    * which is in scope inside a higher-order-function body). An empty
+    * match set emits one row with NULL cb columns — exactly the
+    * reference SubplanNode's per-row left outer join. Conditions
+    * must qualify every column by one of the two ref aliases
+    * (unqualified or outer-correlated predicates keep the pin).
     */
   private def tryFlattenMultiRef(sub: LogicalPlan,
       scope: Scope): Option[LogicalPlan] = {
@@ -450,11 +460,79 @@ private final class NestedRefRewriter(spark: SparkSession) {
           } yield (lr ++ rr, lc ++ rc ++ cond.toSeq)
         case other => refLeaf(other).map(r => (Seq(r), Nil))
       }
+    // outAttrs for one ref's Generate (shared by both join shapes)
+    def genAttrs(et: DataType): (Boolean, Seq[Attribute]) = {
+      val flatten = et.isInstanceOf[StructType]
+      val attrs =
+        Seq(AttributeReference("pos", LongType, nullable = true)(),
+          AttributeReference("item", et, nullable = true)()) ++
+        (if (flatten) et.asInstanceOf[StructType].fields.toSeq.map(sf =>
+          AttributeReference(sf.name, sf.dataType, nullable = true)())
+         else Nil)
+      (flatten, attrs)
+    }
+    // LEFT OUTER between two refs: materialize both arrays, Generate
+    // the left, then an outer=true Generate of filter(right, cond') —
+    // see the scaladoc above. None when the condition references
+    // anything but the two aliases (the remaining pinned shape).
+    def flattenLeftOuter(l: LogicalPlan, r: LogicalPlan,
+        cond: Expression): Option[LogicalPlan] = {
+      val lRef = refLeaf(l); val rRef = refLeaf(r)
+      if (lRef.isEmpty || rRef.isEmpty) return None
+      val (lParts, lAlias, lEt) = lRef.get
+      val (rParts, rAlias, rEt) = rRef.get
+      val ql = lAlias.getOrElse(lParts.last)
+      val qr = rAlias.getOrElse(rParts.last)
+      if (ql.equalsIgnoreCase(qr)) return None
+      if (cond.exists(_.isInstanceOf[SubqueryExpression])) return None
+      nextId += 1
+      val lam = UnresolvedNamedLambdaVariable(Seq(s"__kb$nextId"))
+      var ok = true
+      val body = cond.transformUp {
+        case ua: UnresolvedAttribute =>
+          val parts = ua.nameParts
+          if (parts.length >= 2 && parts.head.equalsIgnoreCase(qr)) {
+            // `qr.item` IS the element (the UnnestArray column name for
+            // primitive elements and the whole-struct ref alike); any
+            // remaining path extracts from it
+            val tail =
+              if (parts(1).equalsIgnoreCase("item")) parts.drop(2)
+              else parts.tail
+            tail.foldLeft(lam: Expression)((e, f) =>
+              org.apache.spark.sql.catalyst.analysis
+                .UnresolvedExtractValue(e, Literal(f)))
+          }
+          else if (parts.length >= 2 && parts.head.equalsIgnoreCase(ql))
+            ua
+          else { ok = false; ua }
+      }
+      if (!ok) return None
+      changed = true
+      nextId += 1; val m1 = s"__mat$nextId"
+      nextId += 1; val m2 = s"__mat$nextId"
+      val bottom = Project(Seq(
+        Alias(UnresolvedAttribute(lParts), m1)(): NamedExpression,
+        Alias(UnresolvedAttribute(rParts), m2)(): NamedExpression),
+        OneRowRelation())
+      val (flatL, attrsL) = genAttrs(lEt)
+      val (flatR, attrsR) = genAttrs(rEt)
+      val leftGen = Generate(
+        UnnestArray(UnresolvedAttribute(Seq(m1)), flatL),
+        Nil, outer = false, Some(ql), attrsL, bottom)
+      val filtered = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedFunction("filter",
+          Seq(UnresolvedAttribute(Seq(m2)), LambdaFunction(body, Seq(lam))),
+          isDistinct = false)
+      Some(Generate(UnnestArray(filtered, flatR),
+        Nil, outer = true, Some(qr), attrsR, leftGen))
+    }
     // descend through the unary wrappers above the FROM, rebuild in place
     def descend(p: LogicalPlan): Option[LogicalPlan] = p match {
       case pr: Project => descend(pr.child).map(c => pr.copy(child = c))
       case f: Filter => descend(f.child).map(c => f.copy(child = c))
       case a: Aggregate => descend(a.child).map(c => a.copy(child = c))
+      case Join(l, r, LeftOuter, Some(cond), _) =>
+        flattenLeftOuter(l, r, cond)
       case j: Join => collectTree(j).flatMap { case (refs, conds) =>
         if (refs.length < 2) None
         else {

@@ -154,15 +154,17 @@ CLOSED_NOTE = ("Closed round 13: the rewriter flattens an inner-join tree "
                "rejecting two correlated Generates "
                "(plans/NestedTableRefs.scala tryFlattenMultiRef).")
 
-LIMIT_NOTE = ("ENGINE LIMITATION PIN (narrowed round 13): correlation "
-              "below the RIGHT side of a left outer join is unsupported by "
-              "Spark's decorrelator outright "
-              "(ACCESSING_OUTER_QUERY_COLUMN_IS_NOT_ALLOWED), so no "
-              "materialization shape can host a correlated ref there; the "
-              "reference's SubplanNode evaluates the subtree per row. "
-              "INNER-join multi-ref subplans are closed (see the flattened "
-              "blocks above); this left-outer form stays the documented "
-              "error.")
+CLOSED_LO_NOTE = ("Closed round 14 (was the r13 narrowed pin): Generate's "
+                  "outer=true IS per-left-element left-outer semantics, so "
+                  "the rewriter materializes both arrays in the ONE "
+                  "correlated Project, Generates the left array, then an "
+                  "outer=true Generate of filter(right_array, b -> cond) "
+                  "with right-alias columns rewritten into the lambda "
+                  "variable; no Join — and therefore no correlation below a "
+                  "join's right side — survives the rewrite "
+                  "(plans/NestedTableRefs.scala flattenLeftOuter). An empty "
+                  "match set emits one row with NULL right columns, exactly "
+                  "the reference SubplanNode's per-row LEFT OUTER.")
 
 
 # ---------------------------------------------------------------------
@@ -674,14 +676,34 @@ WHERE ca.o_orderkey = cb.o_orderkey
 GROUP BY ca.o_orderpriority"""))
 
 block("subplans.test",
-      "Test a left outer join inside a subplan. " + LIMIT_NOTE,
+      "Test a left outer join inside a subplan. " + CLOSED_LO_NOTE,
       """SELECT count(okey), opriority
 FROM customer_nested c,
   (SELECT ca.o_orderkey okey, ca.o_orderpriority opriority
    FROM c.c_orders ca LEFT OUTER JOIN c.c_orders cb
    ON ca.o_orderkey = cb.o_orderkey) v
 GROUP BY opriority""",
-      [], catch="UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY")
+      duck("""SELECT count(ca.o_orderkey), ca.o_orderpriority
+FROM customer_n c
+JOIN orders_n ca ON ca.o_custkey = c.c_custkey
+LEFT OUTER JOIN orders_n cb
+  ON cb.o_custkey = ca.o_custkey AND ca.o_orderkey = cb.o_orderkey
+GROUP BY ca.o_orderpriority"""))
+
+block("subplans.test",
+      "Left outer join inside a subplan where most left rows have NO "
+      "match — pins the NULL-emission path of the round-14 closure "
+      "(count(cbkey) counts only matched rights).",
+      """SELECT count(okey) n_left, count(cbkey) n_matched
+FROM customer_nested c,
+  (SELECT ca.o_orderkey okey, cb.o_orderkey cbkey
+   FROM c.c_orders ca LEFT OUTER JOIN c.c_orders cb
+   ON cb.o_orderkey = ca.o_orderkey + 1) v""",
+      duck("""SELECT count(ca.o_orderkey) n_left, count(cb.o_orderkey) n_matched
+FROM customer_n c
+JOIN orders_n ca ON ca.o_custkey = c.c_custkey
+LEFT OUTER JOIN orders_n cb
+  ON cb.o_custkey = ca.o_custkey AND cb.o_orderkey = ca.o_orderkey + 1"""))
 
 # ---------------------------------------------------------------------
 # nested-types-with-clause.test
