@@ -29,6 +29,9 @@ object FunnelOps {
 
   private val DayNs = 86400000000000L
 
+  /** Lag cap that never binds (event-time diffs are < 2^62). */
+  val Uncapped: Long = Long.MaxValue - 1
+
   /** Driver entry + FULL oracle: the view -> click -> purchase ordered
     * funnel. Per user: t1 = first view, t2 = first click AFTER t1,
     * t3 = first purchase AFTER t2 (strict event-time order — the
@@ -42,30 +45,11 @@ object FunnelOps {
       val ev = Engine.table(s, d, "events")
         .select(col("user_id"), col("event_type"),
           (col("ts") - col("ts") % 1000).as("tsn"))
-      def stage(t: String) = ev.filter(col("event_type") === t)
-      val v = stage("view").groupBy(col("user_id"))
-        .agg(min(col("tsn")).as("t1"))
-      val c = stage("click").join(v, "user_id")
-        .filter(col("tsn") > col("t1"))
-        .groupBy(col("user_id"), col("t1"))
-        .agg(min(col("tsn")).as("t2"))
-      val p = stage("purchase").join(
-          c.select(col("user_id"), col("t2")), "user_id")
-        .filter(col("tsn") > col("t2"))
-        .groupBy(col("user_id"), col("t2"))
-        .agg(min(col("tsn")).as("t3"))
-      val r1 = v.agg(count(lit(1)).as("users"),
-        lit(0L).as("total_lag_ns")).select(lit(1).as("stage"),
-        lit("view").as("event_type"), col("users"), col("total_lag_ns"))
-      val r2 = c.agg(count(lit(1)).as("users"),
-        coalesce(sum(col("t2") - col("t1")), lit(0L)).as("total_lag_ns"))
-        .select(lit(2).as("stage"), lit("click").as("event_type"),
-          col("users"), col("total_lag_ns"))
-      val r3 = p.agg(count(lit(1)).as("users"),
-        coalesce(sum(col("t3") - col("t2")), lit(0L)).as("total_lag_ns"))
-        .select(lit(3).as("stage"), lit("purchase").as("event_type"),
-          col("users"), col("total_lag_ns"))
-      r1.unionAll(r2).unionAll(r3).orderBy(col("stage"))
+      // ONE funnel implementation (r14): the uncapped 3-stage entry is
+      // funnelK with the lag cap effectively off — the oracle below is
+      // unchanged and FunnelOpsSpec pins the chain against a
+      // sequential per-user recompute
+      funnelK(ev, Seq("view", "click", "purchase"), Uncapped)
     },
     Some("""WITH ev AS (
       |  SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
@@ -183,28 +167,35 @@ object FunnelOps {
     * aggregates union into k rows.
     *
     * `ev` must carry (user_id, event_type, tsn: int64 ns).
+    *
+    * `checkpoint` is the stage-materialization hook (tests inject a
+    * capture to pin the one-events-scan-per-stage budget).
     */
-  def funnelK(ev: DataFrame, stages: Seq[String],
-      maxLagNs: Long): DataFrame = {
+  def funnelK(ev: DataFrame, stages: Seq[String], maxLagNs: Long,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(stages.size >= 2, "funnelK: need >= 2 stages")
     require(stages.distinct.size == stages.size,
       "funnelK: repeated stage types are ambiguous")
     require(maxLagNs > 0, "funnelK: maxLagNs > 0")
     def typed(t: String) = ev.filter(col("event_type") === t)
-    val first = typed(stages.head).groupBy(col("user_id"))
-      .agg(min(col("tsn")).as("t"))
+    // each stage relation is users-sized AND read twice (the next
+    // stage's join + its own count/lag aggregate) — checkpoint it so
+    // the raw events relation is scanned exactly ONCE per stage
+    // (audited: uncheckpointed, the k=4 entry re-derived events 10x)
+    val first = checkpoint(typed(stages.head).groupBy(col("user_id"))
+      .agg(min(col("tsn")).as("t")))
     var rows = first.agg(count(lit(1)).as("users"),
       lit(0L).as("total_lag_ns"))
       .select(lit(1).as("stage"), lit(stages.head).as("event_type"),
         col("users"), col("total_lag_ns"))
     var reached = first // (user_id, t) — users-sized, never events-sized
     stages.zipWithIndex.drop(1).foreach { case (t, i) =>
-      val nxt = typed(t)
+      val nxt = checkpoint(typed(t)
         .join(reached.select(col("user_id"), col("t").as("tp")), "user_id")
         .filter(col("tsn") > col("tp") &&
           col("tsn") - col("tp") <= maxLagNs)
         .groupBy(col("user_id"), col("tp"))
-        .agg(min(col("tsn")).as("t"))
+        .agg(min(col("tsn")).as("t")))
       rows = rows.unionAll(nxt.agg(count(lit(1)).as("users"),
         coalesce(sum(col("t") - col("tp")), lit(0L)).as("total_lag_ns"))
         .select(lit(i + 1).as("stage"), lit(t).as("event_type"),

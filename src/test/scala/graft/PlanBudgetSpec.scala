@@ -192,11 +192,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the final plan reads only the checkpoint (0 scans here — the
     // single pre-checkpoint scan is structural, like pipeline_full's)
     "stat_rolling_quantiles" -> Map("events" -> 1),
-    // one filtered stage scan per funnel stage + one reuse defeat on
-    // the stage-aggregate consumed by both the next stage's join and
-    // its own count row (all narrow type-filtered scans,
-    // partition-pruned on a type-partitioned production table)
-    "events_funnel" -> Map("events" -> 4),
+    // every stage relation is checkpointed (r14: each is users-sized
+    // and read twice — by the next stage's join and its own count
+    // row; uncheckpointed, the k=4 entry re-derived events 10x), so
+    // the final union plan reads only checkpoints; the one-scan-per-
+    // stage pre-checkpoint budget is pinned by the funnelK hook test
+    "events_funnel" -> Map("events" -> 0),
+    "events_funnel_k4" -> Map("events" -> 0),
     // one distinct (user, day) scan; cohort reuses the same exchange
     "events_retention" -> Map("events" -> 2),
     // standing-fp scan + incoming scan + the two shingle branches
@@ -233,6 +235,33 @@ class PlanBudgetSpec extends AnyFunSuite {
     val post = scanCounts(CorpusOps.pipelinePack(clean.localCheckpoint()))
     assert(post.isEmpty, s"post-checkpoint base-table scans: $post")
     info(s"pipeline_full: pre=$pre post=$post")
+  }
+
+  // funnelK checkpoints every stage relation; the entry budgets above
+  // pin the final plan at ZERO events scans. This pins the other half
+  // via the checkpoint hook: each stage's PRE-checkpoint relation
+  // reads events exactly once (stage 1 = filtered aggregate; stage
+  // i+1 = filtered scan joined to stage i's checkpoint leaf), so a
+  // k-stage funnel reads the corpus exactly k times end-to-end.
+  test("funnelK: each stage's pre-checkpoint relation is one events scan") {
+    Engine.configure(spark)
+    import graft.operators.FunnelOps
+    import org.apache.spark.sql.functions.col
+    val ev = Engine.table(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("event_type"),
+        (col("ts") - col("ts") % 1000).as("tsn"))
+    val stages = Seq("signup", "view", "click", "purchase")
+    val perStage = Seq.newBuilder[Map[String, Int]]
+    FunnelOps.funnelK(ev, stages, FunnelOps.Uncapped,
+      df => { perStage += scanCounts(df); df.localCheckpoint() })
+      .collect()
+    val measured = perStage.result()
+    assert(measured.size == stages.size, s"stage count: $measured")
+    measured.zipWithIndex.foreach { case (m, i) =>
+      assert(m == Map("events" -> 1),
+        s"stage ${i + 1} pre-checkpoint scans: $m")
+    }
+    info(s"funnelK per-stage pre-checkpoint scans: $measured")
   }
 
   test("organic-path scan budgets: star paths one scan, pair paths two") {
