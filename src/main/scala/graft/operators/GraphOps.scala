@@ -504,6 +504,107 @@ object GraphOps {
         "  FROM li a JOIN li b ON a.o = b.o AND a.sk = b.sk " +
         "AND a.p < b.p),\n")))
 
+  /** Synchronous label propagation — the standard lightweight
+    * community-detection primitive (complementing components =
+    * reachability, k-core = density, pagerank = centrality): every
+    * node starts labeled with its own id; each round, ALL nodes
+    * simultaneously adopt the most frequent label among their
+    * neighbors, ties broken by MIN label. A FIXED round count (not
+    * fixpoint detection) is the spec: synchronous LPA can 2-cycle on
+    * bipartite structures, so "R rounds exactly" is what makes the
+    * operator deterministic and oracle-checkable — identical
+    * arithmetic in both engines, no randomized tie-breaking (the
+    * usual async-LPA nondeterminism is exactly what this formulation
+    * removes).
+    *
+    * `edges`: undirected, x < y, distinct. Returns (node, label)
+    * after `rounds` rounds, ordered by node.
+    *
+    * 100 TB shape: each round is ONE adjacency-join shuffle keyed by
+    * neighbor + one (node, label) count aggregate + one per-node
+    * argmax aggregate (min over struct(-cnt, label) — no window, so
+    * no per-node sort); labels are checkpointed per round (the
+    * pageRank cadence lesson). Zero driver-side graph state — not
+    * even a per-round count; the loop is a fixed unroll.
+    */
+  def labelPropagation(edges0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagation: rounds >= 1")
+    val adj = edges0.select(col("x").as("n"), col("y").as("m"))
+      .unionAll(edges0.select(col("y").as("n"), col("x").as("m")))
+      .localCheckpoint()
+    var labels = adj.select(col("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val nbrLbl = adj.join(
+        labels.select(col("n").as("m"), col("lbl")), Seq("m"))
+      val counts = nbrLbl.groupBy(col("n"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, lbl asc): lexicographic MIN over
+      // struct(-cnt, lbl) — node ids are >= 0 so -cnt can't collide
+      labels = counts.groupBy(col("n"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("lbl")))
+          .as("pick"))
+        .select(col("n"), col("pick.lbl").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("n").as("node"), col("lbl").as("label"))
+      .orderBy(col("node"))
+  }
+
+  private val LpaRounds = 4
+
+  /** Unrolled sync-LPA oracle (the kcore/pagerank unrolled-CTE
+    * pattern): `withAndAdj` must define `adj(n, m)` (both edge
+    * directions); each round is MATERIALIZED (referenced twice —
+    * default inlining would grow the plan exponentially in rounds).
+    */
+  private def lpaOracle(rounds: Int, withAndAdj: String): String = {
+    val sb = new StringBuilder
+    sb.append(withAndAdj)
+    sb.append("l0 AS MATERIALIZED (SELECT DISTINCT n, n AS lbl FROM adj),\n")
+    (0 until rounds).foreach { r =>
+      sb.append(s"c$r AS MATERIALIZED (SELECT a.n, l.lbl, " +
+        s"COUNT(*) AS cnt FROM adj a JOIN l$r l ON a.m = l.n " +
+        "GROUP BY a.n, l.lbl),\n")
+      sb.append(s"l${r + 1} AS MATERIALIZED (SELECT n, lbl FROM (" +
+        "SELECT n, lbl, ROW_NUMBER() OVER (PARTITION BY n " +
+        s"ORDER BY cnt DESC, lbl ASC) AS rk FROM c$r) WHERE rk = 1),\n")
+    }
+    sb.append(s"fin AS (SELECT n, lbl FROM l$rounds)\n")
+    sb.append("SELECT n AS node, CAST(lbl AS BIGINT) AS label " +
+      "FROM fin ORDER BY node")
+    sb.toString
+  }
+
+  /** Driver entry + FULL oracle: 4 sync-LPA rounds over the user
+    * co-occurrence graph (same edge derivation as [[trianglesEntry]]
+    * / [[kcoreEntry]]) — co-activity communities per user.
+    */
+  val labelPropEntry: Q = Q("graph_label_prop",
+    (s, d) => {
+      Engine.configure(s)
+      val b = Engine.table(s, d, "events")
+        .select(col("user_id").as("u"), col("event_type").as("t"),
+          expr("(ts - ts % 1000) div 300000000000").as("w"))
+        .distinct()
+      val b2 = b.select(col("u").as("u2"), col("t").as("t2"),
+        col("w").as("w2"))
+      val edges = b.join(b2, col("t") === col("t2") &&
+          col("w") === col("w2") && col("u") < col("u2"))
+        .select(col("u").as("x"), col("u2").as("y"))
+        .distinct()
+      labelPropagation(edges, LpaRounds)
+    },
+    Some(lpaOracle(LpaRounds,
+      "WITH b AS (\n" +
+        "  SELECT DISTINCT user_id u, event_type t,\n" +
+        "    epoch_ns(ts) // 300000000000 w\n  FROM events),\n" +
+        "ed AS MATERIALIZED (\n  SELECT DISTINCT a.u AS x, c.u AS y\n" +
+        "  FROM b a JOIN b c ON a.t = c.t AND a.w = c.w AND a.u < c.u),\n" +
+        "adj AS MATERIALIZED (\n  SELECT x AS n, y AS m FROM ed\n" +
+        "  UNION ALL SELECT y AS n, x AS m FROM ed),\n")))
+
   val defs: Seq[Q] = Seq(pagerankEntry, pprEntry, trianglesEntry,
-    kcoreEntry, kcorePeelEntry)
+    kcoreEntry, kcorePeelEntry, labelPropEntry)
 }

@@ -484,7 +484,96 @@ object StatOps {
       |FROM cw GROUP BY day
       |ORDER BY day""".stripMargin))
 
+  /** Per-day distribution drift vs the corpus's FIRST day, over the
+    * shared [[valueBucket]] histogram spine: total-variation distance
+    * and L-infinity distance of each day's value distribution from
+    * day 0's. The production shape behind "did today's feed shift?"
+    * monitors — computed from the same stored day×256 summary the
+    * rolling-quantile entry maintains, so drift adds ZERO extra
+    * corpus scans to a pipeline already keeping daily histograms.
+    *
+    * Determinism (the reason this entry is TVD/L∞ and not KL/PSI):
+    * both metrics are RATIONAL in the counts —
+    * tvd = Σ_b |c_d·n_0 − c_0·n_d| / (2·n_d·n_0) — so every
+    * numerator is exact int64 arithmetic (association-free; no
+    * double SUM anywhere, sidestepping the Det computed-product tie
+    * class entirely) and the single final division of
+    * exactly-representable integers (< 2^53 through the 10000×
+    * sweep) is one correctly-rounded IEEE op identical in both
+    * engines. KL/PSI need ln(), which NOTES rule 7 bans from
+    * hash-checked values (1-ulp libm variance).
+    *
+    * 100 TB shape: one events scan into the ≤ days×256 summary
+    * (map-side partial agg); everything after runs over the summary.
+    * The baseline day row is a 1-row broadcast. At counts where
+    * c·n ≥ 2^53 (≫ petabyte days), switch the numerator columns to
+    * DECIMAL(38,0) sums and emit the ppm-scaled integer instead of
+    * the double ratio.
+    */
+  val driftTvdEntry: Q = Q("stat_drift_tvd",
+    (s, d) => {
+      Engine.configure(s)
+      val ev = Engine.table(s, d, "events").select(
+        expr("(ts - ts % 1000) div 86400000000000").as("day"),
+        valueBucket(col("value")).as("b"))
+      val daily = ev.groupBy(col("day"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val spine = daily.select(col("day")).distinct()
+        .select(col("day"), explode(sequence(lit(0), lit(255))).as("b"))
+      val n = daily.groupBy(col("day")).agg(sum(col("c")).as("n"))
+      val base = daily
+        .join(broadcast(daily.agg(min(col("day")).as("day"))), "day")
+      val b0 = base.select(col("b"), col("c").as("c0"))
+      val n0 = base.agg(sum(col("c")).as("n0"))
+      val terms = spine
+        .join(daily, Seq("day", "b"), "left")
+        .join(b0, Seq("b"), "left")
+        .join(n, Seq("day"))
+        .crossJoin(broadcast(n0))
+        .select(col("day"), col("n"), col("n0"),
+          abs(coalesce(col("c"), lit(0L)) * col("n0") -
+            coalesce(col("c0"), lit(0L)) * col("n")).as("t"))
+      terms.groupBy(col("day"))
+        .agg(max(col("n")).as("n"),
+          sum(col("t")).as("tvd_num"),
+          max(col("t")).as("linf_num"),
+          max(col("n0")).as("n0"))
+        .select(col("day"), col("n"),
+          (col("tvd_num") / (lit(2.0) * col("n") * col("n0"))).as("tvd"),
+          (col("linf_num") / (lit(1.0) * col("n") * col("n0"))).as("linf"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    $valueBucketSql AS b
+      |  FROM events),
+      |daily AS (
+      |  SELECT day, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT d.day, r.b FROM (SELECT DISTINCT day FROM daily) d,
+      |    (SELECT CAST(UNNEST(RANGE(0, 256)) AS INT) AS b) r),
+      |nn AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM daily GROUP BY day),
+      |b0 AS (SELECT b, c AS c0 FROM daily
+      |  WHERE day = (SELECT MIN(day) FROM daily)),
+      |n0 AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0 FROM b0),
+      |terms AS (
+      |  SELECT s.day, nn.n, n0.n0,
+      |    ABS(COALESCE(dl.c, 0) * n0.n0 -
+      |        COALESCE(b0.c0, 0) * nn.n) AS t
+      |  FROM spine s
+      |  LEFT JOIN daily dl ON s.day = dl.day AND s.b = dl.b
+      |  LEFT JOIN b0 ON s.b = b0.b
+      |  JOIN nn ON s.day = nn.day, n0)
+      |SELECT day, MAX(n) AS n,
+      |  CAST(SUM(t) AS BIGINT) / (2.0 * MAX(n) * MAX(n0)) AS tvd,
+      |  CAST(MAX(t) AS BIGINT) / (1.0 * MAX(n) * MAX(n0)) AS linf
+      |FROM terms GROUP BY day
+      |ORDER BY day""".stripMargin))
+
   val defs: Seq[Q] =
     Seq(bootstrapEntry, covarianceEntry, anomalyEntry, joinSizeEntry,
-      driftEntry, rollingQuantilesEntry)
+      driftEntry, rollingQuantilesEntry, driftTvdEntry)
 }

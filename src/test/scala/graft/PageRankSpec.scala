@@ -315,4 +315,59 @@ class PageRankSpec extends AnyFunSuite {
     // with the span allowed, the path (no cycle) peels to empty
     assert(runKcore(path, 2, maxRounds = 16).isEmpty)
   }
+
+  /** Sequential reference of synchronous min-tiebreak LPA. */
+  private def refLpa(edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (n, ms) =>
+        val best = ms.map(lbl).groupBy(identity)
+          .map { case (l, g) => (l, g.size) }
+          .minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }
+    }
+    lbl
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.labelPropagation(edges.toDF("x", "y").repartition(4), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: planted cliques with a bridge match the " +
+    "sequential sync reference; random graphs too, partition-independent") {
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    val planted = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L))).distinct
+    for (r <- Seq(1, 2, 4))
+      assert(runLpa(planted, r) == refLpa(planted, r), s"rounds=$r")
+    val rnd = new scala.util.Random(97)
+    val edges = Seq.fill(300)(
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+    for (r <- Seq(1, 3, 4))
+      assert(runLpa(edges, r) == refLpa(edges, r), s"rounds=$r")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(runLpa(edges, 4) == refLpa(edges, 4))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("labelPropagation: fixed rounds ARE the spec — a single edge " +
+    "2-cycles, so even/odd round counts differ deterministically") {
+    val e = Seq((1L, 2L))
+    // round 1: each endpoint adopts the other's label; round 2: back
+    assert(runLpa(e, 1) == Map(1L -> 2L, 2L -> 1L))
+    assert(runLpa(e, 2) == Map(1L -> 1L, 2L -> 2L))
+  }
 }

@@ -192,6 +192,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the final plan reads only the checkpoint (0 scans here — the
     // single pre-checkpoint scan is structural, like pipeline_full's)
     "stat_rolling_quantiles" -> Map("events" -> 1),
+    // drift runs entirely over the checkpointed day x 256 summary
+    // (the same one-corpus-scan pattern; baseline day is a 1-row
+    // broadcast of the summary's min day)
+    "stat_drift_tvd" -> Map("events" -> 0),
     // every stage relation is checkpointed (r14: each is users-sized
     // and read twice — by the next stage's join and its own count
     // row; uncheckpointed, the k=4 entry re-derived events 10x), so

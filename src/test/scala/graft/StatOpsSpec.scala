@@ -164,4 +164,66 @@ class StatOpsSpec extends AnyFunSuite {
     // 8th of 15 (bucket 30), p90 the 14th (255), p99 the 15th (255)
     assert((r.getInt(2), r.getInt(3), r.getInt(4)) == ((30, 255, 255)))
   }
+
+  test("drift TVD/Linf: equals an exact integer recompute per day " +
+    "against the min-day baseline") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("stat_drift_tvd")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val raw = Engine.table(spark, d, "events")
+      .selectExpr("(ts - ts % 1000) div 86400000000000 AS day",
+        "cast(least(greatest(floor(value / 2.0), 0), 255) as int) AS b")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byDay = raw.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+      .toMap
+    val day0 = byDay.keys.min
+    val c0 = byDay(day0)
+    val n0 = c0.values.sum
+    byDay.foreach { case (day, cd) =>
+      val n = cd.values.sum
+      val terms = (0 to 255).map { b =>
+        math.abs(cd.getOrElse(b, 0L) * n0 - c0.getOrElse(b, 0L) * n)
+      }
+      val tvd = terms.sum / (2.0 * n * n0)
+      val linf = terms.max / (1.0 * n * n0)
+      assert(got(day) == ((n, tvd, linf)),
+        s"day $day: got ${got(day)}, want ($n, $tvd, $linf)")
+    }
+    assert(got(day0)._2 == 0.0 && got(day0)._3 == 0.0)
+  }
+
+  test("drift TVD/Linf: planted 3-day corpus with out-of-domain values " +
+    "hits the exact fractions (clamped buckets, nothing dropped)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_drift_domain").toString
+    val day0us = 1700000000000000L - (1700000000000000L % 86400000000L)
+    // day0 buckets [0,0,10,10]; day1 [0,10,10,10]; day2 has an
+    // out-of-domain pair (-3 -> bucket 0, 700 -> bucket 255)
+    val rows = Seq(
+      (0L, 0L, 0.0), (1L, 0L, 1.0), (2L, 0L, 20.0), (3L, 0L, 21.0),
+      (4L, 1L, 1.0), (5L, 1L, 20.0), (6L, 1L, 20.5), (7L, 1L, 21.0),
+      (8L, 2L, -3.0), (9L, 2L, 700.0))
+    spark.createDataFrame(rows).toDF("event_id", "dayk", "value")
+      .select(col("event_id"),
+        timestamp_micros(lit(day0us) + col("dayk") * 86400000000L +
+          col("event_id") * 1000000L).as("ts"),
+        (col("event_id") % 3).as("user_id"),
+        lit("view").as("event_type"), col("value"),
+        lit("{}").as("props"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("stat_drift_tvd")(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // day0 baseline: 0 by definition; day1 vs day0: sum|c*4-c0*4|/32 =
+    // (4+4)/32 -> 0.25, linf 4/16 = 0.25; day2 (n=2): terms b0
+    // |1*4-2*2|=0, b10 |0*4-2*2|=4, b255 |1*4-0*2|=4 -> tvd 8/16=0.5,
+    // linf 4/8=0.5
+    assert(got.toSeq == Seq((4L, 0.0, 0.0), (4L, 0.25, 0.25),
+      (2L, 0.5, 0.5)))
+  }
 }
