@@ -217,6 +217,35 @@ object Bench {
       spark.catalog.dropTempView(name)
     }
 
+    // streaming distribution drift: same bucketed feed (SHARED replay
+    // dir with the rquantiles row), 1-day window — exactly-once daily
+    // cells + the batch-identical stateless TVD pass over them; state
+    // prunes to in-flight days (stream_meta records the bound).
+    def streamDrift(): Unit = withStreamingPartitions {
+      import org.apache.spark.sql.functions.{col, expr}
+      val src = replayStream("rquantiles", Seq("ms", "b"),
+        Engine.table(spark, sfDir, "events")
+          .select(
+            graft.operators.StatOps.valueBucket(col("value")).as("b"),
+            expr("(ts - ts % 1000) div 86400000000000").as("day"),
+            expr("(ts - ts % 1000) div 1000000").as("ms")))
+      val name = s"bench_stream_drift_${System.nanoTime()}"
+      val q = graft.streaming.StreamDrift.dailyCells(
+        src.select(col("b"), col("day"),
+          (col("ms") / 1000.0).cast("timestamp").as("event_time")),
+        watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drainStream("organic_stream_drift", q, {
+        // run the full stateless TVD pass inside the timed row (the
+        // row's semantic output), report emitted CELLS in the meta
+        graft.streaming.StreamDrift
+          .driftFromCells(spark.table(name)).count()
+        spark.table(name).count()
+      })
+      spark.catalog.dropTempView(name)
+    }
+
     // streaming interval-overlap throughput: every event as a 60 s
     // activity interval vs ±10 min incident windows around high-value
     // errors, replayed end-time-ordered as 8 micro-batches; state =
@@ -309,6 +338,7 @@ object Bench {
       "organic_stream_changelog" -> (() => streamChangelog()),
       "organic_stream_interval" -> (() => streamInterval()),
       "organic_stream_rquantiles" -> (() => streamRollingQuantiles()),
+      "organic_stream_drift" -> (() => streamDrift()),
       "organic_stream_ingest" -> (() => streamIngest()),
       "organic_kmeans_fit" ->
         (() => { graft.operators.MlOps.kmeansFit(

@@ -510,39 +510,49 @@ object StatOps {
     * DECIMAL(38,0) sums and emit the ppm-scaled integer instead of
     * the double ratio.
     */
+  /** The post-summary half of [[driftTvdEntry]]: TVD/L∞ per day vs
+    * the summary's min day, from a (day, b, c) daily-histogram
+    * relation. Shared with the [[graft.streaming.StreamDrift]] twin,
+    * whose exactly-once daily cells feed the SAME computation — the
+    * domain rule and the metric arithmetic cannot drift between the
+    * batch and streaming paths.
+    */
+  def driftFromDaily(daily: DataFrame): DataFrame = {
+    val spine = daily.select(col("day")).distinct()
+      .select(col("day"), explode(sequence(lit(0), lit(255))).as("b"))
+    val n = daily.groupBy(col("day")).agg(sum(col("c")).as("n"))
+    val base = daily
+      .join(broadcast(daily.agg(min(col("day")).as("day"))), "day")
+    val b0 = base.select(col("b"), col("c").as("c0"))
+    val n0 = base.agg(sum(col("c")).as("n0"))
+    val terms = spine
+      .join(daily, Seq("day", "b"), "left")
+      .join(b0, Seq("b"), "left")
+      .join(n, Seq("day"))
+      .crossJoin(broadcast(n0))
+      .select(col("day"), col("n"), col("n0"),
+        abs(coalesce(col("c"), lit(0L)) * col("n0") -
+          coalesce(col("c0"), lit(0L)) * col("n")).as("t"))
+    terms.groupBy(col("day"))
+      .agg(max(col("n")).as("n"),
+        sum(col("t")).as("tvd_num"),
+        max(col("t")).as("linf_num"),
+        max(col("n0")).as("n0"))
+      .select(col("day"), col("n"),
+        (col("tvd_num") / (lit(2.0) * col("n") * col("n0"))).as("tvd"),
+        (col("linf_num") / (lit(1.0) * col("n") * col("n0"))).as("linf"))
+      .orderBy(col("day"))
+  }
+
   val driftTvdEntry: Q = Q("stat_drift_tvd",
     (s, d) => {
       Engine.configure(s)
       val ev = Engine.table(s, d, "events").select(
         expr("(ts - ts % 1000) div 86400000000000").as("day"),
         valueBucket(col("value")).as("b"))
-      val daily = ev.groupBy(col("day"), col("b"))
+      driftFromDaily(ev.groupBy(col("day"), col("b"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val spine = daily.select(col("day")).distinct()
-        .select(col("day"), explode(sequence(lit(0), lit(255))).as("b"))
-      val n = daily.groupBy(col("day")).agg(sum(col("c")).as("n"))
-      val base = daily
-        .join(broadcast(daily.agg(min(col("day")).as("day"))), "day")
-      val b0 = base.select(col("b"), col("c").as("c0"))
-      val n0 = base.agg(sum(col("c")).as("n0"))
-      val terms = spine
-        .join(daily, Seq("day", "b"), "left")
-        .join(b0, Seq("b"), "left")
-        .join(n, Seq("day"))
-        .crossJoin(broadcast(n0))
-        .select(col("day"), col("n"), col("n0"),
-          abs(coalesce(col("c"), lit(0L)) * col("n0") -
-            coalesce(col("c0"), lit(0L)) * col("n")).as("t"))
-      terms.groupBy(col("day"))
-        .agg(max(col("n")).as("n"),
-          sum(col("t")).as("tvd_num"),
-          max(col("t")).as("linf_num"),
-          max(col("n0")).as("n0"))
-        .select(col("day"), col("n"),
-          (col("tvd_num") / (lit(2.0) * col("n") * col("n0"))).as("tvd"),
-          (col("linf_num") / (lit(1.0) * col("n") * col("n0"))).as("linf"))
-        .orderBy(col("day"))
+        .localCheckpoint())
     },
     Some(s"""WITH ev AS (
       |  SELECT epoch_ns(ts) // 86400000000000 AS day,

@@ -50,7 +50,7 @@ object StreamQuantiles {
       emitted: Long)
 
   private def step(bucket: Int, rows: Iterator[QIn],
-      state: GroupState[Buf]): Iterator[QCell] = {
+      state: GroupState[Buf], window: Int): Iterator[QCell] = {
     val prev = state.getOption
     val m = collection.mutable.Map.empty[Long, Long]
     prev.foreach(p =>
@@ -73,14 +73,16 @@ object StreamQuantiles {
     val maxDay = m.keys.max
     val out = collection.mutable.ArrayBuffer.empty[QCell]
     var d = math.max(emitted + 1L, m.keys.min) // below min: mc = 0
-    val hi = math.min(lastComplete, maxDay + 6L) // beyond: mc = 0
+    val hi = math.min(lastComplete, maxDay + window - 1L) // beyond: mc = 0
     while (d <= hi) {
-      val mc = (d - 6L to d).foldLeft(0L)((a, k) => a + m.getOrElse(k, 0L))
+      val mc = (d - window + 1L to d)
+        .foldLeft(0L)((a, k) => a + m.getOrElse(k, 0L))
       if (mc > 0L) out += QCell(d, bucket, mc)
       d += 1L
     }
     if (lastComplete > emitted) emitted = lastComplete
-    val keep = m.filter(_._1 >= emitted - 5L) // day emitted+1 needs >= emitted-5
+    // day emitted+1 still needs days >= emitted+1 - (window-1)
+    val keep = m.filter(_._1 >= emitted - (window - 2L))
     if (keep.isEmpty) state.remove()
     else {
       val ks = keep.keys.toArray.sorted
@@ -91,12 +93,17 @@ object StreamQuantiles {
     out.iterator
   }
 
-  /** Merged 7-day histogram cells over a (b: int, day: long,
+  /** Merged `window`-day histogram cells over a (b: int, day: long,
     * event_time: timestamp) stream. Append mode; each (day, bucket)
     * cell with a positive merged count is emitted exactly once, when
-    * the watermark completes the day.
+    * the watermark completes the day. `window` = 7 is the rolling-
+    * quantile feed; `window` = 1 degenerates to exactly-once DAILY
+    * histogram cells (the [[StreamDrift]] feed) with per-key state
+    * pruned to in-flight days only.
     */
-  def mergedCells(tagged: DataFrame, watermark: String): Dataset[QCell] = {
+  def mergedCells(tagged: DataFrame, watermark: String,
+      window: Int = 7): Dataset[QCell] = {
+    require(window >= 1, "mergedCells: window >= 1")
     val spark = tagged.sparkSession
     import spark.implicits._
     tagged.withWatermark("event_time", watermark)
@@ -106,8 +113,8 @@ object StreamQuantiles {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (b: Int, rows: Iterator[QIn], state: GroupState[Buf]) =>
-          if (state.hasTimedOut) step(b, Iterator.empty, state)
-          else step(b, rows, state)
+          if (state.hasTimedOut) step(b, Iterator.empty, state, window)
+          else step(b, rows, state, window)
       }
   }
 }

@@ -374,6 +374,26 @@ object ScaleSweep {
       graft.streaming.FileReplay.drop(dir2)
       r
     })
+    emit("stream_drift", () => withStreamParts {
+      val dir2 = graft.streaming.FileReplay.write(
+        Engine.table(spark, dir, "events")
+          .select(
+            graft.operators.StatOps.valueBucket(col("value")).as("b"),
+            expr("(ts - ts % 1000) div 86400000000000").as("day"),
+            expr("(ts - ts % 1000) div 1000000").as("ms")),
+        Seq("ms", "b"))
+      val name = s"sweep_drift_${System.nanoTime()}"
+      val q = graft.streaming.StreamDrift.dailyCells(
+        graft.streaming.FileReplay.read(spark, dir2)
+          .select(col("b"), col("day"),
+            (col("ms") / 1000.0).cast("timestamp").as("event_time")),
+        watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val r = drainToExtra(q, name)
+      graft.streaming.FileReplay.drop(dir2)
+      r
+    })
     emit("stream_ingest", () => withStreamParts {
       val dir2 = graft.streaming.FileReplay.write(
         Engine.table(spark, dir, "documents")
