@@ -583,7 +583,97 @@ object StatOps {
       |FROM terms GROUP BY day
       |ORDER BY day""".stripMargin))
 
+  /** Declarative data-quality EXPECTATIONS (the Deequ /
+    * Great-Expectations production shape): a fixed rule set evaluated
+    * over the fact tables, one result row per rule —
+    * (rule, total, failed, pass). Rule classes covered: not-null,
+    * range, value-set, cross-field ordering, key uniqueness, and
+    * referential containment.
+    *
+    * 100 TB shape: every PER-ROW rule on a table folds into ONE
+    * conditional aggregate over ONE scan (failed = count_if(NOT p) —
+    * adding rules adds columns, not scans); uniqueness is one exact
+    * count-distinct on the same scan's aggregate; referential
+    * containment is one LEFT ANTI join (broadcast / bloom-filtered at
+    * scale — the only second touch of the probe table, and the only
+    * rule class that fundamentally needs one). Output is O(#rules).
+    */
+  val expectationsEntry: Q = Q("quality_expectations",
+    (s, d) => {
+      Engine.configure(s)
+      val li = Engine.table(s, d, "lineitem")
+      val ord = Engine.table(s, d, "orders")
+      def rule(name: String, total: Column, failed: Column): Column =
+        struct(lit(name).as("rule"), total.as("total"),
+          failed.as("failed"))
+      // all lineitem per-row rules: ONE conditional aggregate (the
+      // 1-row result is checkpointed so the referential rule's
+      // denominator reuses it instead of re-counting the table)
+      val liAgg = li.agg(
+        rule("l_shipdate_not_null", count(lit(1)),
+          count(lit(1)) - count(col("l_shipdate"))).as("r1"),
+        rule("l_quantity_in_1_50", count(lit(1)),
+          sum(when(col("l_quantity").between(1, 50), 0L)
+            .otherwise(1L))).as("r2"),
+        rule("l_returnflag_in_set", count(lit(1)),
+          sum(when(col("l_returnflag").isin("A", "N", "R"), 0L)
+            .otherwise(1L))).as("r3"),
+        rule("l_extprice_ge_quantity", count(lit(1)),
+          sum(when(col("l_extendedprice") >= col("l_quantity"), 0L)
+            .otherwise(1L))).as("r4"))
+        .localCheckpoint()
+      val liRules = liAgg.select(explode(array(col("r1"), col("r2"),
+        col("r3"), col("r4"))).as("r"))
+      // orders: uniqueness on the same single-scan aggregate
+      val ordRules = ord.agg(
+        rule("o_orderkey_unique", count(lit(1)),
+          count(lit(1)) - countDistinct(col("o_orderkey"))).as("r1"))
+        .select(explode(array(col("r1"))).as("r"))
+      // referential: lineitem orphans (the one rule needing a join)
+      val orphan = li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val refRule = orphan.agg(count(lit(1)).as("failed"))
+        .crossJoin(broadcast(liAgg.select(col("r1.total").as("t"))))
+        .select(rule("l_orderkey_in_orders", col("t"),
+          col("failed")).as("r"))
+      liRules.unionAll(ordRules).unionAll(refRule)
+        .select(col("r.rule").as("rule"), col("r.total").as("total"),
+          col("r.failed").as("failed"),
+          (col("r.failed") === 0L).as("pass"))
+        .orderBy(col("rule"))
+    },
+    Some("""WITH li AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      |    CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) AS f_null,
+      |    CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS f_range,
+      |    CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS f_set,
+      |    CAST(SUM(CASE WHEN l_extendedprice >= l_quantity
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS f_order
+      |  FROM lineitem),
+      |oo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS f_uni
+      |  FROM orders),
+      |orph AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS failed FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |rows_ AS (
+      |  SELECT 'l_shipdate_not_null' AS rule, total, f_null AS failed
+      |    FROM li
+      |  UNION ALL SELECT 'l_quantity_in_1_50', total, f_range FROM li
+      |  UNION ALL SELECT 'l_returnflag_in_set', total, f_set FROM li
+      |  UNION ALL SELECT 'l_extprice_ge_quantity', total, f_order FROM li
+      |  UNION ALL SELECT 'o_orderkey_unique', total, f_uni FROM oo
+      |  UNION ALL SELECT 'l_orderkey_in_orders',
+      |    (SELECT total FROM li), failed FROM orph)
+      |SELECT rule, total, failed, failed = 0 AS pass
+      |FROM rows_ ORDER BY rule""".stripMargin))
+
   val defs: Seq[Q] =
     Seq(bootstrapEntry, covarianceEntry, anomalyEntry, joinSizeEntry,
-      driftEntry, rollingQuantilesEntry, driftTvdEntry)
+      driftEntry, rollingQuantilesEntry, driftTvdEntry,
+      expectationsEntry)
 }

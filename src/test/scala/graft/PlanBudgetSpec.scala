@@ -196,6 +196,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // (the same one-corpus-scan pattern; baseline day is a 1-row
     // broadcast of the summary's min day)
     "stat_drift_tvd" -> Map("events" -> 0),
+    // all per-row rules fold into ONE conditional-agg scan per table
+    // (checkpointed 1-row result, reused by the referential rule's
+    // denominator); the final plan's only base scans are the
+    // referential anti-join's probe + build
+    "quality_expectations" -> Map("lineitem" -> 1, "orders" -> 2),
     // every stage relation is checkpointed (r14: each is users-sized
     // and read twice — by the next stage's join and its own count
     // row; uncheckpointed, the k=4 entry re-derived events 10x), so

@@ -226,4 +226,51 @@ class StatOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((4L, 0.0, 0.0), (4L, 0.25, 0.25),
       (2L, 0.5, 0.5)))
   }
+
+  test("expectations: planted corruption fails each rule class with " +
+    "exact counts") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_expect").toString
+    // lineitem: 2 null shipdates, 3 quantity out of [1,50], 1 bad
+    // returnflag, 2 extprice < quantity, 4 orphan orderkeys (9xx)
+    val li = Seq(
+      (1L, 10.0, 100.0, "A", "2024-01-01"),
+      (1L, 0.0, 100.0, "N", "2024-01-02"),   // qty out of range
+      (2L, 51.0, 100.0, "R", "2024-01-03"),  // qty out of range
+      (2L, -1.0, 100.0, "A", "2024-01-04"),  // qty out of range
+      (2L, 10.0, 100.0, "X", "2024-01-05"),  // bad returnflag
+      (3L, 10.0, 5.0, "N", "2024-01-06"),    // extprice < qty
+      (3L, 10.0, 2.0, "R", null),            // extprice < qty + null date
+      (900L, 10.0, 100.0, "A", null),        // orphan + null date
+      (901L, 10.0, 100.0, "N", "2024-01-07"),// orphan
+      (902L, 10.0, 100.0, "R", "2024-01-08"),// orphan
+      (902L, 10.0, 100.0, "A", "2024-01-09") // orphan
+    )
+    spark.createDataFrame(li)
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "sd")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        col("sd").cast("timestamp").as("l_shipdate"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/lineitem.parquet")
+    // orders: key 3 duplicated twice -> 2 non-distinct rows... exactly
+    // count - distinct = 5 - 4 = 1 failed
+    spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L),
+        Tuple1(3L), Tuple1(4L)))
+      .toDF("o_orderkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/orders.parquet")
+    val got = SparkEntry.queries("quality_expectations")(spark, tmp)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("l_shipdate_not_null") == ((11L, 2L, false)))
+    assert(got("l_quantity_in_1_50") == ((11L, 3L, false)))
+    assert(got("l_returnflag_in_set") == ((11L, 1L, false)))
+    assert(got("l_extprice_ge_quantity") == ((11L, 2L, false)))
+    assert(got("o_orderkey_unique") == ((5L, 1L, false)))
+    assert(got("l_orderkey_in_orders") == ((11L, 4L, false)))
+  }
 }
