@@ -173,36 +173,88 @@ object FunnelOps {
     */
   def funnelK(ev: DataFrame, stages: Seq[String], maxLagNs: Long,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val sts = funnelStages(ev, stages, maxLagNs, checkpoint)
+    var rows = sts.head.agg(count(lit(1)).as("users"),
+      lit(0L).as("total_lag_ns"))
+      .select(lit(1).as("stage"), lit(stages.head).as("event_type"),
+        col("users"), col("total_lag_ns"))
+    sts.zipWithIndex.drop(1).foreach { case (nxt, i) =>
+      rows = rows.unionAll(nxt.agg(count(lit(1)).as("users"),
+        coalesce(sum(col("t") - col("tp")), lit(0L)).as("total_lag_ns"))
+        .select(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
+          col("users"), col("total_lag_ns")))
+    }
+    rows.orderBy(col("stage"))
+  }
+
+  /** The checkpointed per-stage relations behind [[funnelK]]: element
+    * 0 is (user_id, t) for the first stage; element i >= 1 is
+    * (user_id, tp, t) for stage i+1 (tp = the user's stage-i time).
+    * Each relation is users-sized AND read twice (the next stage's
+    * join + its consumer's aggregate) — checkpointed so the raw
+    * events relation is scanned exactly ONCE per stage (audited:
+    * uncheckpointed, the k=4 entry re-derived events 10x).
+    */
+  def funnelStages(ev: DataFrame, stages: Seq[String], maxLagNs: Long,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint())
+      : Seq[DataFrame] = {
     require(stages.size >= 2, "funnelK: need >= 2 stages")
     require(stages.distinct.size == stages.size,
       "funnelK: repeated stage types are ambiguous")
     require(maxLagNs > 0, "funnelK: maxLagNs > 0")
     def typed(t: String) = ev.filter(col("event_type") === t)
-    // each stage relation is users-sized AND read twice (the next
-    // stage's join + its own count/lag aggregate) — checkpoint it so
-    // the raw events relation is scanned exactly ONCE per stage
-    // (audited: uncheckpointed, the k=4 entry re-derived events 10x)
     val first = checkpoint(typed(stages.head).groupBy(col("user_id"))
       .agg(min(col("tsn")).as("t")))
-    var rows = first.agg(count(lit(1)).as("users"),
-      lit(0L).as("total_lag_ns"))
-      .select(lit(1).as("stage"), lit(stages.head).as("event_type"),
-        col("users"), col("total_lag_ns"))
+    val out = Seq.newBuilder[DataFrame]
+    out += first
     var reached = first // (user_id, t) — users-sized, never events-sized
-    stages.zipWithIndex.drop(1).foreach { case (t, i) =>
+    stages.drop(1).foreach { t =>
       val nxt = checkpoint(typed(t)
         .join(reached.select(col("user_id"), col("t").as("tp")), "user_id")
         .filter(col("tsn") > col("tp") &&
           col("tsn") - col("tp") <= maxLagNs)
         .groupBy(col("user_id"), col("tp"))
         .agg(min(col("tsn")).as("t")))
-      rows = rows.unionAll(nxt.agg(count(lit(1)).as("users"),
-        coalesce(sum(col("t") - col("tp")), lit(0L)).as("total_lag_ns"))
-        .select(lit(i + 1).as("stage"), lit(t).as("event_type"),
-          col("users"), col("total_lag_ns")))
+      out += nxt
       reached = nxt.select(col("user_id"), col("t"))
     }
-    rows.orderBy(col("stage"))
+    out.result()
+  }
+
+  /** EXACT inter-stage conversion-time percentiles — "how long does
+    * each funnel step take", the analytics the lag SUM in [[funnelK]]
+    * can't answer (means hide the tail). One output row per
+    * (stage >= 2, p): the p-th percentile of (t_i − t_{i−1}) over the
+    * stage's converting users, as the ceil(p·n/100)-th smallest lag
+    * (the [[ExactQuantile]] rank convention — integer ns, exact, no
+    * interpolation).
+    *
+    * 100 TB shape: the stage relations are the checkpointed
+    * users-sized [[funnelStages]]; each stage's percentiles run the
+    * multi-pass histogram-refinement selection over ITS relation
+    * (~3 passes, 256 longs of driver state) rather than a per-stage
+    * sort window — a funnel stage is exactly the "single giant
+    * group" the grouped-window percentile recipe documents as its
+    * own failure mode. Driver state: the k-1 result rows.
+    */
+  def funnelLagQuantiles(ev: DataFrame, stages: Seq[String],
+      maxLagNs: Long, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "funnelLagQuantiles: percentiles in 1..100")
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val sts = funnelStages(ev, stages, maxLagNs)
+    val rows = sts.zipWithIndex.drop(1).flatMap { case (st, i) =>
+      val lag = st.select((col("t") - col("tp")).as("lag"))
+      val n = lag.count()
+      if (n == 0L) Nil
+      else {
+        val pv = ExactQuantile.percentiles(lag, col("lag"), ps)
+        ps.map(p => (i + 1, stages(i), n, p, pv(p)))
+      }
+    }
+    rows.toDF("stage", "event_type", "users", "p", "lag_ns")
+      .orderBy(col("stage"), col("p"))
   }
 
   private val FunnelK4Lag = 2L * DayNs // 2-day conversion window
@@ -259,6 +311,63 @@ object FunnelOps {
       |  CAST(COALESCE(SUM(t - tp), 0) AS BIGINT) FROM s4
       |ORDER BY stage""".stripMargin))
 
+  /** Driver entry + FULL oracle: exact p50/p90 time-to-convert per
+    * stage of the 4-stage capped funnel (same stages and window as
+    * [[funnelK4Entry]]) via [[funnelLagQuantiles]]. The oracle
+    * recomputes each percentile as the literal ROW_NUMBER order
+    * statistic over the per-stage lag sort this operator avoids.
+    */
+  val funnelLagsEntry: Q = Q("events_funnel_lags",
+    (s, d) => {
+      Engine.configure(s)
+      val ev = Engine.table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          (col("ts") - col("ts") % 1000).as("tsn"))
+      funnelLagQuantiles(ev,
+        Seq("signup", "view", "click", "purchase"), FunnelK4Lag,
+        Seq(50, 90))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(tsn) AS t FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, s1.t AS tp, MIN(e.tsn) AS t
+      |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.tsn > s1.t
+      |    AND e.tsn - s1.t <= ${FunnelK4Lag}
+      |  GROUP BY e.user_id, s1.t),
+      |s3 AS (
+      |  SELECT e.user_id, s2.t AS tp, MIN(e.tsn) AS t
+      |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'click' AND e.tsn > s2.t
+      |    AND e.tsn - s2.t <= ${FunnelK4Lag}
+      |  GROUP BY e.user_id, s2.t),
+      |s4 AS (
+      |  SELECT e.user_id, s3.t AS tp, MIN(e.tsn) AS t
+      |  FROM ev e JOIN s3 ON e.user_id = s3.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tsn > s3.t
+      |    AND e.tsn - s3.t <= ${FunnelK4Lag}
+      |  GROUP BY e.user_id, s3.t),
+      |l AS (
+      |  SELECT 2 AS stage, 'view' AS event_type, t - tp AS lag FROM s2
+      |  UNION ALL SELECT 3, 'click', t - tp FROM s3
+      |  UNION ALL SELECT 4, 'purchase', t - tp FROM s4),
+      |v AS (
+      |  SELECT stage, event_type, lag,
+      |    ROW_NUMBER() OVER (PARTITION BY stage ORDER BY lag) rn,
+      |    COUNT(*) OVER (PARTITION BY stage) n
+      |  FROM l),
+      |e AS (SELECT stage, event_type, lag, rn, n, p
+      |      FROM v, UNNEST([50, 90]) u(p))
+      |SELECT CAST(stage AS INT) AS stage, event_type,
+      |  CAST(n AS BIGINT) AS users, CAST(p AS INT) AS p,
+      |  CAST(lag AS BIGINT) AS lag_ns
+      |FROM e WHERE rn = GREATEST(1, (p * n + 99) // 100)
+      |ORDER BY stage, p""".stripMargin))
+
   val defs: Seq[Q] =
-    Seq(funnelEntry, retentionEntry, transitionsEntry, funnelK4Entry)
+    Seq(funnelEntry, retentionEntry, transitionsEntry, funnelK4Entry,
+      funnelLagsEntry)
 }

@@ -98,6 +98,44 @@ class FunnelOpsSpec extends AnyFunSuite {
       "uncapped funnelK diverges from the fixed 3-stage entry")
   }
 
+  test("funnel lag quantiles equal the sequential per-stage sorted " +
+    "order statistics") {
+    val cap = 2L * 86400000000000L
+    val ev = rawEvents()
+    val stages = Seq("signup", "view", "click", "purchase")
+    // per-user chain, collecting each stage's individual lag
+    val lags = Array.fill(4)(Seq.newBuilder[Long])
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      var t = Long.MinValue
+      var alive = true
+      stages.zipWithIndex.foreach { case (st, i) =>
+        if (alive) {
+          val cand = es.filter(e => e._2 == st &&
+            (i == 0 || (e._3 > t && e._3 - t <= cap))).map(_._3)
+          if (cand.isEmpty) alive = false
+          else {
+            val nt = cand.min
+            if (i > 0) lags(i) += nt - t
+            t = nt
+          }
+        }
+      }
+    }
+    val want = (1 until 4).flatMap { i =>
+      val sorted = lags(i).result().sorted
+      val n = sorted.size.toLong
+      if (n == 0) Nil
+      else Seq(50, 90).map { p =>
+        val k = math.max(1L, (p * n + 99L) / 100L)
+        (i + 1, stages(i), n, p, sorted((k - 1).toInt))
+      }
+    }
+    val got = SparkEntry.queries("events_funnel_lags")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("retention equals the sequential cohort recompute and is " +
     "partitioning-independent") {
     val ev = rawEvents()

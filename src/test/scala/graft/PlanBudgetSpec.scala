@@ -208,6 +208,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // stage pre-checkpoint budget is pinned by the funnelK hook test
     "events_funnel" -> Map("events" -> 0),
     "events_funnel_k4" -> Map("events" -> 0),
+    // lag percentiles run the multi-pass selection over the
+    // checkpointed stage relations; the result is a driver-built
+    // local relation — zero base scans in the final plan
+    "events_funnel_lags" -> Map("events" -> 0),
     // one distinct (user, day) scan; cohort reuses the same exchange
     "events_retention" -> Map("events" -> 2),
     // standing-fp scan + incoming scan + the two shingle branches
