@@ -34,8 +34,13 @@ object StreamDrift {
 
   /** Batch-identical drift from collected/emitted cells: rename the
     * twin's mc to the summary's c and run the shared stateless pass.
+    * The cells relation (≤ days×256 rows) is checkpointed first —
+    * the drift pass self-joins its input several times, and leaf
+    * plans like a memory-sink view carry attributes Spark cannot
+    * deduplicate across self-join arms (the batch entry's summary is
+    * a checkpoint for the same reason).
     */
   def driftFromCells(cells: DataFrame): DataFrame =
     graft.operators.StatOps.driftFromDaily(
-      cells.withColumnRenamed("mc", "c"))
+      cells.withColumnRenamed("mc", "c").localCheckpoint())
 }
