@@ -324,22 +324,29 @@ object GraphOps {
     * oracle counts triangles with the textbook 3-way self-join — the
     * oriented distributed plan must land on the same number.
     */
+  /** The shared user co-occurrence graph of the entry family
+    * (triangles / k-core / label propagation): users sharing an
+    * (event_type, 5-minute window) cell, undirected, x < y, distinct.
+    * µs-aligned first (NOTES rule 2) so a ts within 1 µs of a window
+    * boundary can't land differently across engines.
+    */
+  def coOccurrenceEdges(s: SparkSession, d: String): DataFrame = {
+    val b = Engine.table(s, d, "events")
+      .select(col("user_id").as("u"), col("event_type").as("t"),
+        expr("(ts - ts % 1000) div 300000000000").as("w"))
+      .distinct()
+    val b2 = b.select(col("u").as("u2"), col("t").as("t2"),
+      col("w").as("w2"))
+    b.join(b2, col("t") === col("t2") &&
+        col("w") === col("w2") && col("u") < col("u2"))
+      .select(col("u").as("x"), col("u2").as("y"))
+      .distinct()
+  }
+
   val trianglesEntry: Q = Q("graph_triangles",
     (s, d) => {
       Engine.configure(s)
-      val b = Engine.table(s, d, "events")
-        .select(col("user_id").as("u"), col("event_type").as("t"),
-          // µs-aligned first (NOTES rule 2) so a ts within 1 µs of a
-          // window boundary can't land differently across engines
-          expr("(ts - ts % 1000) div 300000000000").as("w"))
-        .distinct()
-      val b2 = b.select(col("u").as("u2"), col("t").as("t2"),
-        col("w").as("w2"))
-      val edges = b.join(b2, col("t") === col("t2") &&
-          col("w") === col("w2") && col("u") < col("u2"))
-        .select(col("u").as("x"), col("u2").as("y"))
-        .distinct()
-      triangleCount(edges)
+      triangleCount(coOccurrenceEdges(s, d))
     },
     Some("""WITH b AS (
       |  SELECT DISTINCT user_id u, event_type t,
@@ -453,17 +460,7 @@ object GraphOps {
   val kcoreEntry: Q = Q("graph_kcore",
     (s, d) => {
       Engine.configure(s)
-      val b = Engine.table(s, d, "events")
-        .select(col("user_id").as("u"), col("event_type").as("t"),
-          expr("(ts - ts % 1000) div 300000000000").as("w"))
-        .distinct()
-      val b2 = b.select(col("u").as("u2"), col("t").as("t2"),
-        col("w").as("w2"))
-      val edges = b.join(b2, col("t") === col("t2") &&
-          col("w") === col("w2") && col("u") < col("u2"))
-        .select(col("u").as("x"), col("u2").as("y"))
-        .distinct()
-      kCore(edges, KcoreK, KcoreRounds)
+      kCore(coOccurrenceEdges(s, d), KcoreK, KcoreRounds)
     },
     Some(kcoreOracle(KcoreK, KcoreRounds,
       "WITH b AS (\n" +
@@ -584,17 +581,7 @@ object GraphOps {
   val labelPropEntry: Q = Q("graph_label_prop",
     (s, d) => {
       Engine.configure(s)
-      val b = Engine.table(s, d, "events")
-        .select(col("user_id").as("u"), col("event_type").as("t"),
-          expr("(ts - ts % 1000) div 300000000000").as("w"))
-        .distinct()
-      val b2 = b.select(col("u").as("u2"), col("t").as("t2"),
-        col("w").as("w2"))
-      val edges = b.join(b2, col("t") === col("t2") &&
-          col("w") === col("w2") && col("u") < col("u2"))
-        .select(col("u").as("x"), col("u2").as("y"))
-        .distinct()
-      labelPropagation(edges, LpaRounds)
+      labelPropagation(coOccurrenceEdges(s, d), LpaRounds)
     },
     Some(lpaOracle(LpaRounds,
       "WITH b AS (\n" +
