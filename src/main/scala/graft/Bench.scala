@@ -217,6 +217,29 @@ object Bench {
       spark.catalog.dropTempView(name)
     }
 
+    // streaming funnel: the full event stream replayed
+    // event-time-ordered as 8 micro-batches; per-user conversion rows
+    // emitted watermark-final (state = users + in-flight buffers;
+    // stream_meta records the bound)
+    def streamFunnel(): Unit = withStreamingPartitions {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      val src = replayStream("funnel", Seq("ms", "user_id"),
+        Engine.table(spark, sfDir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts - ts % 1000").as("tsn"),
+            expr("(ts - ts % 1000) div 1000000").as("ms")))
+      val name = s"bench_stream_funnel_${System.nanoTime()}"
+      val q = graft.streaming.StreamFunnel.conversions(
+        src.select(col("user_id"), col("event_type"), col("tsn"),
+          timestamp_micros(expr("tsn div 1000")).as("event_time")),
+        Seq("signup", "view", "click", "purchase"),
+        2L * 86400000000000L, watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drainStream("organic_stream_funnel", q, spark.table(name).count())
+      spark.catalog.dropTempView(name)
+    }
+
     // streaming distribution drift: same bucketed feed (SHARED replay
     // dir with the rquantiles row), 1-day window — exactly-once daily
     // cells + the batch-identical stateless TVD pass over them; state
@@ -339,6 +362,7 @@ object Bench {
       "organic_stream_interval" -> (() => streamInterval()),
       "organic_stream_rquantiles" -> (() => streamRollingQuantiles()),
       "organic_stream_drift" -> (() => streamDrift()),
+      "organic_stream_funnel" -> (() => streamFunnel()),
       "organic_stream_ingest" -> (() => streamIngest()),
       "organic_kmeans_fit" ->
         (() => { graft.operators.MlOps.kmeansFit(

@@ -394,6 +394,26 @@ object ScaleSweep {
       graft.streaming.FileReplay.drop(dir2)
       r
     })
+    emit("stream_funnel", () => withStreamParts {
+      val dir2 = graft.streaming.FileReplay.write(
+        Engine.table(spark, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts - ts % 1000").as("tsn"),
+            expr("(ts - ts % 1000) div 1000000").as("ms")),
+        Seq("ms", "user_id"))
+      val name = s"sweep_funnel_${System.nanoTime()}"
+      val q = graft.streaming.StreamFunnel.conversions(
+        graft.streaming.FileReplay.read(spark, dir2)
+          .select(col("user_id"), col("event_type"), col("tsn"),
+            timestamp_micros(expr("tsn div 1000")).as("event_time")),
+        Seq("signup", "view", "click", "purchase"),
+        2L * 86400000000000L, watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val r = drainToExtra(q, name)
+      graft.streaming.FileReplay.drop(dir2)
+      r
+    })
     emit("stream_ingest", () => withStreamParts {
       val dir2 = graft.streaming.FileReplay.write(
         Engine.table(spark, dir, "documents")
