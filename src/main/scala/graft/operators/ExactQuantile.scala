@@ -113,11 +113,20 @@ object ExactQuantile {
   /** Exact percentiles as lower order statistics (the
     * ceil(p/100 * n)-th smallest), all sharing every scan.
     */
-  def percentiles(df: DataFrame, c: Column, ps: Seq[Int]): Map[Int, Long] = {
+  def percentiles(df: DataFrame, c: Column, ps: Seq[Int]): Map[Int, Long] =
+    percentilesWithCount(df, c, ps)._2
+
+  /** [[percentiles]] plus the row count from the SAME counting job —
+    * for callers that need n anyway (one driver-synchronized job per
+    * call saved; empty input returns (0, empty) instead of failing).
+    */
+  def percentilesWithCount(df: DataFrame, c: Column,
+      ps: Seq[Int]): (Long, Map[Int, Long]) = {
     val n = df.agg(count(c)).head().getLong(0)
+    if (n == 0L) return (0L, Map.empty)
     val pk = ps.map(p => p -> math.max(1L, (p.toLong * n + 99L) / 100L)).toMap
     val (byK, _) = kthSmallestMulti(df, c, pk.values.toSeq)
-    pk.map { case (p, k) => p -> byK(k) }
+    (n, pk.map { case (p, k) => p -> byK(k) })
   }
 
   def percentile(df: DataFrame, c: Column, p: Int): Long =

@@ -246,12 +246,9 @@ object FunnelOps {
     val sts = funnelStages(ev, stages, maxLagNs)
     val rows = sts.zipWithIndex.drop(1).flatMap { case (st, i) =>
       val lag = st.select((col("t") - col("tp")).as("lag"))
-      val n = lag.count()
+      val (n, pv) = ExactQuantile.percentilesWithCount(lag, col("lag"), ps)
       if (n == 0L) Nil
-      else {
-        val pv = ExactQuantile.percentiles(lag, col("lag"), ps)
-        ps.map(p => (i + 1, stages(i), n, p, pv(p)))
-      }
+      else ps.map(p => (i + 1, stages(i), n, p, pv(p)))
     }
     rows.toDF("stage", "event_type", "users", "p", "lag_ns")
       .orderBy(col("stage"), col("p"))

@@ -319,11 +319,6 @@ object GraphOps {
       .toDF("n_nodes", "n_edges", "n_triangles")
   }
 
-  /** Driver entry + FULL oracle: triangles of the user co-occurrence
-    * graph (users sharing a (event_type, 5-minute window) cell). The
-    * oracle counts triangles with the textbook 3-way self-join — the
-    * oriented distributed plan must land on the same number.
-    */
   /** The shared user co-occurrence graph of the entry family
     * (triangles / k-core / label propagation): users sharing an
     * (event_type, 5-minute window) cell, undirected, x < y, distinct.
@@ -343,6 +338,11 @@ object GraphOps {
       .distinct()
   }
 
+  /** Driver entry + FULL oracle: triangles of the user co-occurrence
+    * graph ([[coOccurrenceEdges]]). The oracle counts triangles with
+    * the textbook 3-way self-join — the oriented distributed plan
+    * must land on the same number.
+    */
   val trianglesEntry: Q = Q("graph_triangles",
     (s, d) => {
       Engine.configure(s)

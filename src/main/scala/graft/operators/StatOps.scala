@@ -497,11 +497,16 @@ object StatOps {
     * tvd = Σ_b |c_d·n_0 − c_0·n_d| / (2·n_d·n_0) — so every
     * numerator is exact int64 arithmetic (association-free; no
     * double SUM anywhere, sidestepping the Det computed-product tie
-    * class entirely) and the single final division of
-    * exactly-representable integers (< 2^53 through the 10000×
-    * sweep) is one correctly-rounded IEEE op identical in both
-    * engines. KL/PSI need ln(), which NOTES rule 7 bans from
-    * hash-checked values (1-ulp libm variance).
+    * class entirely) and the single final division is one
+    * correctly-rounded IEEE op. Precision accounting: each TERM
+    * c·n stays < 2^53 through the 1000× sweep (n_day ~ 3e6 →
+    * c·n ≤ 9e12); the tvd SUM can exceed 2^53 beyond that, at which
+    * point the int64→double conversion in the division rounds — but
+    * BOTH engines apply the same IEEE round-to-nearest conversion to
+    * the same exact int64, so the result stays hash-identical, with
+    * ~1-ulp relative error in the VALUE only. KL/PSI need ln(),
+    * which NOTES rule 7 bans from hash-checked values (1-ulp libm
+    * variance).
     *
     * 100 TB shape: one events scan into the ≤ days×256 summary
     * (map-side partial agg); everything after runs over the summary.
@@ -558,7 +563,7 @@ object StatOps {
       |  SELECT epoch_ns(ts) // 86400000000000 AS day,
       |    $valueBucketSql AS b
       |  FROM events),
-      |daily AS (
+      |daily AS MATERIALIZED (
       |  SELECT day, b, CAST(COUNT(*) AS BIGINT) AS c
       |  FROM ev GROUP BY 1, 2),
       |spine AS (
@@ -566,7 +571,7 @@ object StatOps {
       |    (SELECT CAST(UNNEST(RANGE(0, 256)) AS INT) AS b) r),
       |nn AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n
       |  FROM daily GROUP BY day),
-      |b0 AS (SELECT b, c AS c0 FROM daily
+      |b0 AS MATERIALIZED (SELECT b, c AS c0 FROM daily
       |  WHERE day = (SELECT MIN(day) FROM daily)),
       |n0 AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0 FROM b0),
       |terms AS (
@@ -643,7 +648,7 @@ object StatOps {
           (col("r.failed") === 0L).as("pass"))
         .orderBy(col("rule"))
     },
-    Some("""WITH li AS (
+    Some("""WITH li AS MATERIALIZED (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
       |    CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) AS f_null,
       |    CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50

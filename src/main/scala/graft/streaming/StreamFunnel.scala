@@ -17,13 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Exactness under out-of-order arrival: a user's stage-i time is
   * "first event of type i after t_{i-1}", so a late earlier event
   * could retro-shift the whole chain — the twin therefore folds an
-  * event into the chain only once the watermark has passed its event
-  * time (no admissible earlier event can still arrive), buffering
+  * event into the chain only once its millisecond is STRICTLY below
+  * the watermark (Spark admits microsecond event times down to the
+  * ms watermark itself, so ms == wm is not yet final), buffering
   * in-flight events per user. Non-advancing FINALIZED events are
-  * dropped, provably safely: a pending event's ms-truncated event
-  * time is strictly above the watermark, so any FUTURE transition's
-  * t_prev exceeds every finalized tsn — a dropped event could never
-  * satisfy `tsn > t_prev` later.
+  * dropped, provably safely: every admissible future event's ms is
+  * >= wm > every finalized ms, so any FUTURE transition's t_prev
+  * exceeds every finalized tsn — a dropped event could never satisfy
+  * `tsn > t_prev` later.
   *
   * State per user: (reached stage, t_prev) + the in-flight buffer —
   * users-sized overall (the [[StreamAsof]] bound class), with the
@@ -60,7 +61,14 @@ object StreamFunnel {
       .map(i => (prev.pStage(i), prev.pTsn(i), prev.pMs(i))) ++
       arrived.map(r => (r.stage, r.tsn, r.event_time.getTime))
     val wm = state.getCurrentWatermarkMs()
-    val (due, pending) = all.partition(_._3 <= wm)
+    // finalize STRICTLY below the watermark millisecond: Spark's late
+    // filter compares microsecond event times against the ms
+    // watermark, so an event in ms == wm is still admissible — if two
+    // same-ms events straddle micro-batches, folding the first at
+    // ms == wm would fix the chain before the (possibly smaller-tsn)
+    // second arrives. With ms < wm, every admissible future event has
+    // ms >= wm > every finalized ms, restoring the disjointness proof.
+    val (due, pending) = all.partition(_._3 < wm)
     var reached = prev.reached
     var tPrev = prev.tPrev
     val out = collection.mutable.ArrayBuffer.empty[FOut]
@@ -75,11 +83,18 @@ object StreamFunnel {
         tPrev = tsn
       }
     }
-    state.update(Buf(reached, tPrev, pending.map(_._1).toArray,
-      pending.map(_._2).toArray, pending.map(_._3).toArray))
-    if (pending.nonEmpty)
-      state.setTimeoutTimestamp(
-        math.max(pending.map(_._3).min - 1L, wm + 1L))
+    // an untouched chain with nothing buffered is information-free:
+    // the getOption default reconstructs it exactly, so drop the row
+    // (users whose only funnel events were non-first stages would
+    // otherwise hold state forever)
+    if (reached == 0 && pending.isEmpty) state.remove()
+    else {
+      state.update(Buf(reached, tPrev, pending.map(_._1).toArray,
+        pending.map(_._2).toArray, pending.map(_._3).toArray))
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(pending.map(_._3).min - 1L, wm + 1L))
+    }
     out.iterator
   }
 
