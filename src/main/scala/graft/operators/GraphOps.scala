@@ -483,16 +483,7 @@ object GraphOps {
   val kcorePeelEntry: Q = Q("graph_kcore_peel",
     (s, d) => {
       Engine.configure(s)
-      val li = Engine.table(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"),
-          col("l_partkey").as("p"))
-      val li2 = li.select(col("o").as("o2"), col("sk").as("sk2"),
-        col("p").as("p2"))
-      val edges = li.join(li2, col("o") === col("o2") &&
-          col("sk") === col("sk2") && col("p") < col("p2"))
-        .select(col("p").as("x"), col("p2").as("y"))
-        .distinct()
-      kCore(edges, KcoreK, KcorePeelRounds)
+      kCore(coPurchaseEdges(s, d), KcoreK, KcorePeelRounds)
     },
     Some(kcoreOracle(KcoreK, KcorePeelRounds,
       "WITH li AS (\n" +
@@ -500,6 +491,26 @@ object GraphOps {
         "e0 AS MATERIALIZED (\n  SELECT DISTINCT a.p AS x, b.p AS y\n" +
         "  FROM li a JOIN li b ON a.o = b.o AND a.sk = b.sk " +
         "AND a.p < b.p),\n")))
+
+  /** The shared same-supplier co-purchase graph ([[kcorePeelEntry]] /
+    * [[componentsEntry]]): parts appearing on the same order from the
+    * same supplier, undirected, x < y, distinct. Chain-rich and
+    * fragmented — the structural opposite of the dense near-one-
+    * component co-occurrence graph, so it exercises iteration depth
+    * (k-core peel span, component diameter), not just terminal
+    * filters.
+    */
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Engine.table(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"),
+        col("l_partkey").as("p"))
+    val li2 = li.select(col("o").as("o2"), col("sk").as("sk2"),
+      col("p").as("p2"))
+    li.join(li2, col("o") === col("o2") &&
+        col("sk") === col("sk2") && col("p") < col("p2"))
+      .select(col("p").as("x"), col("p2").as("y"))
+      .distinct()
+  }
 
   /** Synchronous label propagation — the standard lightweight
     * community-detection primitive (complementing components =
@@ -592,6 +603,159 @@ object GraphOps {
         "adj AS MATERIALIZED (\n  SELECT x AS n, y AS m FROM ed\n" +
         "  UNION ALL SELECT y AS n, x AS m FROM ed),\n")))
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star / small-star algorithm of Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — the published Spark/MapReduce-
+    * native CC with an O(log^2 n) round guarantee) — the exact
+    * clustering primitive under every dedup survivor-selection pass
+    * (DedupOps' star closure is the specialized band-graph instance;
+    * this is the general-graph entry).
+    *
+    * One round is a (large-star, small-star) pair over the canonical
+    * (x < y) edge relation:
+    *  - large-star: each node u computes m(u) = min over its
+    *    neighborhood incl. itself and reconnects every STRICTLY
+    *    LARGER neighbor v > u to m(u);
+    *  - small-star: each node u reconnects its smaller neighbors
+    *    (and itself) to the min of those smaller neighbors.
+    * Both preserve connectivity and node presence; iterated, every
+    * component contracts to a STAR centered at its minimum id.
+    * Hash-min propagation was rejected first: it spreads a
+    * component's min ONE hop per round — O(diameter) — and a single
+    * pointer-jump chaser barely helps on tree-shaped regions
+    * (measured: 28 rounds to fixpoint on the sf0.01 co-purchase
+    * graph, diameter ~66, vs 7 star rounds; 400-hop paths take 10
+    * star rounds regardless of id orientation).
+    *
+    * Star rounds are IDEMPOTENT at fixpoint — a star maps to itself
+    * under both operations — the kcore/pagerank unroll property the
+    * oracle relies on. An insufficient `rounds` is LOUD, not silent:
+    * the result is certified by checking the final labels are
+    * CONSTANT ACROSS EVERY ORIGINAL EDGE. Labels are always
+    * same-component node ids, edge-constancy makes them per-component
+    * constants, and the component minimum always labels itself, so
+    * the constant IS the minimum — certificate failure raises (ZOrder
+    * guard precedent) rather than returning half-merged components.
+    *
+    * 100 TB shape: each star op is one min aggregate (map-side
+    * combinable) + one join back keyed by node + distinct — all keyed
+    * shuffles, never all-pairs; the edge relation only shrinks under
+    * contraction and is checkpointed per round (the pageRank cadence
+    * lesson). High-degree hubs are exactly what large-star is built
+    * for: its emissions re-key a hub's larger neighbors to the
+    * neighborhood min, splitting the hub's star across keys in the
+    * next round.
+    *
+    * `edges0`: undirected, x < y, distinct. Returns (node, component)
+    * with component = min node id in the component, ordered by node.
+    */
+  def connectedComponents(edges0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "connectedComponents: rounds >= 1")
+    val e0 = edges0.select(col("x"), col("y")).localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("x").as("u"), col("y").as("v"))
+        .unionAll(e.select(col("y").as("u"), col("x").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // every emitted edge is (m, v) with m <= u < v: canonical
+      adj.filter(col("v") > col("u")).join(mins, Seq("u"))
+        .select(col("m").as("x"), col("v").as("y")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // group by the LARGER endpoint: e is canonical, so that is y
+      val mins = e.groupBy(col("y").as("u")).agg(min(col("x")).as("m"))
+      val self = mins.select(col("m").as("x"), col("u").as("y"))
+      val rest = e.join(mins, e("y") === mins("u"))
+        .filter(e("x") =!= mins("m"))
+        .select(mins("m").as("x"), e("x").as("y"))
+      // m = min of u's smaller neighbors, so m < every kept x: canonical
+      self.unionAll(rest).distinct()
+    }
+    var e = e0
+    (1 to rounds).foreach { _ =>
+      e = smallStar(largeStar(e)).localCheckpoint()
+    }
+    // labels from the final (star) edge set: min over self + neighbors
+    val labels = e.select(col("x").as("n"), col("y").as("v"))
+      .unionAll(e.select(col("y").as("n"), col("x").as("v")))
+      .groupBy(col("n"))
+      .agg(least(col("n"), min(col("v"))).as("lbl"))
+      .localCheckpoint()
+    // certificate: labels constant across every ORIGINAL edge
+    val bad = e0
+      .join(labels.select(col("n").as("x"), col("lbl").as("lx")), Seq("x"))
+      .join(labels.select(col("n").as("y"), col("lbl").as("ly")), Seq("y"))
+      .filter(col("lx") =!= col("ly")).count()
+    require(bad == 0,
+      s"connectedComponents: label certificate failed after $rounds " +
+        "star rounds — components not fully contracted; raise rounds " +
+        "(star rounds are idempotent past fixpoint, larger is always " +
+        "safe)")
+    labels.select(col("n").as("node"), col("lbl").as("component"))
+      .orderBy(col("node"))
+  }
+
+  // (large-star, small-star) pairs: 7 reaches fixpoint on the sf0.01
+  // co-purchase graph (the deepest of the 3 SFs — sparse, diameter
+  // ~66); 10 also covers 400-hop paths, and idempotence makes the
+  // margin free
+  private val CcRounds = 10
+
+  /** Unrolled large-star/small-star oracle (the kcore/LPA
+    * unrolled-CTE pattern): `withAndE0` must define the canonical
+    * edge relation `e0(x, y)`, x < y, distinct; every round CTE is
+    * MATERIALIZED (each is referenced 2-3x downstream — default
+    * inlining would grow the plan exponentially in rounds).
+    */
+  private def ccOracle(rounds: Int, withAndE0: String): String = {
+    val sb = new StringBuilder
+    sb.append(withAndE0)
+    (0 until rounds).foreach { r =>
+      // large-star over e$r
+      sb.append(s"la$r AS MATERIALIZED (SELECT x AS u, y AS v FROM e$r " +
+        s"UNION ALL SELECT y AS u, x AS v FROM e$r),\n")
+      sb.append(s"lm$r AS MATERIALIZED (SELECT u, LEAST(u, MIN(v)) AS m " +
+        s"FROM la$r GROUP BY u),\n")
+      sb.append(s"le$r AS MATERIALIZED (SELECT DISTINCT lm.m AS x, a.v AS y " +
+        s"FROM la$r a JOIN lm$r lm ON a.u = lm.u WHERE a.v > a.u),\n")
+      // small-star over le$r (canonical: y is the larger endpoint)
+      sb.append(s"sm$r AS MATERIALIZED (SELECT y AS u, MIN(x) AS m " +
+        s"FROM le$r GROUP BY y),\n")
+      sb.append(s"e${r + 1} AS MATERIALIZED (SELECT DISTINCT x, y FROM (" +
+        s"SELECT m AS x, u AS y FROM sm$r UNION ALL " +
+        s"SELECT sm.m AS x, le.x AS y FROM le$r le " +
+        s"JOIN sm$r sm ON le.y = sm.u WHERE le.x <> sm.m)),\n")
+    }
+    sb.append(s"fin AS (SELECT x AS n, y AS v FROM e$rounds " +
+      s"UNION ALL SELECT y AS n, x AS v FROM e$rounds)\n")
+    sb.append("SELECT n AS node, LEAST(n, MIN(v)) AS component " +
+      "FROM fin GROUP BY n ORDER BY node")
+    sb.toString
+  }
+
+  /** Driver entry + FULL oracle: connected components of the
+    * same-supplier co-purchase graph ([[coPurchaseEdges]] — the
+    * fragmented chain-rich relation, so the result is many real
+    * components, not one giant blob; 185 components at sf0.01).
+    * DuckDB unrolls the same star-contraction recurrence; rounds past
+    * fixpoint are no-ops, so the fixed unroll checks the true
+    * component assignment, and the engine's own edge-constancy
+    * certificate proves the unroll sufficed.
+    */
+  val componentsEntry: Q = Q("graph_components",
+    (s, d) => {
+      Engine.configure(s)
+      connectedComponents(coPurchaseEdges(s, d), CcRounds)
+    },
+    Some(ccOracle(CcRounds,
+      "WITH li AS (\n" +
+        "  SELECT l_orderkey o, l_suppkey sk, l_partkey p FROM lineitem),\n" +
+        "e0 AS MATERIALIZED (\n  SELECT DISTINCT a.p AS x, b.p AS y\n" +
+        "  FROM li a JOIN li b ON a.o = b.o AND a.sk = b.sk " +
+        "AND a.p < b.p),\n")))
+
+
   val defs: Seq[Q] = Seq(pagerankEntry, pprEntry, trianglesEntry,
-    kcoreEntry, kcorePeelEntry, labelPropEntry)
+    kcoreEntry, kcorePeelEntry, labelPropEntry, componentsEntry)
 }

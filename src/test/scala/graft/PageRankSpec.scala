@@ -370,4 +370,63 @@ class PageRankSpec extends AnyFunSuite {
     assert(runLpa(e, 1) == Map(1L -> 2L, 2L -> 1L))
     assert(runLpa(e, 2) == Map(1L -> 1L, 2L -> 2L))
   }
+
+  // ---- connected components (hash-min + pointer jump) --------------
+
+  /** Union-find reference: node -> min id of its component. */
+  private def refCc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private def runCc(edges: Seq[(Long, Long)], rounds: Int,
+      parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponents(
+        edges.toDF("x", "y").repartition(parts), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents: planted chains, cliques, and random " +
+    "graphs match union-find; partition-independent") {
+    // three separate structures: a chain, a clique, a lone edge
+    val planted = Seq((5L, 6L), (6L, 7L), (7L, 8L),
+      (20L, 21L), (20L, 22L), (21L, 22L),
+      (40L, 41L))
+    assert(runCc(planted, 4) == refCc(planted))
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(120)(
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+    val want = refCc(edges)
+    assert(runCc(edges, 8) == want)
+    for (p <- Seq(1, 7)) assert(runCc(edges, 8, parts = p) == want)
+  }
+
+  test("connectedComponents: star contraction covers a 400-hop path " +
+    "in ~log rounds, in both id orientations") {
+    val path = (0L until 400L).map(i => (i, i + 1))
+    val want = (0L to 400L).map(_ -> 0L).toMap
+    assert(runCc(path, 10) == want)
+    // reversed ids: the descending orientation exercises the other
+    // star (hash-min-style propagation is O(n) on one of the two)
+    val rev = (0L until 400L).map(i => (400L - i - 1, 400L - i))
+    assert(runCc(rev, 10) == want)
+  }
+
+  test("connectedComponents: an insufficient round unroll fails " +
+    "loudly instead of returning half-merged components") {
+    val path = (0L until 400L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException](runCc(path, 2))
+    assert(ex.getMessage.contains("certificate"))
+  }
 }
