@@ -677,8 +677,70 @@ object StatOps {
       |SELECT rule, total, failed, failed = 0 AS pass
       |FROM rows_ ORDER BY rule""".stripMargin))
 
+  /** Driver entry + FULL oracle: daily OHLC downsampling of the
+    * events value series — (day, n, open, high, low, close,
+    * sum_value), the standard timeseries-rollup the monitoring /
+    * feature-store path stores instead of raw points. Open/close are
+    * the values at the day's FIRST/LAST event under the total order
+    * (tsn, event_id) — `min_by`/`max_by` over the struct key, so the
+    * selection is deterministic under any partitioning (ties in
+    * µs-aligned time break by the unique event_id; NOTES rule 5).
+    *
+    * Determinism: open/high/low/close are exact SELECTIONS of stored
+    * doubles (no arithmetic — hash-safe as-is); sum_value is the Det
+    * exact-decimal sum (raw 2dp column class). The DuckDB oracle
+    * recomputes open/close as literal ROW_NUMBER order statistics —
+    * arg-min by a composite key expressed the portable way.
+    *
+    * 100 TB shape: ONE events scan into a days-sized aggregate —
+    * min_by/max_by/min/max/count all partial-aggregate map-side, so
+    * raw events never shuffle; only day-keyed partials do.
+    */
+  val ohlcEntry: Q = Q("events_ohlc",
+    (s, d) => {
+      Engine.configure(s)
+      val ev = Engine.table(s, d, "events").select(
+        expr("(ts - ts % 1000) div 86400000000000").as("day"),
+        (col("ts") - col("ts") % 1000).as("tsn"),
+        col("event_id"), col("value"))
+      ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"),
+            struct(col("tsn"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"),
+            struct(col("tsn"), col("event_id"))).as("close"),
+          graft.Det.dsum2(col("value")).as("sum_value"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    epoch_ns(ts) AS tsn, event_id, value
+      |  FROM events),
+      |o AS (
+      |  SELECT day, value,
+      |    ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY tsn, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY tsn DESC, event_id DESC) AS rn_d
+      |  FROM ev),
+      |agg AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+      |    MAX(value) AS high, MIN(value) AS low,
+      |    ${graft.Det.oSum2("value")} AS sum_value
+      |  FROM ev GROUP BY day)
+      |SELECT a.day, a.n, op.value AS open, a.high, a.low,
+      |  cl.value AS close, a.sum_value
+      |FROM agg a
+      |JOIN (SELECT day, value FROM o WHERE rn_a = 1) op
+      |  ON a.day = op.day
+      |JOIN (SELECT day, value FROM o WHERE rn_d = 1) cl
+      |  ON a.day = cl.day
+      |ORDER BY a.day""".stripMargin))
+
   val defs: Seq[Q] =
     Seq(bootstrapEntry, covarianceEntry, anomalyEntry, joinSizeEntry,
       driftEntry, rollingQuantilesEntry, driftTvdEntry,
-      expectationsEntry)
+      expectationsEntry, ohlcEntry)
 }

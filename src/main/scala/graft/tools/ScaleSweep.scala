@@ -281,7 +281,8 @@ object ScaleSweep {
     // lands on the driver, so the 100x sweep is not driver-capped).
     for (e <- Seq("events_funnel", "events_funnel_k4",
         "events_retention", "events_transitions",
-        "stat_rolling_quantiles", "stat_drift_tvd", "join_asof",
+        "stat_rolling_quantiles", "stat_drift_tvd", "events_ohlc",
+        "join_asof",
         "join_interval", "graph_kcore", "graph_label_prop",
         "graph_triangles", "graph_pagerank")) {
       emit(e, () => (SparkEntry.queries(e)(spark, dir).count(), ""))

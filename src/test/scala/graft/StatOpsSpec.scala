@@ -165,6 +165,38 @@ class StatOpsSpec extends AnyFunSuite {
     assert((r.getInt(2), r.getInt(3), r.getInt(4)) == ((30, 255, 255)))
   }
 
+  test("ohlc: planted two-day corpus with same-microsecond ties — " +
+    "open/close break by event_id, sum is the exact decimal sum") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ohlc").toString
+    val day0us = 1700000000000000L - (1700000000000000L % 86400000000L)
+    // day 0: events 0..3; 0 and 1 share the FIRST microsecond (open
+    // must pick event_id 0 -> 7.25), 2 and 3 share the LAST (close
+    // must pick event_id 3 -> 1.50). day 1: single event.
+    val rows = Seq(
+      (0L, day0us, 7.25), (1L, day0us, 9.00),
+      (2L, day0us + 5000000L, 3.75), (3L, day0us + 5000000L, 1.50),
+      (4L, day0us + 86400000000L, 42.00))
+    rows.toDF("event_id", "us", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"),
+        col("value"), lit("{}").as("props"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("events_ohlc")(spark, tmp).collect()
+    assert(got.length == 2)
+    val d0 = got.head
+    assert(d0.getLong(1) == 4L)
+    assert((d0.getDouble(2), d0.getDouble(3), d0.getDouble(4),
+      d0.getDouble(5)) == ((7.25, 9.00, 1.50, 1.50)))
+    assert(d0.getDouble(6) == 21.50)
+    val d1 = got(1)
+    assert(d1.getLong(1) == 1L && d1.getDouble(2) == 42.0 &&
+      d1.getDouble(5) == 42.0)
+  }
+
   test("drift TVD/Linf: equals an exact integer recompute per day " +
     "against the min-day baseline") {
     val d = "/root/testdata/sf0.001"
