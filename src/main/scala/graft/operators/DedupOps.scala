@@ -873,6 +873,16 @@ object DedupOps {
     * `sparkContext.setCheckpointDir` on durable storage): each round
     * then checkpoints to the reliable store and label lineage survives
     * executor loss at the cost of one round-trip write per round.
+    *
+    * Shape note vs [[GraphOps.connectedComponents]]: this hash-min +
+    * double-jump loop is tuned for the dedup band graphs it serves —
+    * clique-like components (O(1) rounds) and the id-ordered chain
+    * worst case (consecutive doc_ids, where pointer jumps genuinely
+    * halve the chain; cc_chain_rounds measures it). On general deep
+    * graphs with arbitrary id placement a jump's target can be a
+    * local min that knows nothing (measured: 28 single-jump rounds on
+    * a diameter-66 tree-ish graph) — the general-graph entry uses
+    * alternating large-star/small-star contraction instead.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val (labels, rounds, converged) =

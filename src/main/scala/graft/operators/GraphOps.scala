@@ -673,8 +673,25 @@ object GraphOps {
       self.unionAll(rest).distinct()
     }
     var e = e0
-    (1 to rounds).foreach { _ =>
+    // early exit on a stable (count, hash-sum) edge-set signature —
+    // one 2-long aggregate per round (the kCore per-round count
+    // class). The signature is a HEURISTIC shortcut only: a false
+    // stable (astronomically unlikely) would be caught by the exact
+    // edge-constancy certificate below, so correctness never rests
+    // on it — it just stops a 3-round graph from paying all `rounds`
+    var prevSig: (Long, Long) = null
+    var r = 0
+    while (r < rounds && {
+        val sig = e.agg(count(lit(1)), sum(xxhash64(col("x"), col("y"))))
+          .collect().head
+        val cur = (sig.getLong(0),
+          if (sig.isNullAt(1)) 0L else sig.getLong(1))
+        val go = cur != prevSig
+        prevSig = cur
+        go
+      }) {
       e = smallStar(largeStar(e)).localCheckpoint()
+      r += 1
     }
     // labels from the final (star) edge set: min over self + neighbors
     val labels = e.select(col("x").as("n"), col("y").as("v"))
