@@ -59,6 +59,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")), p)
   }
 
+  test("grouped top-k: the rank filter pushes a WindowGroupLimit " +
+    "below the shuffle (partial per-partition top-k, AnalyticEval " +
+    "limit parity)") {
+    // win_rank is rank() <= 3 per mktsegment: Spark's
+    // InferWindowGroupLimit must turn the filter into a group limit
+    // that prunes each map partition to its local top-3 BEFORE the
+    // window shuffle — the property that makes grouped top-k scale
+    // (without it every group's full row set shuffles and sorts)
+    val p = physical(run("win_rank"))
+    assert(p.contains("WindowGroupLimit"), p)
+    val partial = p.linesIterator
+      .filter(_.contains("WindowGroupLimit")).toSeq
+    assert(partial.exists(_.contains("Partial")), partial.mkString("\n"))
+  }
+
   test("the flagship aggregation stays inside whole-stage codegen") {
     // '*(n)' marks operators fused into a whole-stage-codegen stage; with
     // AQE the final plan only exists after execution
