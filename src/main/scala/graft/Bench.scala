@@ -240,6 +240,29 @@ object Bench {
       spark.catalog.dropTempView(name)
     }
 
+    // streaming daily OHLC bars: the sf events value series replayed
+    // event-time-ordered as 8 micro-batches; one finished bar per day
+    // emitted at watermark completion, batch-equal to events_ohlc
+    // incl. the exact decimal-cents sum; state = in-flight days only
+    // (stream_meta records the bound).
+    def streamOhlc(): Unit = withStreamingPartitions {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      val src = replayStream("ohlc", Seq("tsn", "event_id"),
+        Engine.table(spark, sfDir, "events")
+          .select(col("event_id"), expr("ts - ts % 1000").as("tsn"),
+            col("value")))
+      val name = s"bench_stream_ohlc_${System.nanoTime()}"
+      val q = graft.streaming.StreamOhlc.dailyBars(
+        src.select(expr("tsn div 86400000000000").as("day"),
+          col("tsn"), col("event_id"), col("value"),
+          timestamp_micros(expr("tsn div 1000")).as("event_time")),
+        watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drainStream("organic_stream_ohlc", q, spark.table(name).count())
+      spark.catalog.dropTempView(name)
+    }
+
     // streaming distribution drift: same bucketed feed (SHARED replay
     // dir with the rquantiles row), 1-day window — exactly-once daily
     // cells + the batch-identical stateless TVD pass over them; state
@@ -363,6 +386,7 @@ object Bench {
       "organic_stream_rquantiles" -> (() => streamRollingQuantiles()),
       "organic_stream_drift" -> (() => streamDrift()),
       "organic_stream_funnel" -> (() => streamFunnel()),
+      "organic_stream_ohlc" -> (() => streamOhlc()),
       "organic_stream_ingest" -> (() => streamIngest()),
       "organic_kmeans_fit" ->
         (() => { graft.operators.MlOps.kmeansFit(
