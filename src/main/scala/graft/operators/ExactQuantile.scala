@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
 /** EXACT order statistics at corpus scale — iterative histogram
   * refinement (distributed selection): each round ONE
   * map-side-combinable aggregation histograms the surviving value
-  * range(s) into 256 equal-width buckets, the driver (256 longs of
-  * state per active range) walks the counts to the bucket containing
-  * each k-th value, and the ranges narrow 256x. ceil(log256(range)) + 1
-  * passes total — 5 scans for a full 64-bit domain, 2-3 for real
-  * columns — versus a global sort's shuffle of the entire corpus.
+  * range(s) into up to 2^12 equal-width buckets, the driver (≤ 4096
+  * longs of state per active range) walks the counts to the bucket
+  * containing each k-th value, and the ranges narrow 4096x.
+  * ceil(bits(range)/12) passes total — 6 scans for a full 64-bit
+  * domain, 1-2 for real columns — versus a global sort's shuffle of
+  * the entire corpus. (Width history: 8-bit rounds until r14; these
+  * tiny jobs are latency-bound, so 12-bit rounds cut wide-domain
+  * pass counts ~1.5x for free — the collect stays a few thousand
+  * rows.)
   *
   * Multi-k (r11 verdict #2): ALL requested order statistics share every
   * pass. One bounds scan serves every k; each refinement round issues a
@@ -53,9 +57,11 @@ object ExactQuantile {
       // POWER-OF-TWO bucket width + shiftright: Spark's `/` on longs is
       // fractional Divide — double rounding at 2^60 magnitudes merges
       // adjacent buckets and silently corrupts the selection; a shift
-      // is exact at every magnitude. 256-512 buckets per round.
+      // is exact at every magnitude. 4096-8191 buckets per round
+      // (12 bits: a wide domain needs ceil(bits/12) passes; the driver
+      // walk and the collect stay trivially small at this width).
       val shifts = groups.map { case (lo, hi) =>
-        math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(hi - lo) - 8)
+        math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(hi - lo) - 12)
       }
       // ONE aggregation pass for every surviving range: group id by
       // range membership (ranges identical-or-disjoint), bucket by the
@@ -108,6 +114,124 @@ object ExactQuantile {
   def kthSmallest(df: DataFrame, c: Column, k: Long): (Long, Int) = {
     val (m, rounds) = kthSmallestMulti(df, c, Seq(k))
     (m(k), rounds)
+  }
+
+  /** GROUPED multi-k: order statistics for SEVERAL tagged populations
+    * in the same relation, every pass shared across tags AND ks —
+    * the funnel-lags shape (a handful of giant groups, each needing
+    * its own percentiles), where per-tag [[kthSmallestMulti]] calls
+    * would pay tags × (bounds + rounds) driver-synchronized jobs and
+    * this pays 1 + max-rounds. A cursor's dispatch key is
+    * (tag, range): ranges of different tags may overlap in value, so
+    * the tag rides in the group expression; within one tag ranges
+    * stay identical-or-disjoint exactly as in the untagged walk.
+    *
+    * `ks`: per tag, the requested 1-based ranks (each within that
+    * tag's count). Returns ((tag, k) -> value, rounds). Tags absent
+    * from `ks` are ignored; a tag in `ks` must have rows.
+    */
+  def kthSmallestMultiGrouped(df: DataFrame, tag: Column, c: Column,
+      ks: Map[Int, Seq[Long]]): (Map[(Int, Long), Long], Int) = {
+    if (ks.isEmpty) return (Map.empty, 0)
+    val src = df.select(tag.cast("int").as("__t"),
+      c.cast("long").as("__v"))
+    groupedSelect(src, groupedBounds(src), ks)
+  }
+
+  /** One job: per-tag (min, max, count) of the normalized relation. */
+  private def groupedBounds(src: DataFrame)
+      : Map[Int, (Long, Long, Long)] =
+    src.groupBy(col("__t"))
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        count(col("__v")).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  private case class GCursor(t: Int, k: Long, kRem: Long,
+      lo: Long, hi: Long)
+
+  private def groupedSelect(src: DataFrame,
+      bounds: Map[Int, (Long, Long, Long)],
+      ks: Map[Int, Seq[Long]]): (Map[(Int, Long), Long], Int) = {
+    var curs = ks.toSeq.flatMap { case (t, tks) =>
+      val (lo0, hi0, n) = bounds.getOrElse(t,
+        throw new IllegalArgumentException(
+          s"kthSmallestMultiGrouped: tag $t has no rows"))
+      require(hi0 - lo0 >= 0L,
+        s"tag $t value range exceeds 2^63; rescale the column")
+      tks.distinct.map { k =>
+        require(k >= 1 && k <= n, s"tag $t: k=$k out of range 1..$n")
+        GCursor(t, k, k, lo0, hi0)
+      }
+    }
+    var rounds = 0
+    while (curs.exists(cu => cu.lo < cu.hi)) {
+      rounds += 1
+      val groups = curs.filter(cu => cu.lo < cu.hi)
+        .map(cu => (cu.t, cu.lo, cu.hi)).distinct
+      val shifts = groups.map { case (_, lo, hi) =>
+        math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(hi - lo) - 12)
+      }
+      val gCol = groups.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, ((t, lo, hi), i)) =>
+          when(col("__t") === t && col("__v").between(lo, hi), lit(i))
+            .otherwise(acc)
+      }
+      val bCol = groups.zip(shifts).zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, (((t, lo, hi), sh), i)) =>
+          when(col("__t") === t && col("__v").between(lo, hi),
+            shiftright(col("__v") - lo, sh).cast("int"))
+            .otherwise(acc)
+      }
+      val cnts = src.select(gCol.as("__g"), bCol.as("__b"))
+        .filter(col("__g") >= 0)
+        .groupBy("__g", "__b").agg(count(lit(1)).as("__n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (g, rs) =>
+          g -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        }
+      curs = curs.map { cu =>
+        if (cu.lo >= cu.hi) cu
+        else {
+          val g = groups.indexOf((cu.t, cu.lo, cu.hi))
+          val shift = shifts(g)
+          val width = 1L << shift
+          val byB = cnts.getOrElse(g, Map.empty[Int, Long])
+          var b = 0
+          var cum = 0L
+          while (cum + byB.getOrElse(b, 0L) < cu.kRem) {
+            cum += byB.getOrElse(b, 0L); b += 1
+          }
+          val nLo = cu.lo + b * width
+          val nHi = if (cu.hi - nLo >= width) nLo + width - 1 else cu.hi
+          GCursor(cu.t, cu.k, cu.kRem - cum, nLo, nHi)
+        }
+      }
+    }
+    (curs.map(cu => (cu.t, cu.k) -> cu.lo).toMap, rounds)
+  }
+
+  /** Per-tag counts + exact percentiles over one tagged relation,
+    * sharing the bounds job and every refinement pass across tags
+    * ([[kthSmallestMultiGrouped]]). Returns tag -> (n, p -> value);
+    * tags with no rows are simply absent.
+    */
+  def percentilesGrouped(df: DataFrame, tag: Column, c: Column,
+      ps: Seq[Int]): Map[Int, (Long, Map[Int, Long])] = {
+    val src = df.select(tag.cast("int").as("__t"),
+      c.cast("long").as("__v"))
+    val bounds = groupedBounds(src) // ONE job serves ns and ranges
+    val pk = bounds.collect { case (t, (_, _, n)) if n > 0 =>
+      t -> ps.map(p => p -> math.max(1L, (p.toLong * n + 99L) / 100L)).toMap
+    }
+    if (pk.isEmpty) return Map.empty
+    val (byK, _) = groupedSelect(src, bounds,
+      pk.map { case (t, m) => t -> m.values.toSeq })
+    pk.map { case (t, m) =>
+      t -> (bounds(t)._3, m.map { case (p, k) => p -> byK((t, k)) })
+    }
   }
 
   /** Exact percentiles as lower order statistics (the

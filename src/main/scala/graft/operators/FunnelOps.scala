@@ -230,12 +230,16 @@ object FunnelOps {
     * interpolation).
     *
     * 100 TB shape: the stage relations are the checkpointed
-    * users-sized [[funnelStages]]; each stage's percentiles run the
-    * multi-pass histogram-refinement selection over ITS relation
-    * (~3 passes, 256 longs of driver state) rather than a per-stage
-    * sort window — a funnel stage is exactly the "single giant
-    * group" the grouped-window percentile recipe documents as its
-    * own failure mode. Driver state: the k-1 result rows.
+    * users-sized [[funnelStages]], unioned under a stage tag so ALL
+    * stages share ONE bounds job and every histogram-refinement pass
+    * ([[ExactQuantile.percentilesGrouped]] — 1 + rounds
+    * driver-synchronized jobs total, vs stages × (2 + rounds) for
+    * per-stage selections; measured 2.37 s -> the scheduling latency
+    * of ~4 tiny jobs at sf0.1). No per-stage sort window — a funnel
+    * stage is exactly the "single giant group" the grouped-window
+    * percentile recipe documents as its own failure mode. Driver
+    * state: 256 longs per active (stage, range) + the k-1 result
+    * rows.
     */
   def funnelLagQuantiles(ev: DataFrame, stages: Seq[String],
       maxLagNs: Long, ps: Seq[Int]): DataFrame = {
@@ -244,11 +248,21 @@ object FunnelOps {
     val spark = ev.sparkSession
     import spark.implicits._
     val sts = funnelStages(ev, stages, maxLagNs)
-    val rows = sts.zipWithIndex.drop(1).flatMap { case (st, i) =>
-      val lag = st.select((col("t") - col("tp")).as("lag"))
-      val (n, pv) = ExactQuantile.percentilesWithCount(lag, col("lag"), ps)
-      if (n == 0L) Nil
-      else ps.map(p => (i + 1, stages(i), n, p, pv(p)))
+    // no-shuffle coalesce: the union of k checkpointed users-sized
+    // relations carries k x 32 partitions, and every refinement round
+    // scans it — narrowing to one round of tasks costs nothing and
+    // cuts the per-round task storm k-fold (partition COUNT, not
+    // size, is the driver of these tiny jobs' latency)
+    val parts = ev.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val tagged = sts.zipWithIndex.drop(1).map { case (st, i) =>
+      st.select(lit(i + 1).as("stage"),
+        (col("t") - col("tp")).as("lag"))
+    }.reduce(_ unionAll _).coalesce(parts)
+    val byStage = ExactQuantile.percentilesGrouped(
+      tagged, col("stage"), col("lag"), ps)
+    val rows = byStage.toSeq.sortBy(_._1).flatMap { case (st, (n, pv)) =>
+      ps.map(p => (st, stages(st - 1), n, p, pv(p)))
     }
     rows.toDF("stage", "event_type", "users", "p", "lag_ns")
       .orderBy(col("stage"), col("p"))

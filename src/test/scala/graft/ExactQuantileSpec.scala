@@ -52,6 +52,36 @@ class ExactQuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped multi-k shares passes across tags and equals per-tag " +
+    "selection — overlapping value ranges, skewed tag sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // three tags with overlapping domains and very different sizes
+    val rows = Seq.tabulate(3000)(i => (2, rnd.nextLong() % 500000L)) ++
+      Seq.tabulate(700)(i => (3, 250000L + rnd.nextLong() % 500000L)) ++
+      Seq.tabulate(11)(i => (4, rnd.nextLong() % 64L))
+    val df = rows.toDF("t", "v").repartition(5)
+    val ks = Map(2 -> Seq(1L, 1500L, 3000L), 3 -> Seq(350L, 700L),
+      4 -> Seq(1L, 11L))
+    val (got, rounds) = ExactQuantile.kthSmallestMultiGrouped(
+      df, col("t"), col("v"), ks)
+    ks.foreach { case (t, tks) =>
+      val sub = rows.filter(_._1 == t).map(_._2).toDF("v")
+      val (want, _) = ExactQuantile.kthSmallestMulti(sub, col("v"), tks)
+      tks.foreach(k => assert(got((t, k)) == want(k), s"t=$t k=$k"))
+    }
+    assert(rounds <= 4, s"rounds=$rounds — shared passes regressed")
+    // percentilesGrouped: same definition as the per-relation path
+    val byTag = ExactQuantile.percentilesGrouped(
+      df, col("t"), col("v"), Seq(50, 90))
+    ks.keys.foreach { t =>
+      val sub = rows.filter(_._1 == t).map(_._2).toDF("v")
+      val (n, pv) = ExactQuantile.percentilesWithCount(
+        sub, col("v"), Seq(50, 90))
+      assert(byTag(t) == ((n, pv)), s"t=$t")
+    }
+  }
+
   test("exact at the top of the long domain (upper-edge overflow guard)") {
     import spark.implicits._
     // hi within one bucket width of Long.MaxValue: the naive
