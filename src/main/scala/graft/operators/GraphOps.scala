@@ -699,11 +699,18 @@ object GraphOps {
       .groupBy(col("n"))
       .agg(least(col("n"), min(col("v"))).as("lbl"))
       .localCheckpoint()
-    // certificate: labels constant across every ORIGINAL edge
+    // certificate: labels constant across every ORIGINAL edge. LEFT
+    // joins on purpose: node presence in the final star edge set is a
+    // proven invariant of both star ops, but a violation would make
+    // an inner join silently HIDE the very edge that witnesses it —
+    // a missing label must fail the certificate, not shrink it
     val bad = e0
-      .join(labels.select(col("n").as("x"), col("lbl").as("lx")), Seq("x"))
-      .join(labels.select(col("n").as("y"), col("lbl").as("ly")), Seq("y"))
-      .filter(col("lx") =!= col("ly")).count()
+      .join(labels.select(col("n").as("x"), col("lbl").as("lx")),
+        Seq("x"), "left")
+      .join(labels.select(col("n").as("y"), col("lbl").as("ly")),
+        Seq("y"), "left")
+      .filter(col("lx").isNull || col("ly").isNull ||
+        col("lx") =!= col("ly")).count()
     require(bad == 0,
       s"connectedComponents: label certificate failed after $rounds " +
         "star rounds — components not fully contracted; raise rounds " +

@@ -415,6 +415,25 @@ object ScaleSweep {
       graft.streaming.FileReplay.drop(dir2)
       r
     })
+    emit("stream_ohlc", () => withStreamParts {
+      val dir2 = graft.streaming.FileReplay.write(
+        Engine.table(spark, dir, "events")
+          .select(col("event_id"), expr("ts - ts % 1000").as("tsn"),
+            col("value")),
+        Seq("tsn", "event_id"))
+      val name = s"sweep_ohlc_${System.nanoTime()}"
+      val q = graft.streaming.StreamOhlc.dailyBars(
+        graft.streaming.FileReplay.read(spark, dir2)
+          .select(expr("tsn div 86400000000000").as("day"),
+            col("tsn"), col("event_id"), col("value"),
+            timestamp_micros(expr("tsn div 1000")).as("event_time")),
+        watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val r = drainToExtra(q, name)
+      graft.streaming.FileReplay.drop(dir2)
+      r
+    })
     emit("stream_ingest", () => withStreamParts {
       val dir2 = graft.streaming.FileReplay.write(
         Engine.table(spark, dir, "documents")
