@@ -739,8 +739,114 @@ object StatOps {
       |  ON a.day = cl.day
       |ORDER BY a.day""".stripMargin))
 
+  /** Driver entry + FULL oracle: ROBUST per-type anomaly summary —
+    * median / MAD (median absolute deviation) and the count of
+    * |x − median| > 3·MAD outliers per event type, the
+    * outlier-resistant complement of [[anomalyEntry]]'s z-score
+    * (mean/stddev are themselves dragged by the outliers they are
+    * supposed to find; the median/MAD pair is the standard robust
+    * fix). Values in exact integer cents (the anomaly entry's
+    * DECIMAL(18,2) cast), so every order statistic and deviation is
+    * exact int64 and the only doubles are the final /100 display
+    * casts. Median = the repo's ceil-rank convention
+    * (max(1, ceil(50n/100))-th smallest, [[ExactQuantile]]).
+    *
+    * 100 TB shape: NO per-group sort and NO window over events —
+    * two grouped multi-pass selections
+    * ([[ExactQuantile.percentilesGrouped]]: all types share every
+    * histogram pass; 1 + rounds tiny jobs each), two broadcast joins
+    * of per-type constants, one final conditional aggregate. A
+    * giant event type costs the same passes as a small one.
+    */
+  val anomalyMadEntry: Q = Q("events_anomaly_mad",
+    (s, d) => {
+      Engine.configure(s)
+      import scala.jdk.CollectionConverters._
+      val ev = Engine.table(s, d, "events")
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("w"))
+      val types = ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      require(types.nonEmpty && types.length <= 100000,
+        s"events_anomaly_mad: ${types.length} event types — the " +
+          "per-type constant tables assume a bounded type vocabulary")
+      val tagsDf = s.createDataFrame(
+        types.zipWithIndex.map { case (t, i) =>
+          org.apache.spark.sql.Row(t, i) }.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType))))
+      val tagged = ev.join(broadcast(tagsDf), "event_type")
+        .localCheckpoint() // read by both selection passes + the final agg
+      val medByTag = ExactQuantile.percentilesGrouped(
+        tagged, col("t"), col("w"), Seq(50))
+      val medDf = s.createDataFrame(
+        medByTag.toSeq.map { case (t, (n, pv)) =>
+          org.apache.spark.sql.Row(t, n, pv(50)) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("medc",
+            org.apache.spark.sql.types.LongType))))
+      val dev = tagged.join(broadcast(medDf), "t")
+        .withColumn("dev", abs(col("w") - col("medc")))
+      val madByTag = ExactQuantile.percentilesGrouped(
+        dev, col("t"), col("dev"), Seq(50))
+      val madDf = s.createDataFrame(
+        madByTag.toSeq.map { case (t, (_, pv)) =>
+          org.apache.spark.sql.Row(t, pv(50)) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("madc",
+            org.apache.spark.sql.types.LongType))))
+      dev.join(broadcast(madDf), "t")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          (max(col("medc")).cast("double") / 100.0).as("median"),
+          (max(col("madc")).cast("double") / 100.0).as("mad"),
+          sum(when(col("dev") > lit(3L) * col("madc"), 1L)
+            .otherwise(0L)).as("outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, w,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY w) rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) n
+      |  FROM ev),
+      |med AS (
+      |  SELECT event_type, n, w AS medc FROM r
+      |  WHERE rn = GREATEST(1, (50 * n + 99) // 100)),
+      |d AS (
+      |  SELECT ev.event_type, ABS(ev.w - med.medc) AS dev,
+      |    med.medc, med.n
+      |  FROM ev JOIN med ON ev.event_type = med.event_type),
+      |r2 AS (
+      |  SELECT event_type, dev, medc, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) rn
+      |  FROM d),
+      |mad AS (
+      |  SELECT event_type, dev AS madc FROM r2
+      |  WHERE rn = GREATEST(1, (50 * n + 99) // 100))
+      |SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n,
+      |  CAST(MAX(d.medc) AS DOUBLE) / 100.0 AS median,
+      |  CAST(MAX(mad.madc) AS DOUBLE) / 100.0 AS mad,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * mad.madc THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS outliers
+      |FROM d JOIN mad ON d.event_type = mad.event_type
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin))
+
   val defs: Seq[Q] =
     Seq(bootstrapEntry, covarianceEntry, anomalyEntry, joinSizeEntry,
       driftEntry, rollingQuantilesEntry, driftTvdEntry,
-      expectationsEntry, ohlcEntry)
+      expectationsEntry, ohlcEntry, anomalyMadEntry)
 }

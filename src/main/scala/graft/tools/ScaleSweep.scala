@@ -282,7 +282,7 @@ object ScaleSweep {
     for (e <- Seq("events_funnel", "events_funnel_k4",
         "events_retention", "events_transitions",
         "stat_rolling_quantiles", "stat_drift_tvd", "events_ohlc",
-        "join_asof",
+        "events_anomaly_mad", "join_asof",
         "join_interval", "graph_kcore", "graph_label_prop",
         "graph_triangles", "graph_pagerank")) {
       emit(e, () => (SparkEntry.queries(e)(spark, dir).count(), ""))

@@ -165,6 +165,46 @@ class StatOpsSpec extends AnyFunSuite {
     assert((r.getInt(2), r.getInt(3), r.getInt(4)) == ((30, 255, 255)))
   }
 
+  test("anomaly MAD: planted per-type corpora (odd/even n, ties, a " +
+    "constant group with one outlier) match a sequential reference") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mad").toString
+    val day0us = 1700000000000000L
+    // typeA: odd n, clear spread; typeB: even n with ties;
+    // typeC: constant (mad = 0) + one outlier — dev > 0 must count
+    val rows: Seq[(String, Double)] =
+      Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 4.0, "a" -> 100.0,
+        "b" -> 5.0, "b" -> 5.0, "b" -> 7.0, "b" -> 9.0,
+        "c" -> 2.5, "c" -> 2.5, "c" -> 2.5, "c" -> 50.0)
+    rows.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, day0us + i * 1000000L, 1L, t, v, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // sequential reference with the repo's ceil-rank median
+    def medOf(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(math.max(1L, (50L * s.size + 99L) / 100L).toInt - 1)
+    }
+    val want = rows.groupBy(_._1).map { case (t, vs) =>
+      val w = vs.map(v => math.round(v._2 * 100))
+      val med = medOf(w)
+      val dev = w.map(x => math.abs(x - med))
+      val mad = medOf(dev)
+      (t, w.size.toLong, med / 100.0, mad / 100.0,
+        dev.count(_ > 3L * mad).toLong)
+    }.toSet
+    val got = SparkEntry.queries("events_anomaly_mad")(spark, tmp)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
   test("ohlc: planted two-day corpus with same-microsecond ties — " +
     "open/close break by event_id, sum is the exact decimal sum") {
     import org.apache.spark.sql.functions._
