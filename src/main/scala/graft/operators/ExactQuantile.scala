@@ -31,81 +31,18 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
-  private case class Cursor(k: Long, kRem: Long, lo: Long, hi: Long)
-
   /** All requested k-th smallest (1-based) values of an integer-valued
     * column in shared passes. Returns (k -> value, rounds). Requires
-    * 1 <= k <= count for every k.
+    * 1 <= k <= count for every k. Delegates to the grouped walk with a
+    * single constant tag — ONE copy of the selection core to maintain.
     */
   def kthSmallestMulti(df: DataFrame, c: Column,
       ks: Seq[Long]): (Map[Long, Long], Int) = {
-    val bounds = df.agg(min(c).cast("long"), max(c).cast("long"),
-      count(c)).head()
-    require(!bounds.isNullAt(0), "empty input to kthSmallestMulti")
-    val n = bounds.getLong(2)
-    ks.foreach(k => require(k >= 1 && k <= n, s"k=$k out of range 1..$n"))
-    val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
-    // full-int64-span inputs would overflow the width arithmetic
-    require(hi0 - lo0 >= 0L, "value range exceeds 2^63; rescale the column")
-    val v = c.cast("long")
-    var curs = ks.distinct.map(k => Cursor(k, k, lo0, hi0))
-    var rounds = 0
-    while (curs.exists(cu => cu.lo < cu.hi)) {
-      rounds += 1
-      val groups = curs.filter(cu => cu.lo < cu.hi)
-        .map(cu => (cu.lo, cu.hi)).distinct
-      // POWER-OF-TWO bucket width + shiftright: Spark's `/` on longs is
-      // fractional Divide — double rounding at 2^60 magnitudes merges
-      // adjacent buckets and silently corrupts the selection; a shift
-      // is exact at every magnitude. 4096-8191 buckets per round
-      // (12 bits: a wide domain needs ceil(bits/12) passes; the driver
-      // walk and the collect stay trivially small at this width).
-      val shifts = groups.map { case (lo, hi) =>
-        math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(hi - lo) - 12)
-      }
-      // ONE aggregation pass for every surviving range: group id by
-      // range membership (ranges identical-or-disjoint), bucket by the
-      // group's own shift.
-      val gCol = groups.zipWithIndex.foldLeft(lit(-1)) {
-        case (acc, ((lo, hi), i)) => when(v.between(lo, hi), lit(i))
-          .otherwise(acc)
-      }
-      val bCol = groups.zip(shifts).zipWithIndex.foldLeft(lit(-1)) {
-        case (acc, (((lo, hi), sh), i)) =>
-          when(v.between(lo, hi), shiftright(v - lo, sh).cast("int"))
-            .otherwise(acc)
-      }
-      val cnts = df.select(gCol.as("__g"), bCol.as("__b"))
-        .filter(col("__g") >= 0)
-        .groupBy("__g", "__b").agg(count(lit(1)).as("__n"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (g, rs) =>
-          g -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
-        }
-      curs = curs.map { cu =>
-        if (cu.lo >= cu.hi) cu
-        else {
-          val g = groups.indexOf((cu.lo, cu.hi))
-          val shift = shifts(g)
-          val width = 1L << shift
-          val byB = cnts.getOrElse(g, Map.empty[Int, Long])
-          var b = 0
-          var cum = 0L
-          while (cum + byB.getOrElse(b, 0L) < cu.kRem) {
-            cum += byB.getOrElse(b, 0L); b += 1
-          }
-          // newLo = lo + b*width <= lo + (hi-lo) — never overflows; the
-          // upper edge lo + width - 1 CAN wrap when hi is within one
-          // width of Long.MaxValue, so tighten via subtraction only
-          // when it provably lands below hi (r11 ADVICE).
-          val nLo = cu.lo + b * width
-          val nHi = if (cu.hi - nLo >= width) nLo + width - 1 else cu.hi
-          Cursor(cu.k, cu.kRem - cum, nLo, nHi)
-        }
-      }
-    }
-    (curs.map(cu => cu.k -> cu.lo).toMap, rounds)
+    val src = df.select(lit(0).as("__t"), c.cast("long").as("__v"))
+    val bounds = groupedBounds(src)
+    require(bounds.contains(0), "empty input to kthSmallestMulti")
+    val (m, rounds) = groupedSelect(src, bounds, Map(0 -> ks))
+    (m.map { case ((_, k), v) => k -> v }, rounds)
   }
 
   /** The k-th smallest (1-based) value of an integer-valued column.
@@ -129,6 +66,12 @@ object ExactQuantile {
     * `ks`: per tag, the requested 1-based ranks (each within that
     * tag's count). Returns ((tag, k) -> value, rounds). Tags absent
     * from `ks` are ignored; a tag in `ks` must have rows.
+    *
+    * Group dispatch is an EXPRESSION (a when-chain one branch per
+    * active (tag, range)), so this path is for a BOUNDED number of
+    * giant groups — a few thousand at most; for high-cardinality
+    * grouping use the per-group sort recipe (`exact_quantiles_grouped`),
+    * whose one shuffle handles millions of small groups.
     */
   def kthSmallestMultiGrouped(df: DataFrame, tag: Column, c: Column,
       ks: Map[Int, Seq[Long]]): (Map[(Int, Long), Long], Int) = {
@@ -138,13 +81,18 @@ object ExactQuantile {
     groupedSelect(src, groupedBounds(src), ks)
   }
 
-  /** One job: per-tag (min, max, count) of the normalized relation. */
+  /** One job: per-tag (min, max, count) of the normalized relation.
+    * Tags whose values are ALL null (count 0, NULL min/max) are
+    * omitted — they behave exactly like absent tags downstream
+    * instead of NPE-ing a primitive getter on a NULL min.
+    */
   private def groupedBounds(src: DataFrame)
       : Map[Int, (Long, Long, Long)] =
     src.groupBy(col("__t"))
       .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
         count(col("__v")).as("n"))
       .collect()
+      .filter(!_.isNullAt(1))
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
 
@@ -173,6 +121,15 @@ object ExactQuantile {
       val shifts = groups.map { case (_, lo, hi) =>
         math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(hi - lo) - 12)
       }
+      // POWER-OF-TWO bucket width + shiftright: Spark's `/` on longs
+      // is fractional Divide — double rounding at 2^60 magnitudes
+      // merges adjacent buckets and silently corrupts the selection;
+      // a shift is exact at every magnitude. 2049-4096 buckets per
+      // round (12 bits: a wide domain needs ceil(bits/12) passes; the
+      // driver walk and the collect stay trivially small here).
+      // ONE aggregation pass for every surviving (tag, range): group
+      // id by tag + range membership (within a tag, ranges are
+      // identical-or-disjoint), bucket by the group's own shift.
       val gCol = groups.zipWithIndex.foldLeft(lit(-1)) {
         case (acc, ((t, lo, hi), i)) =>
           when(col("__t") === t && col("__v").between(lo, hi), lit(i))
@@ -204,6 +161,10 @@ object ExactQuantile {
           while (cum + byB.getOrElse(b, 0L) < cu.kRem) {
             cum += byB.getOrElse(b, 0L); b += 1
           }
+          // newLo = lo + b*width <= lo + (hi-lo) — never overflows;
+          // the upper edge lo + width - 1 CAN wrap when hi is within
+          // one width of Long.MaxValue, so tighten via subtraction
+          // only when it provably lands below hi (r11 ADVICE).
           val nLo = cu.lo + b * width
           val nHi = if (cu.hi - nLo >= width) nLo + width - 1 else cu.hi
           GCursor(cu.t, cu.k, cu.kRem - cum, nLo, nHi)

@@ -238,7 +238,7 @@ object FunnelOps {
     * of ~4 tiny jobs at sf0.1). No per-stage sort window — a funnel
     * stage is exactly the "single giant group" the grouped-window
     * percentile recipe documents as its own failure mode. Driver
-    * state: 256 longs per active (stage, range) + the k-1 result
+    * state: ≤ 4096 longs per active (stage, range) + the k-1 result
     * rows.
     */
   def funnelLagQuantiles(ev: DataFrame, stages: Seq[String],

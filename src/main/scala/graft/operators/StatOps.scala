@@ -767,9 +767,15 @@ object StatOps {
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("w"))
       val types = ev.select(col("event_type")).distinct()
         .collect().map(_.getString(0)).sorted
-      require(types.nonEmpty && types.length <= 100000,
-        s"events_anomaly_mad: ${types.length} event types — the " +
-          "per-type constant tables assume a bounded type vocabulary")
+      // grouped selection dispatches (tag, range) via a when-chain —
+      // one branch per active pair — so the bound must be what an
+      // EXPRESSION tree tolerates, not what driver maps tolerate;
+      // beyond this, the many-group per-group-sort recipe
+      // (exact_quantiles_grouped) is the right tool
+      require(types.nonEmpty && types.length <= 1000,
+        s"events_anomaly_mad: ${types.length} event types exceeds " +
+          "the expression-dispatch bound of the grouped selection; " +
+          "use the per-group sort recipe for high-cardinality groups")
       val tagsDf = s.createDataFrame(
         types.zipWithIndex.map { case (t, i) =>
           org.apache.spark.sql.Row(t, i) }.toSeq.asJava,

@@ -24,8 +24,8 @@ class ExactQuantileSpec extends AnyFunSuite {
     for (k <- Seq(1L, 2L, 500L, 2501L, 4999L, vals.size.toLong)) {
       val (got, rounds) = ExactQuantile.kthSmallest(df, col("v"), k)
       assert(got == sorted((k - 1).toInt), s"k=$k")
-      // range ~ 2^61 -> at most ceil(61/8) = 8 rounds of 256-way refine
-      assert(rounds <= 8, s"k=$k took $rounds rounds")
+      // range ~ 2^61 -> at most ceil(61/12) = 6 rounds of 4096-way refine
+      assert(rounds <= 6, s"k=$k took $rounds rounds")
     }
   }
 
@@ -80,6 +80,15 @@ class ExactQuantileSpec extends AnyFunSuite {
         sub, col("v"), Seq(50, 90))
       assert(byTag(t) == ((n, pv)), s"t=$t")
     }
+    // a tag whose values are ALL null is omitted, like an absent tag
+    // (not an NPE on the NULL min in the bounds collect)
+    val withNulls = rows.map { case (t, v) =>
+      (t, java.lang.Long.valueOf(v)) } ++
+      Seq((9, null.asInstanceOf[java.lang.Long]),
+        (9, null.asInstanceOf[java.lang.Long]))
+    val byTag2 = ExactQuantile.percentilesGrouped(
+      withNulls.toDF("t", "v"), col("t"), col("v"), Seq(50))
+    assert(!byTag2.contains(9) && byTag2.keySet == ks.keySet)
   }
 
   test("exact at the top of the long domain (upper-edge overflow guard)") {
