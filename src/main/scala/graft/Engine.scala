@@ -145,6 +145,31 @@ object Engine {
       case _ => df
     }
 
+  /** Fan a scan-level relation out to the session's full parallelism
+    * ahead of per-row heavy compute (codec decode, tokenize/shingle
+    * kernels): the driver testdata ships each table as ONE parquet
+    * file with ONE row group, so every scan is a single task and a
+    * compute-heavy map stage serializes on one core — the "one huge
+    * unsplittable file" input-skew case, whose fix is "repartition
+    * immediately after the read" (optimization guide §2.5). The
+    * repartition is GATED on the scan's actual task count vs the
+    * session's parallelism, so a real cluster's many-file table (or a
+    * future multi-row-group testdata) pays NO extra exchange — this
+    * is runtime-adaptive, not a local-mode constant. Hash-partition
+    * on a caller-chosen high-cardinality key: deterministic under
+    * task retries (unlike round-robin, which also pays a local sort
+    * per SPARK-23207).
+    *
+    * Only call this on scan-level plans (scan + projection/filter/
+    * union, no exchanges): the gate reads `df.rdd.getNumPartitions`,
+    * which under AQE would materialize any shuffle stages below it.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, key)
+  }
+
   // last mounted sf dir per session: mounting eagerly reads 10 parquet
   // footers, which dominates per-query latency on conformance corpora if
   // repeated, so register() is a no-op until the dir changes

@@ -454,12 +454,15 @@ object CorpusOps {
         val applied = changed.select(col("w"),
           call_function("bpe_apply", col("syms"), lit(l), lit(r)).as("syms"),
           col("cnt"))
-        val delta = pairCounts(changed, -1L).unionAll(pairCounts(applied, 1L))
-          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("dn"))
-        pairStats = pairStats.join(delta, Seq("l", "r"), "full_outer")
-          .select(col("l"), col("r"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-              .as("n"))
+        // maintained += (new - old) as ONE union-aggregate: summing the
+        // carried stats with the signed delta rows is arithmetically the
+        // old full_outer join + coalesce-add, one exchange cheaper per
+        // round (the loop's wall is round-synchronized driver latency,
+        // not data — guide §1.2)
+        pairStats = pairStats.select(col("l"), col("r"), col("n"))
+          .unionAll(pairCounts(changed, -1L))
+          .unionAll(pairCounts(applied, 1L))
+          .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n"))
           .filter(col("n") > 0)
           .localCheckpoint(true)
         words = words.select(col("w"),

@@ -87,7 +87,12 @@ object DedupOps {
     */
   def minhashBands(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-      minhashBandify(if (planted) plantTwins(base, "doc_id", 20) else base)
+      // shingle+minhash is the expensive map step over a single-task
+      // scan — fan out first (guide §2.5; batch path only, the
+      // streaming caller goes through minhashBandify directly)
+      minhashBandify(Engine.fanOut(
+        if (planted) plantTwins(base, "doc_id", 20) else base,
+        col("doc_id")))
   }
 
   /** MinHash + LSH near-dup candidates: 64-hash signature, 16 bands x 4
@@ -167,7 +172,11 @@ object DedupOps {
   def simhashBands(s: SparkSession, d: String, planted: Boolean): DataFrame = {
       Engine.configure(s)
       val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-      simhashBandify(if (planted) plantTwins(base, "doc_id", 20) else base)
+      // tokenize+simhash is the expensive map step over a single-task
+      // scan — fan out first (guide §2.5)
+      simhashBandify(Engine.fanOut(
+        if (planted) plantTwins(base, "doc_id", 20) else base,
+        col("doc_id")))
   }
 
   /** SimHash near-dup candidates: 64-bit simhash (custom codegen'd
@@ -916,14 +925,20 @@ object DedupOps {
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // pre-partition the edge set on the probe key: the per-round
-    // neighbor join requires hashpartitioning(b), so the cached layout
-    // satisfies it and edges never re-shuffle across rounds (the
-    // reference's exchange-once-then-iterate shape; only the small
-    // labels side moves each round)
-    val edges = pairs.select(col("a"), col("b"))
+    // neighbor join requires hashpartitioning(b), so the materialized
+    // layout satisfies it and edges never re-shuffle across rounds
+    // (the reference's exchange-once-then-iterate shape; only the
+    // small labels side moves each round). MATERIALIZE — not cache:
+    // a cache shortcuts execution but keeps the full logical tree,
+    // and every per-round Dataset op re-ANALYZES that tree — for a
+    // caller like the full simhash star the edge plan is the whole
+    // banded-dedup pipeline, and the per-round analysis cost dwarfed
+    // the stage time (measured: 48 s wall / 3.8 s stage sum before
+    // the truncation, 80 driver-bound jobs). LogicalRDD keeps the
+    // repartition's outputPartitioning, so the layout contract holds.
+    val edges = materialize(pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("b"))
-      .cache()
+      .repartition(col("b")))
     var labels = materialize(edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id")))
     var rounds = 0
@@ -949,9 +964,15 @@ object DedupOps {
       // pointer jumps (label-of-label): each halves the remaining path
       // length, so chains converge in O(log n) rounds, not O(diameter) —
       // every label is itself a member id, so the self-lookup always
-      // hits. Two jumps per round: rounds are latency-bound (a fixed
-      // number of shuffles each), an extra small join per round beats
-      // an extra round.
+      // hits. FOUR jumps per round: a round's dominant cost is not its
+      // shuffles but its driver-synchronized actions (materialize +
+      // fixpoint count — measured ~50 jobs/entry at 2 jumps, wall ≈ 2x
+      // the stage time, guide §1.2 "the distributed algorithm first"),
+      // and each extra jump is one more labels-sized join INSIDE the
+      // same job while cutting the round count by another half on
+      // chain graphs. Label validity is jump-count-independent
+      // (label-of-label stays a same-component id), so the fixpoint —
+      // and the oracle-checked result — is unchanged.
       def jump(p: DataFrame): DataFrame = p
         .join(labels.select(col("id").as("jid"),
           col("cluster_id").as("jlabel")), col("cluster_id") === col("jid"))
@@ -963,7 +984,6 @@ object DedupOps {
       labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
     }
-    edges.unpersist()
     (labels, rounds, converged)
   }
 

@@ -63,7 +63,15 @@ object GraphOps {
     val e = if (materialize) e0.localCheckpoint() else e0
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
-    val n = nodes.count()
+    // ONE nodes-sized job answers both up-front questions — the node
+    // count (overflow guard) and whether any node never appears as a
+    // dst (spine need) — instead of two separate distinct+count jobs
+    // over the edge relation (guide §1.2: don't compute things twice)
+    val stats = e.select(col("src").as("node"), lit(0).as("isdst"))
+      .unionAll(e.select(col("dst").as("node"), lit(1).as("isdst")))
+      .groupBy(col("node")).agg(max(col("isdst")).as("isdst"))
+      .agg(count(lit(1)), sum(col("isdst"))).head()
+    val n = stats.getLong(0)
     require(n > 0 && base <= Long.MaxValue / 17 / math.max(n, 1L),
       s"pageRank: N*base*17 overflows int64 (n=$n, base=$base)")
     val teleport = 3L * base / 20L
@@ -87,10 +95,10 @@ object GraphOps {
     // teleport mass on general directed graphs — invisible on
     // symmetrized ones). The spine join is only NEEDED when the
     // dst-set is a proper subset of the node universe — detected
-    // ONCE up front (a nodes-sized distinct count, the same cost
-    // class as the overflow-guard count), so symmetrized graphs —
-    // the common case — pay zero per-round spine joins.
-    val nIn = e.select(col("dst")).distinct().count()
+    // ONCE up front (folded into the stats job above), so
+    // symmetrized graphs — the common case — pay zero per-round
+    // spine joins.
+    val nIn = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val needSpine = nIn != n
     val spine = if (!needSpine) null
       else if (materialize) ranks.select(col("node")).localCheckpoint()
@@ -133,11 +141,18 @@ object GraphOps {
   val pagerankEntry: Q = Q("graph_pagerank",
     (s, d) => {
       Engine.configure(s)
+      // materialize the expensive orders-join-lineitem distinct ONCE:
+      // it feeds both union branches of the symmetrized edge list, and
+      // the deg build + probe side consume that union again — without
+      // the checkpoint the whole derivation executed twice inside the
+      // edge-materialization job (measured: duplicated 2.3 s/1.5 s
+      // stage pairs at sf0.1; guide §1.2 / §2.4)
       val pairs = Engine.table(s, d, "orders")
         .join(Engine.table(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
+        .localCheckpoint()
       val edges = pairs
         .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
         .unionAll(pairs
@@ -190,11 +205,14 @@ object GraphOps {
   val pprEntry: Q = Q("graph_ppr",
     (s, d) => {
       Engine.configure(s)
+      // same pairs checkpoint as graph_pagerank (one derivation, two
+      // union branches + deg + probe consumers)
       val pairs = Engine.table(s, d, "orders")
         .join(Engine.table(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
+        .localCheckpoint()
       val edges = pairs
         .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
         .unionAll(pairs

@@ -85,8 +85,11 @@ object ImageDedup {
     */
   def hashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ids = Engine.table(s, d, "documents")
-      .select(col("doc_id")).as[Long]
+    // decode is the expensive per-row step; fan the single-row-group
+    // scan out so it runs at full parallelism (guide §2.5 — measured
+    // 1.66 s serial decode stage at sf0.1 before the fan-out)
+    val ids = Engine.fanOut(Engine.table(s, d, "documents")
+      .select(col("doc_id")), col("doc_id")).as[Long]
     ids.mapPartitions { it =>
       it.flatMap { id =>
         // twin id must not collide with a real doc_id, else the pair

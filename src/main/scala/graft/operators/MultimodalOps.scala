@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  /** The decode entries' shared id spine, fanned out to the session's
+    * parallelism: every entry synthesizes its payloads from doc_id and
+    * decodes them in a mapPartitions right above the scan, and the
+    * driver testdata's single-row-group file makes that scan ONE task —
+    * so the whole decode serialized on one core (measured 1.66 s for
+    * the dhash entry at sf0.1). [[Engine.fanOut]] is gated on the
+    * scan's real task count, so many-file tables skip the exchange.
+    */
+  private def docIds(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Engine.fanOut(Engine.table(s, d, "documents")
+      .select(col("doc_id")), col("doc_id")).as[Long]
+  }
+
   /** Input row: media key + opaque payload. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
@@ -439,8 +454,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val payload = ppmPayload(id, 8, 8)
@@ -500,8 +514,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val payload = pngPayload(id, 8, 8)
@@ -563,8 +576,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val payload = webpPayload(id, 8, 8)
@@ -638,8 +650,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val payload = webpLossyPayload(id)
@@ -704,8 +715,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val payload = gifPayload(id)
@@ -747,8 +757,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val out = resizeReal(pngPayload(id, 8, 8), 4, 4)
@@ -833,8 +842,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val payload = wavPayload(id, 800, 16000)
@@ -889,8 +897,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val payload = flacPayload(id, 800, 16000)
@@ -935,8 +942,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val pcm = new Array[Short](800)
@@ -1027,8 +1033,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val vId = if (id % 2 == 0) 3 else 2
@@ -1102,8 +1107,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val profileIdx = (id % 4).toInt
@@ -1164,8 +1168,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val pcm = new Array[Short](800)
@@ -1266,8 +1269,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.flatMap { id =>
           val clip = RawAudio.decodeWav(wavPayload(id, 800, 16000))
@@ -1308,8 +1310,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.flatMap { id =>
           val video = RawVideo.decodeY4m(y4mPayload(id, 6, 8, 8))
@@ -1339,8 +1340,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.map { id =>
           val img = RawImage.decodePpm(ppmPayload(id, 8, 8))
@@ -1472,8 +1472,7 @@ object MultimodalOps {
     (s, d) => {
       Engine.configure(s)
       import s.implicits._
-      val ids = Engine.table(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val ids = docIds(s, d)
       ids.mapPartitions { it =>
         it.flatMap { id =>
           val payload = y4mPayload(id, 6, 8, 8)
