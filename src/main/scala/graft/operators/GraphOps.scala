@@ -318,10 +318,21 @@ object GraphOps {
       .select(col("x"), col("y"),
         rk(col("dx"), col("x")).as("rx"),
         rk(col("dy"), col("y")).as("ry"))
+    // Spread the oriented edges by src BEFORE wedge enumeration: AQE
+    // sizes post-shuffle partitions by INPUT bytes, and the oriented
+    // relation is tiny relative to the wedge fan-out it produces
+    // (measured at sf0.1: a 1 MB edge input coalesced to ONE task that
+    // then wrote 38 MB of wedges serially for 4.7 s — the exploding-
+    // join shape of guide §3.3). An explicit hash repartition at the
+    // session's parallelism pins the wedge work wide; both self-join
+    // sides inherit the partitioning (alias-preserved), so the wedge
+    // join itself adds no further exchange.
     val oriented = keyed.select(
       when(col("rx") < col("ry"), col("x")).otherwise(col("y")).as("src"),
       when(col("rx") < col("ry"), col("y")).otherwise(col("x")).as("dst"),
       greatest(col("rx"), col("ry")).as("rdst"))
+      .repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, col("src"))
     val o1 = oriented.select(col("src"), col("dst").as("v"),
       col("rdst").as("rv"))
     val o2 = oriented.select(col("src").as("src2"), col("dst").as("w"),
