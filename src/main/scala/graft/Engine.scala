@@ -170,6 +170,37 @@ object Engine {
     else df.repartition(target, key)
   }
 
+  /** Materialize `df` eagerly and cut its lineage — the intermediate
+    * checkpoint the iterative/multi-pass operators use so per-round
+    * plans neither re-run history nor re-analyze the full tree.
+    * Default: `localCheckpoint` (executor-local blocks — cheapest, but
+    * at cluster scale an executor loss fails the job because the
+    * lineage is gone). Production runs set
+    * `graft.reliableCheckpoint=true` plus
+    * `sparkContext.setCheckpointDir` on durable storage: same plan
+    * shape, blocks recoverable (r14 verdict #5 — the DedupOps
+    * connected-components path has carried the same switch as
+    * `graft.cc.reliableCheckpoint` since r13).
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get("graft.reliableCheckpoint", "false").toBoolean) {
+      // fail fast: checkpoint(true) without a dir dies mid-job with a
+      // generic SparkException
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        "graft.reliableCheckpoint=true requires " +
+          "sparkContext.setCheckpointDir on durable storage")
+      df.checkpoint(true)
+    } else df.localCheckpoint(true)
+  }
+
+  /** `df.materialized` sugar for [[materialize]] at the operators'
+    * many call sites.
+    */
+  implicit class Materialize(private val df: DataFrame) {
+    def materialized: DataFrame = materialize(df)
+  }
+
   // last mounted sf dir per session: mounting eagerly reads 10 parquet
   // footers, which dominates per-query latency on conformance corpora if
   // repeated, so register() is a no-op until the dir changes

@@ -4,6 +4,7 @@ import graft.{Engine, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Engine.Materialize
 
 /** Compaction planning — the small-files answer every lakehouse table
   * needs: given a file manifest (path-ish key, size), assign files to
@@ -94,7 +95,7 @@ object Compaction {
   def rankMap(src: DataFrame, c: String, buckets: Long,
       parts: Int = 32, singleTaskNdv: Long = 1L << 20): DataFrame = {
     require(buckets > 0 && parts > 0, "rankMap: buckets, parts > 0")
-    val dv = src.select(col(c)).distinct().localCheckpoint()
+    val dv = src.select(col(c)).distinct().materialized
     val agg = dv.agg(count(lit(1)).as("n"), count(col(c)).as("nn")).head()
     val n = agg.getLong(0)
     require(n > 0, s"rankMap: no values in $c")
@@ -110,7 +111,7 @@ object Compaction {
         .select(col(c), spark_partition_id().as("__pid"))
         .withColumn("__lr", row_number().over(
           Window.partitionBy(col("__pid")).orderBy(col(c))))
-        .localCheckpoint()
+        .materialized
       val cnts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
         .orderBy(col("__pid")).collect() // ≤ parts rows — bounded
       var running = 0L

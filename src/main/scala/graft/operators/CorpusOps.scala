@@ -4,6 +4,7 @@ import graft.{Engine, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Engine.Materialize
 
 /** Corpus-construction operators a large-scale training-data pipeline
   * runs after cleaning/dedup: benchmark decontamination, context-window
@@ -427,14 +428,14 @@ object CorpusOps {
       .select(explode(toks(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
-      .localCheckpoint(true)
+      .materialized
     def pairCounts(of: DataFrame, sign: Long): DataFrame = of
       .select(explode(call_function("bpe_pairs", col("syms"))).as("p"),
         (col("cnt") * sign).as("cnt"))
       .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
     var pairStats = pairCounts(words, 1L)
       .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("n"))
-      .localCheckpoint(true)
+      .materialized
     val merges =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var rank = 1
@@ -464,20 +465,20 @@ object CorpusOps {
           .unionAll(pairCounts(applied, 1L))
           .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n"))
           .filter(col("n") > 0)
-          .localCheckpoint(true)
+          .materialized
         words = words.select(col("w"),
           call_function("bpe_apply", col("syms"), lit(l), lit(r)).as("syms"),
           col("cnt"))
         wordsLineage += 1
         // map-only rewrites: cut lineage every few rounds, not per round
         if (wordsLineage >= 4 || rank == nMerges) {
-          words = words.localCheckpoint(true); wordsLineage = 0
+          words = words.materialized; wordsLineage = 0
         }
         rank += 1
       }
     }
     (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count"),
-      if (wordsLineage > 0) words.localCheckpoint(true) else words)
+      if (wordsLineage > 0) words.materialized else words)
   }
 
   def bpeTrain(corpus: DataFrame, nMerges: Int): DataFrame =
@@ -950,7 +951,7 @@ object CorpusOps {
   }
 
   val pipelineFull: Q = Q("pipeline_full",
-    (s, d) => pipelinePack(pipelineClean(s, d).localCheckpoint()),
+    (s, d) => pipelinePack(pipelineClean(s, d).materialized),
     Some("""WITH per AS (
       |  SELECT doc_id, source, lang,
       |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),

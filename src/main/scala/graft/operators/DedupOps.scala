@@ -423,7 +423,13 @@ object DedupOps {
   def ngramJaccardPairs(s: SparkSession, d: String,
       planted: Boolean): DataFrame = {
       val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val doc = (if (planted) plantTwins(base, "doc_id", 20) else base)
+      // shingle hashing is the expensive map step over a single-task
+      // scan — fan out first, exactly like the minhash/simhash band
+      // paths (guide §2.5; the gate skips the exchange on multi-task
+      // scans)
+      val doc = Engine.fanOut(
+          if (planted) plantTwins(base, "doc_id", 20) else base,
+          col("doc_id"))
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
       val inv = doc.select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -432,10 +438,16 @@ object DedupOps {
       // dedup signal and would otherwise explode the join
       val wDf = org.apache.spark.sql.expressions.Window
         .partitionBy(col("shingle"))
-      val capped = inv
+      // materialize the capped inverted index ONCE: the a/b self-join
+      // below reads it twice, and differently-aliased subtrees defeat
+      // exchange reuse — uncheckpointed, the WHOLE tokenize->shingle->
+      // window pipeline planned and ran twice (r15 plan dump: two
+      // Window+Exchange subtrees; guide §2.4 / §3.3 "materialise an
+      // intermediate to truncate the plan")
+      val capped = Engine.materialize(inv
         .withColumn("df", count(lit(1)).over(wDf))
         .filter(col("df") <= 50)
-        .select(col("shingle"), col("doc_id"), col("n_sh"))
+        .select(col("shingle"), col("doc_id"), col("n_sh")))
       val pairs = capped
         .select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
         .join(capped.select(col("shingle"), col("doc_id").as("doc_b"),
@@ -516,16 +528,20 @@ object DedupOps {
         concat(col("text"),
           repeat(lit(" x"), (col("doc_id") % 4).cast("int"))).as("text"))
     val corpus = base.unionByName(twins)
-    val doc = corpus
+    // same single-task-scan fan-out as ngramJaccardPairs: the shingle
+    // map step dominates and serializes without it (guide §2.5)
+    val doc = Engine.fanOut(corpus, col("doc_id"))
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     val inv = doc.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val wDf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shingle"))
-    val capped = inv
+    // same once-not-twice materialization as ngramJaccardPairs (the
+    // a/b self-join otherwise re-derives the full shingle pipeline)
+    val capped = Engine.materialize(inv
       .withColumn("df", count(lit(1)).over(wDf))
       .filter(col("df") <= 50)
-      .select(col("shingle"), col("doc_id"))
+      .select(col("shingle"), col("doc_id")))
     val pairs = capped.select(col("shingle"), col("doc_id").as("doc_a"))
       .join(capped.select(col("shingle"), col("doc_id").as("doc_b")),
         Seq("shingle"))
@@ -936,6 +952,10 @@ object DedupOps {
     // the stage time (measured: 48 s wall / 3.8 s stage sum before
     // the truncation, 80 driver-bound jobs). LogicalRDD keeps the
     // repartition's outputPartitioning, so the layout contract holds.
+    // Block lifetime is deliberately delegated to the ContextCleaner:
+    // the checkpointed edge/label blocks are unreferenced at function
+    // return and GC'd with the Datasets (an explicit unpersist of a
+    // LogicalRDD's backing blocks has no public API handle).
     val edges = materialize(pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b")))
@@ -964,15 +984,15 @@ object DedupOps {
       // pointer jumps (label-of-label): each halves the remaining path
       // length, so chains converge in O(log n) rounds, not O(diameter) —
       // every label is itself a member id, so the self-lookup always
-      // hits. FOUR jumps per round: a round's dominant cost is not its
-      // shuffles but its driver-synchronized actions (materialize +
-      // fixpoint count — measured ~50 jobs/entry at 2 jumps, wall ≈ 2x
-      // the stage time, guide §1.2 "the distributed algorithm first"),
-      // and each extra jump is one more labels-sized join INSIDE the
-      // same job while cutting the round count by another half on
-      // chain graphs. Label validity is jump-count-independent
-      // (label-of-label stays a same-component id), so the fixpoint —
-      // and the oracle-checked result — is unchanged.
+      // hits. TWO jumps per round: each jump joins ON the current
+      // cluster_id, and as labels concentrate toward component minima
+      // those join keys become the hot keys of their components — r15
+      // measured FOUR jumps per round at 118 s on dedup_simhash_full
+      // (vs 3.9 s at two): the extra jumps shuffle the labels-sized
+      // intermediate onto ever-fewer distinct keys (guide §2.5 skew),
+      // costing far more than the halved round count saves. Label
+      // validity is jump-count-independent (label-of-label stays a
+      // same-component id), so the fixpoint is unchanged either way.
       def jump(p: DataFrame): DataFrame = p
         .join(labels.select(col("id").as("jid"),
           col("cluster_id").as("jlabel")), col("cluster_id") === col("jid"))

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Engine, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Engine.Materialize
 
 /** EXACT order statistics at corpus scale — iterative histogram
   * refinement (distributed selection): each round ONE
@@ -236,9 +237,16 @@ object ExactQuantile {
       // the narrow value column once, fanned to full parallelism, so
       // every pass reads cached longs instead of re-scanning the
       // single-row-group parquet serially (measured: 0.7 s per pass
-      // at sf0.1; guide §1.2/§2.5)
+      // at sf0.1; guide §1.2/§2.5). Keying on the VALUE violates
+      // fanOut's high-cardinality contract on paper (~50 distinct
+      // l_quantity values over 32 partitions), but the r15 A/B
+      // (carry l_orderkey through and key on it, select c after)
+      // measured 2.27 s vs 1.56 s warm — the extra scan column plus
+      // the twice-as-wide exchange cost more than the mild imbalance
+      // (max/median ≈ 2, under the guide §2.5 5-10x threshold), and
+      // the downstream passes are placement-independent aggregations.
       val src = Engine.fanOut(li.select(cents.as("c")), col("c"))
-        .localCheckpoint()
+        .materialized
       val got = ExactQuantile.percentiles(src, col("c"), Seq(50, 90, 99))
       got.toSeq.map { case (p, v) => (p, v / 100.0) }
         .toDF("p", "value").orderBy(col("p"))

@@ -172,7 +172,7 @@ object FunnelOps {
     * capture to pin the one-events-scan-per-stage budget).
     */
   def funnelK(ev: DataFrame, stages: Seq[String], maxLagNs: Long,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = Engine.materialize): DataFrame = {
     val sts = funnelStages(ev, stages, maxLagNs, checkpoint)
     var rows = sts.head.agg(count(lit(1)).as("users"),
       lit(0L).as("total_lag_ns"))
@@ -196,7 +196,7 @@ object FunnelOps {
     * uncheckpointed, the k=4 entry re-derived events 10x).
     */
   def funnelStages(ev: DataFrame, stages: Seq[String], maxLagNs: Long,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint())
+      checkpoint: DataFrame => DataFrame = Engine.materialize)
       : Seq[DataFrame] = {
     require(stages.size >= 2, "funnelK: need >= 2 stages")
     require(stages.distinct.size == stages.size,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Engine, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Engine.Materialize
 
 /** Distributed graph centrality — fixed-point integer PageRank. For a
   * crawled training corpus the link graph IS the quality signal
@@ -60,7 +61,7 @@ object GraphOps {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e0 = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
-    val e = if (materialize) e0.localCheckpoint() else e0
+    val e = if (materialize) e0.materialized else e0
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     // ONE nodes-sized job answers both up-front questions — the node
@@ -101,7 +102,7 @@ object GraphOps {
     val nIn = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val needSpine = nIn != n
     val spine = if (!needSpine) null
-      else if (materialize) ranks.select(col("node")).localCheckpoint()
+      else if (materialize) ranks.select(col("node")).materialized
       else ranks.select(col("node"))
     for (i <- 1 to iters) {
       val in = e.join(ranks, e("src") === ranks("node"))
@@ -125,7 +126,7 @@ object GraphOps {
       // lineage grows linearly with iters (only edges are checkpointed
       // up front); cut it every 8 rounds for deep iteration
       if (materialize && i % 8 == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.materialized
     }
     ranks.join(deg, ranks("node") === deg("src"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
@@ -152,7 +153,7 @@ object GraphOps {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
-        .localCheckpoint()
+        .materialized
       val edges = pairs
         .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
         .unionAll(pairs
@@ -212,7 +213,7 @@ object GraphOps {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
-        .localCheckpoint()
+        .materialized
       val edges = pairs
         .select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
         .unionAll(pairs
@@ -291,7 +292,7 @@ object GraphOps {
     // closing-join count, n_nodes, n_edges) — without a checkpoint
     // each one re-derives the caller's edge relation (for the entry,
     // an events SELF-JOIN) from scratch; materialize it once
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.materialized
     val nodes = edges.select(col("x").as("n"))
       .unionAll(edges.select(col("y").as("n")))
     val deg = nodes.groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -420,7 +421,7 @@ object GraphOps {
   def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
     require(k >= 1, "kCore: k >= 1")
     require(maxRounds >= 1, "kCore: maxRounds >= 1")
-    var e = edges0.select(col("x"), col("y")).localCheckpoint()
+    var e = edges0.select(col("x"), col("y")).materialized
     var m = e.count()
     var rounds = 0
     var converged = false
@@ -432,7 +433,7 @@ object GraphOps {
       val e2 = e
         .join(keep.select(col("n").as("x")), Seq("x"), "left_semi")
         .join(keep.select(col("n").as("y")), Seq("y"), "left_semi")
-        .localCheckpoint()
+        .materialized
       val m2 = e2.count()
       // edge count unchanged <=> no node fell below k (every node in
       // the edge relation has >= 1 edge, so dropping one drops edges)
@@ -568,10 +569,10 @@ object GraphOps {
     require(rounds >= 1, "labelPropagation: rounds >= 1")
     val adj = edges0.select(col("x").as("n"), col("y").as("m"))
       .unionAll(edges0.select(col("y").as("n"), col("x").as("m")))
-      .localCheckpoint()
+      .materialized
     var labels = adj.select(col("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
-      .localCheckpoint()
+      .materialized
     (1 to rounds).foreach { _ =>
       val nbrLbl = adj.join(
         labels.select(col("n").as("m"), col("lbl")), Seq("m"))
@@ -583,7 +584,7 @@ object GraphOps {
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("lbl")))
           .as("pick"))
         .select(col("n"), col("pick.lbl").as("lbl"))
-        .localCheckpoint()
+        .materialized
     }
     labels.select(col("n").as("node"), col("lbl").as("label"))
       .orderBy(col("node"))
@@ -681,7 +682,7 @@ object GraphOps {
     */
   def connectedComponents(edges0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "connectedComponents: rounds >= 1")
-    val e0 = edges0.select(col("x"), col("y")).localCheckpoint()
+    val e0 = edges0.select(col("x"), col("y")).materialized
     def largeStar(e: DataFrame): DataFrame = {
       val adj = e.select(col("x").as("u"), col("y").as("v"))
         .unionAll(e.select(col("y").as("u"), col("x").as("v")))
@@ -719,7 +720,7 @@ object GraphOps {
         prevSig = cur
         go
       }) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).materialized
       r += 1
     }
     // labels from the final (star) edge set: min over self + neighbors
@@ -727,7 +728,7 @@ object GraphOps {
       .unionAll(e.select(col("y").as("n"), col("x").as("v")))
       .groupBy(col("n"))
       .agg(least(col("n"), min(col("v"))).as("lbl"))
-      .localCheckpoint()
+      .materialized
     // certificate: labels constant across every ORIGINAL edge. LEFT
     // joins on purpose: node presence in the final star edge set is a
     // proven invariant of both star ops, but a violation would make

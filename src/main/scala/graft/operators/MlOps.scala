@@ -4,6 +4,7 @@ import graft.{Engine, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Engine.Materialize
 
 /** Distributed training-data ML primitives: full-corpus k-means
   * (Lloyd's), SemDeDup semantic deduplication (Abbas et al. 2023,
@@ -293,7 +294,7 @@ object MlOps {
     // PlanBudgetSpec can keep pinning its scan shape.
     val v0 = assignCellsAuto(emb, vecCol, cents)
       .withColumn("__nn", call_function("dot_vec", col(vecCol), col(vecCol)))
-    val v = if (materialize) v0.localCheckpoint(true) else v0
+    val v = if (materialize) v0.materialized else v0
     val a = v.select(col(idCol).as("__ida"), col("cell").as("__cella"),
       col(vecCol).as("__va"), col("__nn").as("__nna"))
     val dot = call_function("dot_vec", col("__va"), col(vecCol))

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Engine, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Engine.Materialize
 
 /** Uncertainty quantification for corpus statistics — hash-based
   * m-out-of-n bootstrap. Any corpus-level number a pipeline gates on
@@ -429,7 +430,7 @@ object StatOps {
       // touched once
       val daily = ev.groupBy(col("day"), col("b"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .materialized
       val spine = daily.select(col("day")).distinct()
         .select(col("day"), explode(sequence(lit(0), lit(255))).as("b"))
       val merged = spine.join(daily, Seq("day", "b"), "left")
@@ -557,7 +558,7 @@ object StatOps {
         valueBucket(col("value")).as("b"))
       driftFromDaily(ev.groupBy(col("day"), col("b"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint())
+        .materialized)
     },
     Some(s"""WITH ev AS (
       |  SELECT epoch_ns(ts) // 86400000000000 AS day,
@@ -626,7 +627,7 @@ object StatOps {
         rule("l_extprice_ge_quantity", count(lit(1)),
           sum(when(col("l_extendedprice") >= col("l_quantity"), 0L)
             .otherwise(1L))).as("r4"))
-        .localCheckpoint()
+        .materialized
       val liRules = liAgg.select(explode(array(col("r1"), col("r2"),
         col("r3"), col("r4"))).as("r"))
       // orders: uniqueness on the same single-scan aggregate
@@ -785,7 +786,7 @@ object StatOps {
           org.apache.spark.sql.types.StructField("t",
             org.apache.spark.sql.types.IntegerType))))
       val tagged = ev.join(broadcast(tagsDf), "event_type")
-        .localCheckpoint() // read by both selection passes + the final agg
+        .materialized // read by both selection passes + the final agg
       val medByTag = ExactQuantile.percentilesGrouped(
         tagged, col("t"), col("w"), Seq(50))
       val medDf = s.createDataFrame(
