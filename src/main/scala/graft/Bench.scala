@@ -49,7 +49,20 @@ object Bench {
     def timed(f: () => Unit): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { f(); true } catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Inter-query hygiene (r15 measurement fix, recorded in
+      // OPTIMIZATION_r15.md): the iterative/multi-pass operators
+      // eagerly checkpoint intermediates whose blocks are only
+      // reclaimed when the ContextCleaner gets around to the GC'd
+      // Datasets — across 275 queries x 2 passes the leaked blocks
+      // compound into storage/GC pressure that inflates every LATER
+      // row (cross-query interference, not that query's cost).
+      // Release them between queries, outside the timed region.
+      // Queries are independent (each invocation rebuilds its own
+      // checkpoints), so dropping finished queries' blocks is safe.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (elapsed, ok)
     }
 
     // Streaming rows run with state partitioning sized to their key
@@ -339,12 +352,14 @@ object Bench {
         .select(graft.operators.CorpusOps.docFp(col("text")).as("fp"))
         .distinct().localCheckpoint()
       val name = s"bench_stream_ingest_${System.nanoTime()}"
-      // broadcast hint: at this scale the fp set is dim-sized, and a
-      // per-batch broadcast beats re-shuffling the static side every
-      // micro-batch (at 100 TB the standing side is a bucketed table
-      // or Bloom instead — StreamIngest scaladoc)
-      val q = graft.streaming.StreamIngest.survivors(src,
-        org.apache.spark.sql.functions.broadcast(standing))
+      // snapshotStatic: the standing fp set never changes inside the
+      // row, so freeze it into ONE broadcast set instead of paying a
+      // per-micro-batch broadcast rebuild (r15 StreamProf measured it
+      // as the slowest per-trigger fixed cost; at 100 TB the standing
+      // side is a bucketed table or Bloom instead — StreamIngest
+      // scaladoc)
+      val q = graft.streaming.StreamIngest.survivors(src, standing,
+        snapshotStatic = true)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drainStream("organic_stream_ingest", q, spark.table(name).count())

@@ -201,6 +201,37 @@ object Engine {
     def materialized: DataFrame = materialize(df)
   }
 
+  /** [[materialize]] with a PINNED physical layout: hash-partition on
+    * `keys`, sort within partitions, checkpoint — with AQE disabled
+    * for this one plan. Under AQE the checkpointed LogicalRDD reports
+    * UnknownPartitioning (measured on this Spark build via
+    * tools/CkptProbe: a downstream same-key groupBy re-exchanged;
+    * with AQE off it didn't), so iterative consumers re-shuffled the
+    * materialized relation EVERY round. With the layout pinned, every
+    * later join/aggregate keyed on `keys` skips its exchange AND its
+    * sort — the exchange-once-then-iterate contract the cc/PageRank
+    * loops were designed around (guide §2.4).
+    *
+    * TWO materializations, deliberately: the derivation runs under the
+    * session's normal AQE settings (disabling AQE for the whole
+    * derivation plan measured 2-3x slower on the banded-dedup edge
+    * derivations), then the PIN re-partitions the already-checkpointed
+    * (hence cheap, executor-local) relation with AQE off so the final
+    * LogicalRDD carries the layout. The pin shuffle forgoes AQE skew
+    * splitting; callers pass a key whose working set is bounded (edge
+    * lists, pair stats).
+    */
+  def materializePartitioned(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val flat = materialize(df)
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try materialize(
+      flat.repartition(keys: _*).sortWithinPartitions(keys: _*))
+    finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   // last mounted sf dir per session: mounting eagerly reads 10 parquet
   // footers, which dominates per-query latency on conformance corpora if
   // repeated, so register() is a no-op until the dir changes

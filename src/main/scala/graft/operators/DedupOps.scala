@@ -423,10 +423,15 @@ object DedupOps {
   def ngramJaccardPairs(s: SparkSession, d: String,
       planted: Boolean): DataFrame = {
       val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-      // shingle hashing is the expensive map step over a single-task
-      // scan — fan out first, exactly like the minhash/simhash band
-      // paths (guide §2.5; the gate skips the exchange on multi-task
-      // scans)
+      // shingle hashing is the expensive map step over a near-single-
+      // task scan — fan out first, like the minhash/simhash band paths
+      // (guide §2.5; the gate skips the exchange on multi-task scans).
+      // r15 A/B (min of 3, idle host): fanOut 1.20 s vs plain 1.26 s —
+      // small here (the sf0.1 scan already splits 3-ways), the win is
+      // the single-file worst case. A capped-index materialization was
+      // ALSO tried (kill the a/b self-join's double derivation): 1.65 s
+      // — the checkpoint write+read cost more than the second
+      // derivation at this scale, so it was reverted.
       val doc = Engine.fanOut(
           if (planted) plantTwins(base, "doc_id", 20) else base,
           col("doc_id"))
@@ -444,10 +449,10 @@ object DedupOps {
       // window pipeline planned and ran twice (r15 plan dump: two
       // Window+Exchange subtrees; guide §2.4 / §3.3 "materialise an
       // intermediate to truncate the plan")
-      val capped = Engine.materialize(inv
+      val capped = inv
         .withColumn("df", count(lit(1)).over(wDf))
         .filter(col("df") <= 50)
-        .select(col("shingle"), col("doc_id"), col("n_sh")))
+        .select(col("shingle"), col("doc_id"), col("n_sh"))
       val pairs = capped
         .select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
         .join(capped.select(col("shingle"), col("doc_id").as("doc_b"),
@@ -528,8 +533,10 @@ object DedupOps {
         concat(col("text"),
           repeat(lit(" x"), (col("doc_id") % 4).cast("int"))).as("text"))
     val corpus = base.unionByName(twins)
-    // same single-task-scan fan-out as ngramJaccardPairs: the shingle
-    // map step dominates and serializes without it (guide §2.5)
+    // same fan-out as ngramJaccardPairs (guide §2.5); the capped-index
+    // materialization was measured slower here too (r15 A/B: 2.29 s vs
+    // 2.38 s fanOut-only vs 2.13 s r14 shape — all within noise at
+    // sf0.1, fanOut kept for the single-file worst case)
     val doc = Engine.fanOut(corpus, col("doc_id"))
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -538,10 +545,10 @@ object DedupOps {
       .partitionBy(col("shingle"))
     // same once-not-twice materialization as ngramJaccardPairs (the
     // a/b self-join otherwise re-derives the full shingle pipeline)
-    val capped = Engine.materialize(inv
+    val capped = inv
       .withColumn("df", count(lit(1)).over(wDf))
       .filter(col("df") <= 50)
-      .select(col("shingle"), col("doc_id")))
+      .select(col("shingle"), col("doc_id"))
     val pairs = capped.select(col("shingle"), col("doc_id").as("doc_a"))
       .join(capped.select(col("shingle"), col("doc_id").as("doc_b")),
         Seq("shingle"))
@@ -956,6 +963,18 @@ object DedupOps {
     // the checkpointed edge/label blocks are unreferenced at function
     // return and GC'd with the Datasets (an explicit unpersist of a
     // LogicalRDD's backing blocks has no public API handle).
+    // NOTE (r15, measured): under AQE the checkpoint below reports
+    // UnknownPartitioning (tools/CkptProbe), so the "edges never
+    // re-shuffle across rounds" layout claim did NOT hold — each
+    // round's neighbor join re-exchanges the edge relation. Pinning
+    // the layout (double-checkpoint with AQE off for the pin) removed
+    // the per-round exchange in the plan but measured SLOWER end to
+    // end (dedup_simhash_full 3.8 -> 8.9 s bench; extra
+    // materialization + un-coalesced rounds + block pressure), so the
+    // checkpoint is kept for what it measurably buys: killing the
+    // per-round re-ANALYSIS of the full upstream tree (48 s -> 3.8 s
+    // in r14) and lineage growth. The repartition still bounds the
+    // materialized layout's skew.
     val edges = materialize(pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b")))

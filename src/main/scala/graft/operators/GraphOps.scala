@@ -61,6 +61,19 @@ object GraphOps {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e0 = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
+    // NOTE (r15, measured): under AQE the checkpointed RDD reports
+    // UnknownPartitioning (tools/CkptProbe), so each iteration's rank
+    // join DOES re-exchange the edge relation (~14 MB/round at sf0.1,
+    // visible in the plan as Sort+Exchange over Scan ExistingRDD).
+    // Pinning the layout (Engine.materializePartitioned) removed
+    // those per-round exchanges in the plan but measured SLOWER
+    // end-to-end (graph_pagerank 2.9 -> 8.0 s bench: the extra
+    // materialization pass plus un-coalesced 32-partition rounds and
+    // the added block pressure cost more than the small re-shuffle) —
+    // so the checkpoint here cuts lineage/re-analysis only, and the
+    // per-round exchange is a KNOWN, measured-cheaper trade at this
+    // scale. Revisit at true cluster scale where the edge relation
+    // dwarfs the rank table.
     val e = if (materialize) e0.materialized else e0
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()

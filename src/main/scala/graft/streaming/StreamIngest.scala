@@ -60,14 +60,35 @@ object StreamIngest {
     * cleaned against `standingFp` (a static 1-column `fp` relation).
     * Append mode; each novel fingerprint's first document is emitted
     * exactly once.
+    *
+    * `snapshotStatic = true` freezes the standing fp set ONCE into a
+    * broadcast variable and dedups with an exact map-side set filter:
+    * the default stream-static LEFT ANTI join re-builds its broadcast
+    * (collect + hash relation + serialize) EVERY micro-batch — pure
+    * fixed per-trigger cost on a side that never changes (r15
+    * StreamProf: ~0.7 s/trigger on a 99k-fp standing side, the
+    * slowest-twin profile). Identical semantics to the anti-join
+    * (null fps pass, like a null anti-join key); only valid for a
+    * STATIC standing side — a maintained standing table needs the
+    * per-batch re-plan the default keeps.
     */
-  def survivors(shard: DataFrame, standingFp: DataFrame)
-      : Dataset[Survivor] = {
+  def survivors(shard: DataFrame, standingFp: DataFrame,
+      snapshotStatic: Boolean = false): Dataset[Survivor] = {
     val spark = shard.sparkSession
     import spark.implicits._
-    CorpusOps.ingestProjection(shard)
+    val cleaned = CorpusOps.ingestProjection(shard)
       .filter(CorpusOps.ingestQuality)
-      .join(standingFp.select(col("fp")), Seq("fp"), "left_anti")
+    val novel =
+      if (snapshotStatic) {
+        val fps = standingFp.select(col("fp")).as[String]
+          .collect().filter(_ != null).toSet
+        val bc = spark.sparkContext.broadcast(fps)
+        val novelFp = udf((fp: String) =>
+          fp == null || !bc.value.contains(fp))
+        cleaned.filter(novelFp(col("fp")))
+      } else
+        cleaned.join(standingFp.select(col("fp")), Seq("fp"), "left_anti")
+    novel
       .select(col("fp"), col("doc_id"), col("source"), col("lang"),
         col("ntok"))
       .as[Survivor]

@@ -78,6 +78,20 @@ object StreamProf {
               src.select(col("id"), col("side"), col("start"), col("end"),
                 (col("end") / 1.0e9).cast("timestamp").as("event_time")),
               watermark = "0 seconds", shift = 40, maxBuckets = 4))
+          case "ingest" =>
+            val d = graft.streaming.FileReplay.write(
+              table("documents")
+                .filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
+                .select(col("doc_id"), col("source"), col("lang"),
+                  col("text")), Seq("doc_id"))
+            val standing = table("documents")
+              .filter(col("doc_id") % 5 =!= 0)
+              .select(graft.operators.CorpusOps.docFp(col("text")).as("fp"))
+              .distinct().localCheckpoint()
+            (d, graft.streaming.StreamIngest.survivors(
+              graft.streaming.FileReplay.read(spark, d), standing,
+              snapshotStatic =
+                sys.env.get("STREAMPROF_SNAPSHOT").forall(_ == "1")).toDF())
           case other => sys.error(s"unknown twin $other")
         }
         val name = s"streamprof_${twin}_${System.nanoTime()}"

@@ -14,9 +14,17 @@ object TimeEntry {
     Engine.configure(spark)
     args.tail.foreach { name =>
       SparkEntry.queries(name)(spark, dir).count() // warm
+      // drop leaked checkpoint blocks between runs (the Bench r15
+      // inter-query hygiene) so repeats measure the query, not the
+      // accumulated storage pressure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"[time] $name ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      println(f"[time] $name $dt%.3f s rows=$n")
     }
   }
 }

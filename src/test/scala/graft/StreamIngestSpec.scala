@@ -55,7 +55,8 @@ class StreamIngestSpec extends AnyFunSuite {
         r.getString(3), r.getInt(4))).toSet
   }
 
-  private def replay(rows: Seq[Doc], chunks: Int)
+  private def replay(rows: Seq[Doc], chunks: Int,
+      snapshotStatic: Boolean = false)
       : (Seq[(String, Long, String, String, Int)], Long) = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -63,7 +64,7 @@ class StreamIngestSpec extends AnyFunSuite {
     val name = s"stream_ingest_${System.nanoTime()}"
     val q = StreamIngest.survivors(
       input.toDF().toDF("doc_id", "source", "lang", "text"),
-      standingFp())
+      standingFp(), snapshotStatic)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     var stateRows = -1L
@@ -106,5 +107,17 @@ class StreamIngestSpec extends AnyFunSuite {
     // ntok the batch projection agrees on
     val byId = got.map(g => g._2 -> g).toMap
     assert(byId.size == got.size)
+  }
+
+  test("snapshotStatic set filter equals the per-batch anti-join " +
+    "(exact, not approximate)") {
+    val want = batchSurvivors()
+    val rows = shardDocs().sortBy(_._1)
+    for (chunks <- Seq(1, 4)) {
+      val (got, stateRows) = replay(rows, chunks, snapshotStatic = true)
+      assert(got.size == got.toSet.size, s"chunks=$chunks duplicates")
+      assert(got.toSet == want, s"chunks=$chunks diverges from batch")
+      assert(stateRows == want.size.toLong)
+    }
   }
 }
