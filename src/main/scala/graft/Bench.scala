@@ -60,8 +60,11 @@ object Bench {
       // Release them between queries, outside the timed region.
       // Queries are independent (each invocation rebuilds its own
       // checkpoints), so dropping finished queries' blocks is safe.
+      // BLOCKING: an async unpersist storm overlaps the NEXT query's
+      // timed region (measured: late-suite rows inflated 1.3-2x while
+      // the warmup-touched canaries got faster).
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       (elapsed, ok)
     }
 
